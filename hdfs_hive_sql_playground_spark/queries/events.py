@@ -1,0 +1,150 @@
+"""Event-stream batch analytics over the ``events`` table: JSON extraction,
+tumbling-window aggregation, and gap-based sessionization.
+
+These are the batch duals of the Structured Streaming operators in
+:mod:`hdfs_hive_sql_playground_spark.streaming` — same logical plans, so a
+pipeline validated here runs unchanged under ``readStream`` with a
+watermark. At 100 TB the sessionization shuffles once on ``user_id`` and
+both window functions reuse that single partitioning (Catalyst plans one
+Exchange for both windows because partition keys match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "q60_json_extract",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="get_json_object over a JSON props column + agg (Hive JSON functions).",
+)
+def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q61_tumbling_window",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n,
+      ROUND(AVG(value), 6) AS avg_value,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation (batch dual of streaming window(ts, '1 hour')).",
+    bench=True,
+)
+def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q62_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT
+        user_id, event_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT
+        user_id, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      CAST(session_seq AS BIGINT) AS session_seq,
+      COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30 min) via lag + running sum — one shuffle on user_id for both windows.",
+    bench=True,
+)
+def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "q63_pivot",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot (conditional aggregation) — Spark groupBy().pivot() with explicit value list avoids a discovery pass.",
+)
+def q63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+        for c in ("click", "view", "purchase", "signup", "error")
+    ]
+    return out.select(*cols)

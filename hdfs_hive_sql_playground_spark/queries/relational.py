@@ -1,0 +1,854 @@
+"""Relational query surface — the Tier B Hive-SQL capability inventory of
+SURVEY.md §2 (joins, aggregation, windows, sort/limit, set ops, scalar
+functions, lateral views, subqueries), exercised as idiomatic DataFrame
+plans over the driver's TPC-H-ish tables.
+
+Reference basis: the pass-through HiveQL surface reachable via
+``playground.py:745-750`` (``exec-hive-query``). Each query here has a
+DuckDB oracle; numeric outputs use DECIMAL for exact cross-engine equality
+on sums and explicit rounding on averages/ratios.
+
+Scale notes (100 TB design point):
+- Dimension joins (region/nation/supplier/part at TPC-H proportions) are
+  explicitly broadcast — no shuffle of the fact table for them.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
+  skew splitting and partition coalescing.
+- Aggregations are expressed as single groupBy().agg() so Catalyst plans
+  partial (map-side) + final aggregation — no two-pass tricks needed.
+- Filters are applied straight on the scan DataFrame so they push into the
+  parquet reader (verify via plans.assert_pushed_filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+
+def _dec(col, scale: int = 2):
+    """Exact-money cast: sums of DECIMAL match bit-for-bit across engines,
+    unlike double sums whose value depends on addition order."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_disc_price,
+      ROUND(AVG(l_quantity), 6) AS avg_qty,
+      ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      ROUND(AVG(l_discount), 6) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style grouped aggregation with partial+final agg (SURVEY §2 Tier B 'Aggregation').",
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(18,2)")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_distinct_agg",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      COUNT(*) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="DISTINCT aggregate alongside plain aggregates (Hive DISTINCT agg; Spark plans expand+two-phase agg).",
+)
+def q02_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "q03_rollup",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with GROUPING() markers (Hive GROUPING SETS family).",
+)
+def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q04_cube",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+      CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (Hive CUBE).",
+)
+def q04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q05_grouping_sets",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_shipmode_none AS l_linestatus,
+      COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, l_linestatus AS l_shipmode_none FROM lineitem
+    )
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_none), ())
+    """,
+    doc="Explicit GROUPING SETS (Hive GROUPING SETS).",
+)
+def q05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_join_chain_revenue",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS revenue,
+      COUNT(*) AS n_lineitems,
+      CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Fact-fact-dim equi-join chain customer⋈orders⋈lineitem with post-join agg (Hive inner join).",
+    bench=True,
+)
+def q10_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q11_broadcast_dim_join",
+    oracle="""
+    SELECT
+      r.r_name,
+      n.n_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema dim joins; nation/region are broadcast so the fact side never shuffles for the join.",
+)
+def q11_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("decimal(18,2)").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "q12_region_revenue",
+    oracle="""
+    SELECT
+      r.r_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name
+    """,
+    doc="TPC-H Q5-style 5-way join: shuffle join on fact keys, broadcast on dims, date filter pushed to scan.",
+    bench=True,
+)
+def q12_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q13_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    doc="LEFT SEMI join (Hive LEFT SEMI JOIN / EXISTS).",
+)
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q14_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    doc="LEFT ANTI join: customers with no orders (Hive NOT EXISTS rewrite).",
+)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q15_outer_join_coalesce",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      COALESCE(CAST(o.n_orders AS BIGINT), 0) AS n_orders,
+      COALESCE(o.max_price, CAST(-1.00 AS DECIMAL(18,2))) AS max_price
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="LEFT OUTER join against a pre-aggregated subquery + COALESCE null handling.",
+)
+def q15_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("max_price"),
+        )
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
+        F.coalesce(F.col("max_price"), F.lit(-1).cast("decimal(18,2)")).alias("max_price"),
+    )
+
+
+@register(
+    "q16_theta_self_join",
+    oracle="""
+    SELECT
+      a.n_name AS nation_a,
+      b.n_name AS nation_b
+    FROM nation a
+    JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    doc="Self theta-join (equi on region + inequality predicate) — Hive theta join support.",
+)
+def q16_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "nation").alias("a")
+    b = load(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+        CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk,
+        CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS drk
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="ROW_NUMBER/RANK/DENSE_RANK per-partition top-k (Hive windowing).",
+    bench=True,
+)
+def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec(F.col("o_totalprice")).alias("o_totalprice"),
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rk"),
+            F.dense_rank().over(w).cast("int").alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q21_window_running_sum",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+      CAST(AVG(o_totalprice)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_raw
+    FROM orders
+    """,
+    doc="Running aggregate with explicit ROWS frame + moving average (Hive window frames).",
+)
+def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(running).cast("decimal(18,2)").alias("running_spend"),
+        F.avg("o_totalprice").over(moving).alias("moving_avg_raw"),
+    )
+
+
+@register(
+    "q22_lead_lag",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      event_type,
+      LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+    FROM events
+    """,
+    doc="LEAD/LAG with deterministic ordering; gap in exact integer microseconds.",
+)
+def q22_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "q23_ntile_first_last",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      c_custkey,
+      CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
+      FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS top_cust,
+      LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_cust
+    FROM customer
+    """,
+    doc="NTILE + FIRST_VALUE/LAST_VALUE with full-partition frame.",
+)
+def q23_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+        F.last("c_custkey").over(wfull).alias("bottom_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort materialization).",
+)
+def q30_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", _dec(F.col("o_totalprice")).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q31_set_ops",
+    oracle="""
+    SELECT 'big_spender_and_buyer' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'rich_non_buyer' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL in one plan (Hive set operators).",
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    )
+    buyers = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = rich.intersect(buyers).select(F.lit("big_spender_and_buyer").alias("tag"), "c_custkey")
+    only_rich = rich.exceptAll(buyers).distinct().select(
+        F.lit("rich_non_buyer").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only_rich)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (the m33 view's function family: SURVEY §2 A7-A14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      UPPER(p_name) AS name_upper,
+      SUBSTR(p_name, 1, 5) AS name_prefix,
+      TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+      REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS brand_num,
+      CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+      REPLACE(p_type, 'O', '0') AS type_leet,
+      CAST(STRPOS(p_name, ' ') AS INTEGER) AS space_pos
+    FROM part
+    """,
+    doc="String function family: upper/substr/trim/concat/regexp_extract/length/replace/instr (m33 view A8-A11).",
+)
+def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_leet"),
+        F.instr(F.col("p_name"), " ").alias("space_pos"),
+    )
+
+
+@register(
+    "q41_split_array_cast",
+    oracle="""
+    SELECT
+      p_partkey,
+      string_split(p_name, ' ')[1] AS word0,
+      string_split(p_name, ' ')[2] AS word1,
+      CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+      CAST(REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_id,
+      CAST(p_size AS DOUBLE) AS size_d
+    FROM part
+    """,
+    doc="split → array index/size + CAST chain: the exact m33-view pattern (split(trim(x)) + data[i] + cast, A7/A10/A12).",
+)
+def q41_split_array_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        words.getItem(0).alias("word0"),
+        words.getItem(1).alias("word1"),
+        F.size(words).alias("n_words"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("bigint").alias("brand_id"),
+        F.col("p_size").cast("double").alias("size_d"),
+    )
+
+
+@register(
+    "q42_conditional",
+    oracle="""
+    SELECT
+      c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'debt'
+           WHEN c_acctbal < 5000 THEN 'low'
+           ELSE 'high' END AS bal_bucket,
+      COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS segment_or_other,
+      CASE WHEN c_nationkey % 2 = 0 THEN CAST(1 AS INTEGER) ELSE CAST(0 AS INTEGER) END AS even_nation,
+      GREATEST(c_acctbal, 0.0) AS bal_floor,
+      LEAST(CAST(c_nationkey AS INTEGER), 10) AS nation_cap
+    FROM customer
+    """,
+    doc="CASE/NULLIF/COALESCE/GREATEST/LEAST conditional family.",
+)
+def q42_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("even_nation"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey").cast("int"), F.lit(10)).alias("nation_cap"),
+    )
+
+
+@register(
+    "q43_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ROUND(ABS(l_discount - 0.05), 6) AS disc_dev,
+      CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+      CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+      ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+      ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+      ROUND(POW(l_tax + 1, 2), 6) AS tax_sq,
+      CAST(l_partkey % 7 AS BIGINT) AS pk_mod
+    FROM lineitem
+    """,
+    doc="Math function family (abs/ceil/floor/sqrt/ln/pow/mod) — single-op float results are bit-identical across engines.",
+)
+def q43_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+    )
+
+
+@register(
+    "q44_date_funcs",
+    oracle="""
+    SELECT
+      CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+      CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+      CAST(DAYOFWEEK(o_orderdate) AS INTEGER) AS order_dow,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="Date extraction family (year/month/dayofweek) + grouped agg over time.",
+)
+def q44_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q45_field_function",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS INTEGER) AS status_field,
+      CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END - 1 AS INTEGER) AS status_idx
+    FROM orders
+    """,
+    doc="Hive field() semantics (1-based index in list, 0 if absent) — the m33 view's A13; JVM-side via array_position.",
+)
+def q45_field_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    fld = F.array_position(
+        F.array(F.lit("F"), F.lit("O"), F.lit("P")), F.col("o_orderstatus")
+    ).cast("int")
+    return o.select(
+        "o_orderkey",
+        fld.alias("status_field"),
+        (fld - F.lit(1)).cast("int").alias("status_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral views / subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_explode_tokens",
+    oracle="""
+    SELECT word, COUNT(*) AS freq
+    FROM (
+      SELECT UNNEST(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 200
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="LATERAL VIEW explode(split(...)) — UDTF surface (Hive lateral views).",
+)
+def q50_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@register(
+    "q51_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+    doc="Uncorrelated scalar subquery in WHERE.",
+)
+def q51_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+        FROM _sq_part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM _sq_part)
+        """
+    )
+
+
+@register(
+    "q52_correlated_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style correlated EXISTS → semi-join under the hood.",
+)
+def q52_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_ce_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM _ce_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM _ce_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q53_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    """,
+    doc="IN-subquery with a join inside (Hive IN subquery).",
+)
+def q53_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_in_{t}")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _in_supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM _in_nation n JOIN _in_region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        )
+        """
+    )

@@ -1,0 +1,87 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's cluster lifecycle layer (``playground.py:590-644``
+setup/start/stop): there are no daemons to provision — a session IS the
+cluster handle. Defaults are chosen for the 100 TB design point:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast),
+- Arrow for any Python<->JVM data exchange (Pandas UDFs),
+- UTC session timezone (deterministic timestamp semantics across engines),
+- shuffle partitions sized from the local core count but overridable via
+  ``SPARK_GRAFT_CPUS`` / explicit argument for real clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "hdfs-hive-sql-playground-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    hive: bool = False,
+    warehouse_dir: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    ``hive=True`` enables a Hive metastore-backed catalog (embedded Derby),
+    mirroring the reference's HiveServer2 + Derby setup
+    (``playground.py:230-240``) — needed for Hive-format external text
+    tables with ``skip.header.line.count`` (``create_m33_raw_ext_tbl.hql:6``).
+    """
+    cpus = default_cpus()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+
+    # Shuffle partitions: for local mode, ~2x cores keeps every core busy
+    # through stragglers without tiny-partition overhead. On a real cluster
+    # pass an explicit value (or rely on AQE coalescing from a higher cap).
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cpus)
+    )
+
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # Local runs don't need the UI; harmless if overridden.
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Parquet scans: vectorized reader + pushdown are defaults, pinned
+        # here so a misconfigured environment can't silently disable them.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+    }
+    for key, value in defaults.items():
+        builder = builder.config(key, value)
+
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if hive:
+        builder = builder.enableHiveSupport()
+    for key, value in (conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from hdfs_hive_sql_playground_spark.functions import register_all
+
+    register_all(spark)
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
