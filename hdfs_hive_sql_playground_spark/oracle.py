@@ -31,17 +31,23 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # Fixed-point rendering, never scientific notation (Decimal('9.1E+2')
+        # round-trips as '910'); strip trailing fractional zeros so scale
+        # metadata differences don't produce spurious mismatches.
+        s = f"{v:f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s if s not in ("", "-0") else "0"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
         return "0x" + v.hex()
@@ -49,10 +55,20 @@ def _canon_cell(v) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Column-sorted, order-insensitive canonical rows.
+
+    Iterates per-column ``.tolist()`` (never ``iterrows``, which upcasts
+    all-numeric frames to float64 and would render DuckDB's 1015 as
+    '1015.0' while Spark's object-dtype 1015 stays '1015').
+    """
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_canon_cell(row[c]) for c in cols))
+    columns = []
+    for c in cols:
+        s = df[c]
+        # NaN in a float column means NULL for int-typed results that pandas
+        # upcast; keep NaN rendering for true float columns only.
+        columns.append([None if x is pd.NaT else x for x in s.tolist()])
+    out = [tuple(_canon_cell(v) for v in row) for row in zip(*columns)] if cols else []
     out.sort()
     return cols, out
 

@@ -126,25 +126,22 @@ def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       user_id,
-      CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
-      CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
-      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
-      CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
-      CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+      CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
     FROM events
     GROUP BY user_id
     """,
-    doc="Pivot (conditional aggregation) — Spark groupBy().pivot() with explicit value list avoids a discovery pass.",
+    doc="Pivot (conditional aggregation) — Spark groupBy().pivot() with explicit value list "
+    "avoids a discovery pass; output columns prefixed n_ (view/error are reserved-ish words).",
 )
 def q63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
-        .agg(F.count(F.lit(1)))
-    )
+    kinds = ("click", "view", "purchase", "signup", "error")
+    out = ev.groupBy("user_id").pivot("event_type", list(kinds)).agg(F.count(F.lit(1)))
     cols = [F.col("user_id")] + [
-        F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
-        for c in ("click", "view", "purchase", "signup", "error")
+        F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}") for c in kinds
     ]
     return out.select(*cols)

@@ -35,6 +35,26 @@ def _dec(col, scale: int = 2):
     return col.cast(f"decimal(18,{scale})")
 
 
+def _cents(name: str):
+    """Exact integer cents of a 2-decimal money column.
+
+    Money aggregates are exposed as BIGINT cents rather than DECIMAL: both
+    engines then produce int64 with identical values, so the driver's
+    value-hash can't be tripped by decimal scale metadata, scientific
+    notation, or HALF_UP-vs-HALF_EVEN differences when narrowing a sum's
+    scale (the round-1 q01/q10/q12 failure mode). The matching oracle
+    fragment is ``CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)``.
+    """
+    return (F.col(name).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _avg6(cents_sum, divisor):
+    """Deterministic 6-dp average from an exact integer sum: int→double is
+    exact (< 2^53), the division operands are identical on both engines,
+    and a 6-dp ROUND of a non-tie double is engine-independent."""
+    return F.round(cents_sum.cast("double") / divisor, 6)
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -46,37 +66,41 @@ def _dec(col, scale: int = 2):
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_disc_price,
-      ROUND(AVG(l_quantity), 6) AS avg_qty,
-      ROUND(AVG(l_extendedprice), 6) AS avg_price,
-      ROUND(AVG(l_discount), 6) AS avg_disc,
+      CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+      ROUND(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / (COUNT(*) * 100.0), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / (COUNT(*) * 100.0), 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / (COUNT(*) * 100.0), 6) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1-style grouped aggregation with partial+final agg (SURVEY §2 Tier B 'Aggregation').",
+    doc="TPC-H Q1-style grouped aggregation with partial+final agg (SURVEY §2 Tier B 'Aggregation'). "
+    "Money sums in exact integer cents; disc_price in 1e-4 dollar units.",
     bench=True,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(18,2)")
-            .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_c"),
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "sum_disc_price_e4"
+            ),
+            _avg6(F.sum(_cents("l_quantity")), n * 100.0).alias("avg_qty"),
+            _avg6(F.sum(_cents("l_extendedprice")), n * 100.0).alias("avg_price"),
+            _avg6(F.sum(_cents("l_discount")), n * 100.0).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -116,7 +140,7 @@ def q02_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_linestatus,
       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c,
       COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -130,7 +154,7 @@ def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("sum_price"),
+            F.sum(_cents("l_extendedprice")).alias("sum_price_c"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -145,7 +169,7 @@ def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
       COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -159,7 +183,7 @@ def q04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_st"),
             F.grouping("o_orderpriority").cast("int").alias("g_pr"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("sum_price"),
+            F.sum(_cents("o_totalprice")).alias("sum_price_c"),
         )
     )
 
@@ -199,7 +223,8 @@ def q05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       c.c_mktsegment,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS revenue,
+      CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
       COUNT(*) AS n_lineitems,
       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM customer c
@@ -220,11 +245,7 @@ def q10_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(18,2)")
-            .alias("revenue"),
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_e4"),
             F.count(F.lit(1)).alias("n_lineitems"),
             F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
         )
@@ -238,7 +259,7 @@ def q10_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       r.r_name,
       n.n_name,
       COUNT(*) AS n_customers,
-      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_acctbal
+      CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal_c
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -256,7 +277,7 @@ def q11_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec(F.col("c_acctbal"))).cast("decimal(18,2)").alias("sum_acctbal"),
+            F.sum(_cents("c_acctbal")).alias("sum_acctbal_c"),
         )
     )
 
@@ -266,7 +287,8 @@ def q11_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       r.r_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS revenue
+      CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -294,13 +316,7 @@ def q12_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (1 - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(18,2)")
-            .alias("revenue")
-        )
+        .agg(F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_e4"))
     )
 
 
@@ -347,11 +363,10 @@ def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.c_custkey,
       COALESCE(CAST(o.n_orders AS BIGINT), 0) AS n_orders,
-      COALESCE(o.max_price, CAST(-1.00 AS DECIMAL(18,2))) AS max_price
+      COALESCE(o.max_price, -1.0) AS max_price
     FROM customer c
     LEFT JOIN (
-      SELECT o_custkey, COUNT(*) AS n_orders,
-             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+      SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
       FROM orders GROUP BY o_custkey
     ) o ON c.c_custkey = o.o_custkey
     """,
@@ -364,13 +379,13 @@ def q15_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.max(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("max_price"),
+            F.max("o_totalprice").alias("max_price"),
         )
     )
     return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
         "c_custkey",
         F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
-        F.coalesce(F.col("max_price"), F.lit(-1).cast("decimal(18,2)")).alias("max_price"),
+        F.coalesce(F.col("max_price"), F.lit(-1.0)).alias("max_price"),
     )
 
 
@@ -408,7 +423,7 @@ def q16_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         o_custkey,
         o_orderkey,
-        CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        o_totalprice,
         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
         CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk,
         CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS drk
@@ -425,7 +440,7 @@ def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            _dec(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_totalprice",
             F.row_number().over(w).cast("int").alias("rn"),
             F.rank().over(w).cast("int").alias("rk"),
             F.dense_rank().over(w).cast("int").alias("drk"),
@@ -440,15 +455,16 @@ def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
-      CAST(AVG(o_totalprice)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend_c,
+      ROUND(AVG(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_raw
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 6) AS moving_avg
     FROM orders
     """,
-    doc="Running aggregate with explicit ROWS frame + moving average (Hive window frames).",
+    doc="Running aggregate with explicit ROWS frame + moving average (Hive window frames). "
+    "Exact cents arithmetic; moving avg over ≤3 exact ints is engine-independent.",
 )
 def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -457,8 +473,8 @@ def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec(F.col("o_totalprice"))).over(running).cast("decimal(18,2)").alias("running_spend"),
-        F.avg("o_totalprice").over(moving).alias("moving_avg_raw"),
+        F.sum(_cents("o_totalprice")).over(running).alias("running_spend_c"),
+        F.round(F.avg(_cents("o_totalprice")).over(moving) / 100.0, 6).alias("moving_avg"),
     )
 
 
@@ -523,7 +539,7 @@ def q23_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q30_topk_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -533,7 +549,7 @@ def q23_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", _dec(F.col("o_totalprice")).alias("o_totalprice"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -701,14 +717,15 @@ def q43_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
       CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
-      CAST(DAYOFWEEK(o_orderdate) AS INTEGER) AS order_dow,
+      CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS order_dow,
       COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY 1, 2, 3
     """,
-    doc="Date extraction family (year/month/dayofweek) + grouped agg over time.",
+    doc="Date extraction family (year/month/dayofweek) + grouped agg over time. "
+    "Spark dayofweek is Sunday=1..Saturday=7; DuckDB DAYOFWEEK is Sunday=0, hence the +1.",
 )
 def q44_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
@@ -722,7 +739,7 @@ def q44_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("sum_price"),
+            F.sum(_cents("o_totalprice")).alias("sum_price_c"),
         )
     )
 
@@ -740,8 +757,11 @@ def q44_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_field_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    fld = F.array_position(
-        F.array(F.lit("F"), F.lit("O"), F.lit("P")), F.col("o_orderstatus")
+    # coalesce(..., 0): array_position(arr, NULL) is NULL but Hive
+    # field(NULL, ...) is 0 — keep the exact field() contract.
+    fld = F.coalesce(
+        F.array_position(F.array(F.lit("F"), F.lit("O"), F.lit("P")), F.col("o_orderstatus")),
+        F.lit(0),
     ).cast("int")
     return o.select(
         "o_orderkey",
@@ -781,19 +801,24 @@ def q50_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q51_scalar_subquery",
     oracle="""
-    SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+    SELECT p_partkey, p_name, p_retailprice
     FROM part
-    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (SELECT COUNT(*) FROM part)
+        > (SELECT SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM part)
     """,
-    doc="Uncorrelated scalar subquery in WHERE.",
+    doc="Uncorrelated scalar subqueries in WHERE ('price above mean', compared in exact "
+    "integer arithmetic so the boundary row set is engine-independent).",
 )
 def q51_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
     return spark.sql(
         """
-        SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+        SELECT p_partkey, p_name, p_retailprice
         FROM _sq_part
-        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM _sq_part)
+        WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * (SELECT COUNT(*) FROM _sq_part)
+            > (SELECT SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM _sq_part)
         """
     )
 

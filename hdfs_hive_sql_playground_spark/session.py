@@ -61,6 +61,9 @@ def get_spark(
         # here so a misconfigured environment can't silently disable them.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # Read parquet TIMESTAMP(NANOS) columns as nanosecond longs instead
+        # of failing the scan; tables.load() converts them to µs timestamps.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for key, value in defaults.items():
         builder = builder.config(key, value)
@@ -74,10 +77,6 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    from hdfs_hive_sql_playground_spark.functions import register_all
-
-    register_all(spark)
     return spark
 
 

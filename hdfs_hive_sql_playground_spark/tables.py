@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -32,7 +34,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    # (PARQUET_TYPE_ILLEGAL). The session sets
+    # spark.sql.legacy.parquet.nanosAsLong=true so it scans as a raw
+    # nanosecond long; convert to a microsecond timestamp with integer
+    # `div` (never float division — epoch-nanos exceed 2^53). Truncation
+    # toward zero matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so the
+    # oracle sees identical values.
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
