@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from hdfs_hive_sql_playground_spark.queries import (  # noqa: F401
         dedup,
         events,
+        m33_pipeline,
         multimodal,
         relational,
         similarity,

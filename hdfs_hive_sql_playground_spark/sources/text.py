@@ -1,0 +1,92 @@
+"""Schema-on-read external text tables with partitions and per-file header
+skip — the reference's core data model, Spark-first.
+
+Reference basis:
+- ``create_m33_raw_ext_tbl.hql:1-6`` — ``CREATE EXTERNAL TABLE m33_raw
+  (row_str STRING) ... STORED AS TEXTFILE`` with
+  ``TBLPROPERTIES("skip.header.line.count"="3")`` (A2, A3),
+- ``create_m33_raw_ext_tbl.hql:8-14`` — ``ALTER TABLE ... ADD PARTITION
+  (peculiarity='cp') LOCATION '/data/m33_0.01/cp'`` (A4): the partition
+  value comes from the catalog, not from file contents or paths.
+
+Design for scale:
+- The partition map (value → directory) is catalog metadata — tiny,
+  driver-side by definition, exactly like Hive's metastore partition list.
+- Each partition becomes a scan branch with the partition value as a
+  literal column; a filter ``partition_col = 'x'`` constant-folds every
+  other branch to an empty LocalRelation, so static partition pruning
+  works without a metastore (verified in tests by checking the plan).
+- Per-file header skip uses ``wholetext`` + ``slice`` + ``explode``: the
+  FILE is the unit of parallelism, which is exactly Hive's behavior for
+  header-skipping text tables (LineRecordReader only skips on split 0, so
+  Hive too must treat header-skipped files as one logical unit). At 100 TB
+  this holds as long as the dataset is many-files (the reference's layout
+  is ~18 MB per file); a single multi-GB file would need splitting
+  upstream — same constraint the reference had.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROW_COL = "row_str"
+FILE_COL = "input_file"
+
+
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """One STRING row per line of every text file under ``path``, minus the
+    first ``skip_header_lines`` lines of EACH file.
+
+    Columns: ``row_str`` (the raw line), ``input_file`` (full file URI —
+    the Spark analog of Hive's INPUT__FILE__NAME virtual column, A9).
+    """
+    if skip_header_lines == 0:
+        return spark.read.text(path).select(
+            F.col("value").alias(ROW_COL),
+            F.input_file_name().alias(FILE_COL),
+        )
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias(FILE_COL),
+        F.split(F.col("value"), "\n").alias("_lines"),
+    )
+    body = F.slice(
+        F.col("_lines"),
+        skip_header_lines + 1,
+        F.greatest(F.size(F.col("_lines")) - skip_header_lines, F.lit(0)),
+    )
+    return (
+        whole.select(FILE_COL, F.explode(body).alias(ROW_COL))
+        # Drop the phantom empty record produced by a trailing final
+        # newline (Hive's text reader emits no such record either).
+        .filter(F.col(ROW_COL) != "")
+    )
+
+
+def external_text_table(
+    spark: SparkSession,
+    partitions: dict[str, str],
+    partition_col: str,
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """Partitioned external text table: ``{partition_value: directory}``.
+
+    Mirrors ``ADD PARTITION (col='value') LOCATION 'dir'`` — the value is
+    bound by this mapping (catalog semantics), never parsed from paths.
+    """
+    if not partitions:
+        raise ValueError("external_text_table needs at least one partition")
+    branches = [
+        read_text_files(spark, path, skip_header_lines).withColumn(
+            partition_col, F.lit(value)
+        )
+        for value, path in sorted(partitions.items())
+    ]
+    df = branches[0]
+    for b in branches[1:]:
+        df = df.unionByName(b)
+    return df

@@ -1,0 +1,51 @@
+"""m33 pipeline invariants (FIXTURES.md §1.5) + partition-pruning plan check."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hdfs_hive_sql_playground_spark.m33 import m33_raw, m33_schem
+
+ROWS_PER_FILE = 1000
+N_FILES = 4
+
+
+def test_m33_raw_header_skip_and_counts(spark):
+    raw = m33_raw(spark)
+    assert raw.count() == ROWS_PER_FILE * N_FILES  # 3 header lines/file dropped
+    # No header junk leaks through.
+    assert raw.filter(F.col("row_str").startswith("#")).count() == 0
+
+
+def test_m33_schem_invariants(spark):
+    v = m33_schem(spark)
+    rows = (
+        v.groupBy("age_mil", "is_peculiar")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("wavelength").alias("lo"), F.max("wavelength").alias("hi"))
+        .collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r.age_mil in (11, 12)
+        assert r.is_peculiar in (0, 1)
+        assert r.n == ROWS_PER_FILE
+        assert r.lo == 3000.0
+        assert r.hi == 3000.0 + (ROWS_PER_FILE - 1) * 0.01
+
+
+def test_m33_partition_pruning_in_plan(spark):
+    """A filter on the partition column must constant-fold the other
+    partition's scan branch out of the optimized plan entirely — the
+    no-metastore analog of Hive static partition pruning (A4)."""
+    unfiltered = m33_raw(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in unfiltered  # both partition branches present
+
+    df = m33_raw(spark).filter(F.col("peculiarity") == "cp")
+    assert "Union" not in df._jdf.queryExecution().optimizedPlan().toString()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "/nocp" not in executed and "/cp" in executed
+    assert df.count() == 2 * ROWS_PER_FILE
+
+
+def test_m33_limit_no_global_materialization(spark):
+    assert m33_schem(spark).limit(100).count() == 100
