@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(``decode_media`` raises ``NotImplementedError``; the registered queries
+use ``fake_features``, a deterministic byte-level extractor) — but every
+piece of Spark plumbing a real decoder needs is in place and tested:
+
+- the asset table schema (``doc_id, blob BINARY, meta STRUCT``),
+- Arrow batch transfer into pandas (``mapInPandas`` with an explicit
+  output schema),
+- per-batch vectorized processing (numpy over byte arrays, never
+  per-row Python in the driver),
+- frame segmentation (fixed-size chunking of the payload — the shape of
+  video frame-sampling / audio windowing).
+
+Swapping ``fake_features`` for a PIL/libav decoder changes ONE function;
+the plan, schema, and batch flow stay identical. At 100 TB the pipeline
+is a single map pass: no shuffle, no driver collection, batch size
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+The test corpus is ASCII text re-encoded as bytes, which makes even the
+byte-level features oracle-checkable in DuckDB (byte == char there).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+FRAME_BYTES = 32
+CHECKSUM_PREFIX = 64
+
+
+def decode_media(blob: bytes, media_type: str):
+    """Real decoder hook — intentionally unimplemented in this container
+    (no PIL/libav). Production: decode to ndarray here; everything
+    downstream (batching, schema, frame logic) is already wired."""
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment; "
+        "use fake_features for the deterministic byte-level path"
+    )
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal asset table: binary payload + typed metadata struct
+    (media_type, n_bytes) — the schema a mixed image/audio/text corpus
+    shares at rest."""
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(blob).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, first_byte int, last_byte int, "
+    "checksum_prefix bigint, n_frames bigint, last_frame_len bigint"
+)
+
+
+def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level 'decode': per-batch vectorized feature
+    extraction standing in for a codec. Pure function of the payload."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        n_bytes = blobs.str.len().astype("int64")
+        first = blobs.apply(lambda b: int(b[0]) if len(b) else -1).astype("int32")
+        last = blobs.apply(lambda b: int(b[-1]) if len(b) else -1).astype("int32")
+        checksum = blobs.apply(lambda b: int(sum(b[:CHECKSUM_PREFIX]))).astype("int64")
+        n_frames = -(-n_bytes // FRAME_BYTES)
+        last_len = n_bytes - (n_frames - 1) * FRAME_BYTES
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "first_byte": first,
+                "last_byte": last,
+                "checksum_prefix": checksum,
+                "n_frames": n_frames,
+                "last_frame_len": last_len,
+            }
+        )
+
+
+@register(
+    "q95_multimodal_features",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+      CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS INTEGER) AS last_byte,
+      CAST(list_sum(list_transform(range(1, least(length(text), {CHECKSUM_PREFIX}) + 1),
+                                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum_prefix,
+      CAST(ceil(length(text) * 1.0 / {FRAME_BYTES}) AS BIGINT) AS n_frames,
+      CAST(length(text) - (ceil(length(text) * 1.0 / {FRAME_BYTES}) - 1) * {FRAME_BYTES} AS BIGINT) AS last_frame_len
+    FROM documents
+    """,
+    doc="Multimodal feature extraction through the real Arrow/mapInPandas "
+    "plumbing (binary payload + metadata struct -> per-batch vectorized "
+    "features + frame segmentation); decoder stubbed, byte-level features "
+    "oracle-checked because the corpus is ASCII.",
+)
+def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assets(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+        fake_features, schema=FEATURE_SCHEMA
+    )
+
+
+@register(
+    "q96_multimodal_meta_agg",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_assets,
+      CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      CAST(MAX(length(text)) AS BIGINT) AS max_bytes,
+      CAST(SUM(ceil(length(text) * 1.0 / {FRAME_BYTES})) AS BIGINT) AS total_frames
+    FROM documents
+    """,
+    doc="Metadata-only rollup over the asset table: storage/frame budgeting "
+    "reads the struct column, never the payload (column pruning keeps blobs "
+    "out of the scan — verified in tests).",
+)
+def q96_multimodal_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets(spark, sf_dir)
+    n_frames = F.ceil(F.col("meta.n_bytes") / FRAME_BYTES)
+    return a.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+        F.sum(n_frames).cast("bigint").alias("total_frames"),
+    )

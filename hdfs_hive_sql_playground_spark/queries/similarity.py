@@ -1,1 +1,250 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search / ANN over the ``embeddings`` table
+(``vec_id BIGINT, embedding ARRAY<FLOAT>, label INT``).
+
+Three operators, all JVM-side (no UDF of any kind — dot products are
+``zip_with`` + ``aggregate`` folds inside codegen):
+
+- q84: near-duplicate pairs, bucketed by IVF cell assignment — the scale
+  path for embedding dedup. No all-pairs stage: vectors are assigned to
+  their nearest centroid (a broadcast map-side join against N_CELLS
+  centroids), and only within-cell pairs are scored. At 100 TB this is
+  the standard coarse-quantizer sharding: cost ~ Σ cell², tunable via
+  N_CELLS, and the per-cell self-join shuffles on the cell id.
+- q85: brute-force cosine top-k for a fixed query set — the exactness
+  baseline. The query set is broadcast, so the fact side streams once;
+  per-query top-k is a rank window partitioned by query (each partition
+  bounded by k after the filter — no global sort).
+- q86: IVF ANN — probe the 2 nearest cells per query, rank only
+  candidates in probed cells. Recall vs q85 is asserted in tests.
+
+Cross-engine determinism: both Spark (``F.aggregate`` fold) and the
+DuckDB oracles (``list_sum(list_transform(...))``) evaluate the dot
+product as a sequential left fold over float32 values exactly cast to
+double, so cosines are bit-identical and rank order is engine-independent.
+
+Centroid "training" is deterministic: the first N_CELLS vectors serve as
+the coarse quantizer (a fixed seed sample — at scale, replace with
+k-means centroids computed offline; the query shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+N_CELLS = 8
+N_QUERIES = 5
+TOP_K = 5
+PROBE_CELLS = 2
+NEARDUP_COS = 0.4  # tuned to the synthetic corpus; ~0.95+ in production
+
+
+# -- Spark-side vector algebra (pure column expressions) --------------------
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _dvec(F.col("embedding")).alias("v"), "label")
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment via broadcast join."""
+    e = _embeddings(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+
+
+# -- shared DuckDB oracle fragments -----------------------------------------
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+_SQL_E = "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+
+_SQL_ASSIGN = f"""
+  e AS ({_SQL_E}),
+  cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+  scored AS (
+    SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS ccos
+    FROM e CROSS JOIN cent
+  ),
+  assign AS (
+    SELECT vec_id, v, cid AS cell FROM (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+  )
+"""
+
+
+@register(
+    "q84_embedding_neardup_cells",
+    oracle=f"""
+    WITH {_SQL_ASSIGN}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_sql_cos('a.v', 'b.v')}, 6) AS cos_r6
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.v', 'b.v')} >= {NEARDUP_COS}
+    """,
+    doc="Embedding-cosine near-duplicate pairs, bucketed by IVF cell so no "
+    "all-pairs stage exists; within-cell self-join + threshold.",
+)
+def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _assignments(spark, sf_dir)
+    b = (
+        a.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("cell")
+        )
+    )
+    pairs = (
+        a.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cell")
+        .join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _cos(F.col("va"), F.col("vb")).alias("cos"))
+    )
+    return pairs.filter(F.col("cos") >= NEARDUP_COS).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos_r6")
+    )
+
+
+@register(
+    "q85_ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_sql_cos('q.qv', 'e.v')} AS cos
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_r6, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k for a broadcast query set — the exact "
+    "baseline every ANN variant is measured against. Fact side streams once; "
+    "rank window partitioned per query.",
+    bench=True,
+)
+def q85_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_r6"), F.col("rnk").cast("int"))
+    )
+
+
+@register(
+    "q86_ivf_ann_topk",
+    oracle=f"""
+    WITH {_SQL_ASSIGN},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    qcells AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'cent.cv')} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {PROBE_CELLS}
+    ),
+    cand AS (
+      SELECT qc.query_id, qc.qv, a.vec_id AS neighbor_id, a.v
+      FROM qcells qc JOIN assign a ON a.cell = qc.cell
+      WHERE a.vec_id <> qc.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_r6, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, {_sql_cos('qv', 'v')} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_sql_cos('qv', 'v')} DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="IVF ANN: probe the 2 nearest cells per query, rank candidates only "
+    "from probed cells — the scale path (cost ~ n_queries · n/N_CELLS · "
+    "PROBE_CELLS instead of n_queries · n).",
+)
+def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _assignments(spark, sf_dir)
+    e = _embeddings(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    qcells = (
+        q.crossJoin(cent)
+        .select("query_id", "qv", "cid", _cos(F.col("qv"), F.col("cv")).alias("qcos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= PROBE_CELLS)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    cand = (
+        qcells.join(assign.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_r6"), F.col("rnk").cast("int"))
+    )

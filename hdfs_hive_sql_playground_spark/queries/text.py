@@ -1,1 +1,205 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over ``documents``: language-ID heuristic,
+quality scoring, token counting, and document fingerprinting.
+
+All four are pure column-expression plans (no UDFs): tokenization is
+``split``/``regexp_extract_all``, scoring is integer counts + one exact
+division, fingerprints are md5-nibble arithmetic. Each is a narrow
+map-side pass over the corpus plus at most one groupBy(doc_id) — the
+shape that streams at 100 TB (no shuffle wider than the output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.queries.dedup import _token_hash32, _words
+from hdfs_hive_sql_playground_spark.tables import load
+
+# Tiny per-language function-word lexicons (the standard n-gram/stopword
+# LID heuristic, shrunk to a deterministic demo lexicon).
+LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "des", "et", "un"),
+    "es": ("el", "los", "de", "y", "una"),
+}
+
+STOPWORDS = LEXICON["en"]
+MERSENNE_P = (1 << 31) - 1
+
+
+def _lex_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(LEXICON.items()) for w in ws
+    )
+    return f"(VALUES {rows}) AS lex(lang, word)"
+
+
+@register(
+    "q90_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, lex.lang, COUNT(*) AS n_hits
+      FROM toks t JOIN {_lex_values_sql()} ON t.tok = lex.word
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang, n_hits FROM (
+        SELECT doc_id, lang, n_hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id,
+           COALESCE(b.lang, 'und') AS pred_lang,
+           CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(b.n_hits, 0) * 1.0 / s.n_tokens, 6) AS hit_ratio
+    FROM sizes s LEFT JOIN best b ON s.doc_id = b.doc_id
+    """,
+    doc="Language ID via function-word lexicon voting (n-gram-heuristic LID): "
+    "token explode, broadcast lexicon join, argmax per doc. 'und' when no "
+    "lexicon word occurs.",
+)
+def q90_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(lang, w) for lang, ws in sorted(LEXICON.items()) for w in ws],
+            "lang string, word string",
+        )
+    )
+    hits = (
+        toks.join(lex, toks.tok == lex.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return sizes.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_tokens"), 6).alias("hit_ratio"),
+    )
+
+
+@register(
+    "q91_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT
+        doc_id,
+        lower(trim(text)) AS t,
+        len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+        length(lower(trim(text))) AS n_chars,
+        length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(lower(trim(text)), ' '),
+                        w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      ROUND((n_chars - n_punct) * 1.0 / n_chars, 6) AS alnum_ratio,
+      ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+      ROUND(n_chars * 1.0 / n_tokens, 6) AS mean_token_span,
+      CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000
+                 AND n_stop * 1.0 / n_tokens >= 0.01 THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
+    FROM base
+    """,
+    doc="Document quality scoring: length, punctuation ratio, stopword ratio, "
+    "mean token span, and a boolean keep gate — the classic pre-training "
+    "corpus filter, as exact integer ratios.",
+    bench=True,
+)
+def q91_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    n_tokens = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, "[a-z0-9 ]", ""))
+    n_stop = F.size(F.filter(F.split(t, " "), lambda w: w.isin(list(STOPWORDS))))
+    stop_ratio = n_stop / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round((n_chars - n_punct) / n_chars, 6).alias("alnum_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_chars / n_tokens, 6).alias("mean_token_span"),
+        F.when((n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio >= 0.01), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep_flag"),
+    )
+
+
+@register(
+    "q92_token_count",
+    oracle=r"""
+    SELECT
+      doc_id,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens and a BPE-ish regex token count "
+    "(letter runs / digit runs / single punctuation) — the cost estimator "
+    "for training-token budgets.",
+)
+def q92_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "q93_fingerprint",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    )
+    SELECT
+      doc_id,
+      md5(array_to_string(w, ' ')) AS content_md5,
+      CAST(list_sum(list_transform(range(1, len(w) + 1),
+            i -> (i * (({' + '.join(
+                f"(strpos('0123456789abcdef', substr(md5(w[i]), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+                for k in range(8))}) % {MERSENNE_P})) % {MERSENNE_P}))
+           % {MERSENNE_P} AS BIGINT) AS positional_fp
+    FROM words
+    """,
+    doc="Document fingerprinting: content md5 + an order-sensitive positional "
+    "hash (sum of position-weighted token hashes mod 2^31-1) — catches "
+    "reordered-content near-dups that set-based Jaccard misses.",
+)
+def q93_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    toks = d.select("doc_id", words.alias("w"), F.posexplode(words).alias("pos", "tok"))
+    term = F.pmod(
+        (F.col("pos") + 1) * F.pmod(_token_hash32(F.col("tok")), F.lit(MERSENNE_P)),
+        F.lit(MERSENNE_P),
+    )
+    fp = toks.groupBy("doc_id").agg(
+        F.pmod(F.sum(term), F.lit(MERSENNE_P)).cast("bigint").alias("positional_fp")
+    )
+    md = d.select("doc_id", F.md5(F.concat_ws(" ", words)).alias("content_md5"))
+    return md.join(fp, "doc_id").select("doc_id", "content_md5", "positional_fp")
