@@ -1,11 +1,14 @@
 """Benchmark harness: runs the bench-flagged queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+BASELINE.md-comparable m33 pipeline at the reference's own data scale
+(2.8 M rows / ~73 MB raw text — the exact workload behind the reference's
+50.1 s CTAS, 147.8 s Sqoop export, and 1.387 s LIMIT-100 numbers), and
+prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing is per-query wall time of a full execution (count-style action that
-materializes every row of the result, via a noop-write to avoid driver
-collection costs dominating).
+Timing is per-query wall time of a full execution (noop-write action that
+materializes every row without driver collection). The full-scale m33
+fixture is generated once into .bench_data/ (gitignored) and cached.
 """
 
 from __future__ import annotations
@@ -14,6 +17,59 @@ import json
 import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+M33_FULL_DIR = os.path.join(REPO, ".bench_data", "m33_full")
+M33_FULL_ROWS_PER_FILE = 700_000  # 4 files -> 2.8 M rows, the reference scale
+
+
+def _ensure_m33_full() -> None:
+    marker = os.path.join(M33_FULL_DIR, ".complete")
+    if os.path.exists(marker):
+        return
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_m33_fixture import gen_tree
+
+    gen_tree(M33_FULL_DIR, M33_FULL_ROWS_PER_FILE)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def _bench_m33(spark, timings: dict[str, float]) -> None:
+    from hdfs_hive_sql_playground_spark.m33 import m33_schem
+    from hdfs_hive_sql_playground_spark.sinks import ctas_text, read_text_table
+    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc, read_jdbc
+
+    _ensure_m33_full()
+
+    # Interactive fetch over the raw text view (baseline 1.387 s).
+    t0 = time.perf_counter()
+    rows = m33_schem(spark, M33_FULL_DIR).limit(100).collect()
+    assert len(rows) == 100
+    timings["m33_limit100_raw_view"] = round(time.perf_counter() - t0, 4)
+
+    # CTAS 2.8 M rows text -> comma-delimited text (baseline 50.099 s).
+    t0 = time.perf_counter()
+    ctas_text(m33_schem(spark, M33_FULL_DIR), "m33_bench")
+    timings["m33_ctas_2800k"] = round(time.perf_counter() - t0, 4)
+
+    back = read_text_table(
+        spark, "m33_bench", "age_mil bigint, wavelength double, flam double, is_peculiar int"
+    )
+
+    # Warehouse-table fetch (baseline 0.339 s).
+    t0 = time.perf_counter()
+    assert len(back.limit(100).collect()) == 100
+    timings["m33_limit100_warehouse"] = round(time.perf_counter() - t0, 4)
+
+    # Bulk JDBC export of the materialized table (baseline 147.81 s for
+    # 2.8 M rows = 18.9 k rows/s; 4-way parallel batched INSERT).
+    url = "jdbc:derby:memory:m33bench;create=true"
+    t0 = time.perf_counter()
+    export_jdbc(back, url, "m33", mode="overwrite", num_partitions=4, batchsize=10_000)
+    n = read_jdbc(spark, url, "m33").count()
+    assert n == 4 * M33_FULL_ROWS_PER_FILE, n
+    timings["m33_jdbc_export_2800k"] = round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
@@ -36,6 +92,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    if os.environ.get("SPARK_GRAFT_SKIP_M33_BENCH") != "1":
+        _bench_m33(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -40,13 +40,20 @@ def gen_file(path: str, age: int, peculiar: bool, rows: int) -> None:
         f.write("\n".join(lines) + "\n")
 
 
-def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+def gen_tree(out_dir: str, rows: int) -> int:
+    """Write the full 4-file tree; returns total data rows."""
     for part in PARTS:
         for age in AGES:
             name = f"hmix.a{age:06d}z0790"
-            gen_file(os.path.join(OUT, part, name), age, part == "cp", rows)
-    print(f"wrote {len(PARTS) * len(AGES)} files x {rows} rows under {OUT}")
+            gen_file(os.path.join(out_dir, part, name), age, part == "cp", rows)
+    return len(PARTS) * len(AGES) * rows
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    out = sys.argv[2] if len(sys.argv) > 2 else OUT
+    total = gen_tree(out, rows)
+    print(f"wrote {total} rows under {out}")
 
 
 if __name__ == "__main__":
