@@ -145,3 +145,40 @@ def q63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}") for c in kinds
     ]
     return out.select(*cols)
+
+
+@register(
+    "q64_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT
+        user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Native session_window gap sessionization (30-min gap) in batch mode — "
+    "the same operator runs unchanged under readStream with a watermark "
+    "(streaming.session_counts); oracle replicates via lag-gap + running sum. "
+    "Session opens when gap >= 30 min, matching session_window's [start, last+gap) "
+    "half-open semantics.",
+)
+def q64_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+    )

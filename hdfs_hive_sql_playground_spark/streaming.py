@@ -1,0 +1,112 @@
+"""Structured Streaming duals of the batch event analytics.
+
+The reference is batch-only MapReduce (``README.md:179-181`` — no streams
+anywhere, SURVEY §2 Tier B last row), so this module is pure headroom: the
+same logical plans as :mod:`queries.events`, expressed over ``readStream``
+so a pipeline validated in batch runs incrementally with late-data
+handling. Three operators:
+
+- ``windowed_counts`` — tumbling-window counts with a watermark (the
+  streaming dual of q61_tumbling_window),
+- ``session_counts`` — native ``session_window`` gap sessionization (the
+  streaming dual of q62_sessionize; same 30-min gap semantics),
+- ``running_user_totals`` — custom stateful operator via
+  ``applyInPandasWithState`` (GroupState + timeout), the extension point
+  for operators Spark lacks natively.
+
+Scale notes: all three shuffle once on their grouping key per microbatch;
+state store size is bounded by the watermark (windows/sessions older than
+the watermark are evicted). ``availableNow`` triggers make the streaming
+path testable against batch ground truth on a static directory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+SESSION_GAP = "30 minutes"
+WATERMARK = "1 hour"
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files (µs
+    timestamps — see tests for the nanos conversion step)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization via native session_window (30-min gap)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = "n bigint"
+TOTALS_SCHEMA = "user_id bigint, n_events bigint"
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event totals kept in a
+    GroupState — the applyInPandasWithState extension point for operators
+    with no native equivalent (emits the updated total per microbatch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=TOTALS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain an availableNow trigger into a memory sink; returns the sink
+    table DataFrame (test/dev harness — production uses a real sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,81 @@
+"""Structured Streaming operators must agree with their batch duals on a
+static directory drained with an availableNow trigger."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hdfs_hive_sql_playground_spark import streaming
+from hdfs_hive_sql_playground_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as µs-timestamp parquet (the stream source can't
+    apply the nanos conversion that tables.load does)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, events_dir):
+    sink = streaming.run_to_memory(
+        streaming.windowed_counts(streaming.stream_events(spark, events_dir)),
+        "t_win_counts",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in sink.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_counts_matches_batch_session_window(spark, sf_dir, events_dir):
+    sink = streaming.run_to_memory(
+        streaming.session_counts(streaming.stream_events(spark, events_dir)),
+        "t_sessions",
+    )
+    got = sorted((r.user_id, r.session_start, r.n_events) for r in sink.collect())
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+        .collect()
+    )
+    assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    sink = streaming.run_to_memory(
+        streaming.running_user_totals(streaming.stream_events(spark, events_dir)),
+        "t_totals",
+        output_mode="update",
+    )
+    # Update mode may emit one row per user per microbatch; the LAST emit
+    # per user is the running total, which after draining equals the batch
+    # count. (Memory sink appends in batch order; take max = last.)
+    got = {
+        r.user_id: r.n_events
+        for r in sink.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
