@@ -10,6 +10,10 @@ that surface natively. The two gaps its example workload actually uses:
 - ``SELECT TOP n ...`` (``examples/runall.py:73``) — rewritten to a
   trailing ``LIMIT n``.
 
+Plus Hive's ``INPUT__FILE__NAME`` virtual column
+(``create_m33_schem_view.hql:10``) — Spark's spelling is the
+``input_file_name()`` function.
+
 The rewriter is a quote- and paren-aware scanner, not a regex over the
 whole statement, so string literals containing ``field(`` survive.
 """
@@ -20,6 +24,7 @@ import re
 
 _FIELD_RE = re.compile(r"\bfield\s*\(", re.IGNORECASE)
 _TOP_RE = re.compile(r"^(\s*select)\s+top\s+(\d+)\s+", re.IGNORECASE)
+_IFN_RE = re.compile(r"\bINPUT__FILE__NAME\b", re.IGNORECASE)
 
 
 def _scan_literal_spans(sql: str) -> list[tuple[int, int]]:
@@ -110,6 +115,21 @@ def rewrite_top(sql: str) -> str:
     return f"{m.group(1)} {rest} LIMIT {m.group(2)}"
 
 
+def rewrite_input_file_name(sql: str) -> str:
+    """Hive ``INPUT__FILE__NAME`` virtual column → ``input_file_name()``
+    (skipping occurrences inside string literals)."""
+    spans = _scan_literal_spans(sql)
+    out, last = [], 0
+    for m in _IFN_RE.finditer(sql):
+        if _in_literal(m.start(), spans):
+            continue
+        out.append(sql[last : m.start()])
+        out.append("input_file_name()")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """All dialect shims, in order."""
-    return rewrite_field(rewrite_top(sql))
+    return rewrite_field(rewrite_input_file_name(rewrite_top(sql)))

@@ -12,6 +12,7 @@ kept name-compatible (see :mod:`hdfs_hive_sql_playground_spark.cli`).
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from dataclasses import dataclass, field as dc_field
 from typing import Any
@@ -83,18 +84,112 @@ class Engine:
 
     # -- SQL pass-through with dialect shims (Tier B; A13, A26) --------------
 
+    # DDL shim state: header-skipping external text tables (A2-A4). Spark
+    # 4.1's Hive text scan does NOT honor skip.header.line.count (verified:
+    # headers leak), so tables created with that property are overlaid with
+    # a temp view over sources.text (exact per-file skip semantics); the
+    # catalog DDL still runs when a Hive metastore is enabled, so SHOW
+    # PARTITIONS etc. keep working. Views over a shimmed table are created
+    # as temp views (Spark refuses permanent views over temp views).
+    _CREATE_TEXT_RE = re.compile(
+        r"CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s*\(\s*(\w+)\s+STRING\s*\)"
+        r".*?PARTITIONED\s+BY\s*\(\s*(\w+)\s+STRING\s*\)"
+        r".*?STORED\s+AS\s+TEXTFILE"
+        r".*?[\"']skip\.header\.line\.count[\"']\s*=\s*[\"'](\d+)[\"']",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ADD_PART_RE = re.compile(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s*\(\s*(\w+)\s*=\s*'([^']*)'\s*\)"
+        r"\s+LOCATION\s+'([^']*)'",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CREATE_VIEW_RE = re.compile(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)", re.IGNORECASE)
+
+    def _refresh_text_shim(self, name: str) -> None:
+        from hdfs_hive_sql_playground_spark.sources.text import external_text_table
+
+        shim = self._text_shims[name]
+        if shim["partitions"]:
+            df = external_text_table(
+                self.spark,
+                partitions=shim["partitions"],
+                partition_col=shim["partition_col"],
+                skip_header_lines=shim["skip"],
+            ).withColumnRenamed("row_str", shim["row_col"])
+        else:
+            df = self.spark.createDataFrame(
+                [], f"{shim['row_col']} string, input_file string, {shim['partition_col']} string"
+            )
+        df.createOrReplaceTempView(name)
+
+    def _intercept_ddl(self, sql: str) -> DataFrame | None:
+        if not hasattr(self, "_text_shims"):
+            self._text_shims: dict[str, dict[str, Any]] = {}
+
+        m = self._CREATE_TEXT_RE.search(sql)
+        if m:
+            name, row_col, part_col, skip = m.group(1), m.group(2), m.group(3), int(m.group(4))
+            if self._catalog_is_hive():
+                try:
+                    self.spark.sql(sql)  # catalog parity (SHOW PARTITIONS etc.)
+                except Exception:
+                    pass
+            self._text_shims[name] = {
+                "row_col": row_col,
+                "partition_col": part_col,
+                "skip": skip,
+                "partitions": {},
+            }
+            self._refresh_text_shim(name)
+            return self.spark.sql("SELECT 1 AS ok").limit(0)
+
+        m = self._ADD_PART_RE.search(sql)
+        if m and m.group(1) in getattr(self, "_text_shims", {}):
+            name, col, value, path = m.group(1), m.group(2), m.group(3), m.group(4)
+            if self._catalog_is_hive():
+                try:
+                    # Qualified name bypasses the shim temp view so the
+                    # catalog partition registers (SHOW PARTITIONS parity).
+                    self.spark.sql(
+                        f"ALTER TABLE spark_catalog.default.{name} "
+                        f"ADD PARTITION ({col}='{value}') LOCATION '{path}'"
+                    )
+                except Exception:
+                    pass
+            self._text_shims[name]["partitions"][value] = path
+            self._refresh_text_shim(name)
+            return self.spark.sql("SELECT 1 AS ok").limit(0)
+
+        m = self._CREATE_VIEW_RE.search(sql)
+        if m and any(
+            re.search(rf"\b{t}\b", sql, re.IGNORECASE) for t in getattr(self, "_text_shims", {})
+        ):
+            sql = self._CREATE_VIEW_RE.sub(
+                lambda mm: f"CREATE {mm.group(1) or ''}TEMPORARY VIEW {mm.group(2)}", sql, count=1
+            )
+            return self.spark.sql(dialect.rewrite(sql))
+        return None
+
+    def _catalog_is_hive(self) -> bool:
+        return self.spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+
     def exec_sql(self, sql: str) -> DataFrame:
-        """``exec-hive-query`` analog: arbitrary SQL, with ``field()`` and
-        ``TOP n`` rewritten to Spark SQL (``playground.py:745-750``)."""
+        """``exec-hive-query`` analog: arbitrary SQL, with ``field()``,
+        ``TOP n`` and ``INPUT__FILE__NAME`` rewritten to Spark SQL and
+        header-skipping text-table DDL shimmed (``playground.py:745-750``)."""
+        intercepted = self._intercept_ddl(sql)
+        if intercepted is not None:
+            return intercepted
         return self.spark.sql(dialect.rewrite(sql))
 
     def exec_file(self, path: str) -> list[DataFrame]:
         """``exec-hive-file`` analog: run each ;-terminated statement
-        (``playground.py:738-743``)."""
+        (``playground.py:738-743``). Full-line ``--`` comments are stripped
+        before splitting (a ';' inside a comment is not a separator)."""
         with open(path) as f:
-            text = f.read()
+            lines = [ln for ln in f.read().splitlines() if not ln.lstrip().startswith("--")]
         results = []
-        for stmt in [s.strip() for s in text.split(";") if s.strip()]:
+        for stmt in [s.strip() for s in "\n".join(lines).split(";") if s.strip()]:
             results.append(self.exec_sql(stmt))
         return results
 
