@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="verb", required=True)
 
     sub.add_parser("health", help="session + warehouse health report")
+    sub.add_parser("logs", help="execution history + effective config (print-hadoop-logs analog)")
 
     q = sub.add_parser("exec-sql", help="run SQL (field()/TOP dialect shims applied)")
     q.add_argument("sql")
@@ -61,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.verb == "health":
             print(json.dumps(eng.health(), indent=2))
+        elif args.verb == "logs":
+            print(json.dumps(eng.logs(), indent=2))
         elif args.verb in ("exec-sql", "exec-file"):
             if args.testdata:
                 eng.register_testdata(args.testdata)

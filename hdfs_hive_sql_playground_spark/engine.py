@@ -82,6 +82,27 @@ class Engine:
         report["healthy"] = report["warehouse_writable"] and sc.defaultParallelism > 0
         return report
 
+    def logs(self, n_conf: int = 20) -> dict[str, Any]:
+        """``print-hadoop-logs`` analog (A30): with no per-node daemon logs
+        to cat, surface the session's execution history (job/stage counts
+        from the status tracker) and the effective config."""
+        sc = self.spark.sparkContext
+        tracker = sc.statusTracker()
+        job_ids = list(tracker.getJobIdsForGroup(None) or [])
+        conf = dict(sorted(self.spark.sparkContext.getConf().getAll()))
+        interesting = {
+            k: v
+            for k, v in conf.items()
+            if any(t in k for t in ("adaptive", "shuffle", "arrow", "warehouse", "master", "memory"))
+        }
+        return {
+            "app_id": sc.applicationId,
+            "n_jobs_run": len(job_ids),
+            "active_jobs": len(tracker.getActiveJobsIds() or []),
+            "active_stages": len(tracker.getActiveStageIds() or []),
+            "conf": dict(list(interesting.items())[:n_conf]),
+        }
+
     # -- SQL pass-through with dialect shims (Tier B; A13, A26) --------------
 
     # DDL shim state: header-skipping external text tables (A2-A4). Spark

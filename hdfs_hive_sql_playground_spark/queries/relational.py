@@ -877,3 +877,78 @@ def q53_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches + skew-mitigation (aggregation family extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_approx_distinct",
+    oracle=None,
+    doc="HyperLogLog++ approximate distinct counting (Hive approx_distinct "
+    "analog): sketch-based, constant memory per group — the 100 TB path for "
+    "cardinality. Rows-only driver check (HLL estimates are engine-specific); "
+    "tests assert <5% relative error vs exact.",
+)
+def q06_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q07_exact_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont: both linear-interpolate at p*(n-1)). At 100 TB swap to "
+    "approx_percentile with the same call shape.",
+)
+def q07_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "q08_salted_agg",
+    oracle="""
+    SELECT
+      l_suppkey,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c,
+      MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="Salted two-phase aggregation (skew.salted_agg): hot keys split across "
+    "16 salt buckets before the final merge — identical results to a plain "
+    "GROUP BY (the oracle), balanced shuffles under power-law keys.",
+)
+def q08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "sum_price_c": ("sum", F.sum(_cents("l_extendedprice"))),
+            "max_qty": ("max", F.max("l_quantity")),
+        },
+    )

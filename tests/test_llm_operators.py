@@ -90,3 +90,20 @@ def test_simhash_stability_and_spread(spark, sf_dir):
     # common in this small-vocabulary synthetic corpus, so only require
     # meaningful spread, not near-uniqueness.
     assert len(set(values)) > len(values) * 0.5
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    rows = SPECS["q06_approx_distinct"].fn(spark, sf_dir).collect()
+    import pyspark.sql.functions as FF
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    exact = {
+        r.o_orderpriority: r.n
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(FF.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel = abs(r.approx_customers - exact[r.o_orderpriority]) / exact[r.o_orderpriority]
+        assert rel < 0.05, (r.o_orderpriority, r.approx_customers, exact[r.o_orderpriority])
