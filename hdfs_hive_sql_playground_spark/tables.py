@@ -34,6 +34,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # Runtime-set so foreign sessions (e.g. the verification driver's,
+        # built without our session defaults) can scan TIMESTAMP(NANOS)
+        # parquet too — without this the scan throws PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     # (PARQUET_TYPE_ILLEGAL). The session sets
