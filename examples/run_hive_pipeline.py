@@ -75,6 +75,17 @@ def main() -> int:
     )
     print(f"catalog partitions: {parts}")
     assert parts == ["peculiarity=cp", "peculiarity=nocp"], parts
+
+    # DML/maintenance surface (Tier B DDL/DML row): INSERT INTO, ANALYZE,
+    # MSCK REPAIR, DESCRIBE — all through the same exec_sql pass-through.
+    eng.exec_sql("INSERT INTO m33 VALUES (99, 1.5, 2.5, 0)")
+    n_after = eng.exec_sql("SELECT COUNT(*) AS n FROM m33").collect()[0].n
+    assert n_after == n_tbl + 1, (n_after, n_tbl)
+    eng.exec_sql("ANALYZE TABLE m33 COMPUTE STATISTICS")
+    stats = eng.exec_sql("DESCRIBE TABLE EXTENDED m33").collect()
+    assert any("Statistics" in str(r) for r in stats)
+    eng.exec_sql("MSCK REPAIR TABLE spark_catalog.default.m33_raw")
+    print(f"dml checks passed (insert -> {n_after} rows, stats collected, msck ok)")
     print(f"rows raw={n_raw} view={n_view} table={n_tbl} top={len(top)} groups={sorted(groups.items())}")
 
     ok = (

@@ -220,6 +220,23 @@ class Engine:
             if os.path.exists(path):
                 load(self.spark, sf_dir, name).createOrReplaceTempView(name)
 
+    def ingest(self, src_dir: str, dest_dir: str) -> int:
+        """``hadoop fs -put`` analog (A1, ``playground.py:210-214``): stage a
+        local directory tree into the engine's data area. With Spark reading
+        in place there is usually nothing to move — this exists for parity
+        and for copying into a mounted DFS path; returns files copied."""
+        import shutil
+
+        n = 0
+        for root, _, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            out = os.path.join(dest_dir, rel) if rel != "." else dest_dir
+            os.makedirs(out, exist_ok=True)
+            for fname in files:
+                shutil.copy2(os.path.join(root, fname), os.path.join(out, fname))
+                n += 1
+        return n
+
     # -- m33 pipeline verbs (the runall.py sequence) -------------------------
 
     def m33_create_views(self, base_dir: str | None = None) -> None:

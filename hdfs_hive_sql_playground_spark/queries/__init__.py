@@ -39,11 +39,13 @@ def all_queries() -> dict[str, QuerySpec]:
     from hdfs_hive_sql_playground_spark.queries import (  # noqa: F401
         dedup,
         events,
+        formats,
         m33_pipeline,
         multimodal,
         relational,
         similarity,
         text,
+        udfs,
     )
 
     return REGISTRY

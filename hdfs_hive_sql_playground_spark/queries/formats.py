@@ -1,0 +1,131 @@
+"""File-format coverage (SURVEY §2 Tier B 'File formats'): ORC, JSON, CSV
+round trips through the warehouse, and bucketed parquet tables for
+shuffle-free co-located joins.
+
+The reference supports TEXTFILE/ORC/SEQUENCEFILE SerDes via Hive (and its
+author documented that Sqoop could never export ORC — ``README.md:191-193``);
+here each format is a first-class read/write pair. Avro needs the external
+``spark-avro`` module which this environment doesn't ship, so it is
+exercised opportunistically (skipped cleanly when absent).
+
+Bucketing is the 100 TB co-location strategy the reference never had:
+``bucketBy(k, key)`` tables join WITHOUT a shuffle on either side — the
+plan test asserts zero Exchange operators inside the join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.sinks import DEFAULT_WAREHOUSE
+from hdfs_hive_sql_playground_spark.tables import load
+
+_AGG_ORACLE = """
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+"""
+
+
+def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "sum_price_c"
+        ),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, options: dict | None = None) -> DataFrame:
+    path = os.path.join(DEFAULT_WAREHOUSE, f"fmt_check_{fmt}")
+    src = _subset(spark, sf_dir)
+    w = src.write.mode("overwrite").format(fmt)
+    r = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+        r = r.option(k, v)
+    w.save(path)
+    back = r.schema(src.schema).load(path) if fmt in ("csv", "json") else r.load(path)
+    return _agg(back)
+
+
+@register(
+    "q75_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="ORC write + read round trip (the format Sqoop could never export, "
+    "README.md:191-193) — values survive exactly.",
+)
+def q75_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "q76_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="JSON lines write + schema-on-read round trip (Hive JsonSerDe analog).",
+)
+def q76_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "q77_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CSV write + schema-on-read round trip with delimiter/quote options "
+    "(LazySimpleSerDe analog; same parser family as the Sqoop record parser A21).",
+)
+def q77_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv", {"sep": "|", "quote": '"'})
+
+
+@register(
+    "q78_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Shuffle-free co-located join over bucketed tables: both fact tables "
+    "bucketBy(8, orderkey) into the warehouse catalog, then joined — zero "
+    "Exchange inside the join (asserted in tests). The 100 TB answer to "
+    "repeated fact-fact joins on one key.",
+)
+def q78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Re-bucket on every call: the table contents are a function of sf_dir,
+    # so a cached table from another scale factor would be stale.
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bkt_{name}"
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(DEFAULT_WAREHOUSE, tbl))
+            .saveAsTable(tbl)
+        )
+    o = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+    )

@@ -1,0 +1,87 @@
+"""User-defined function surface (SURVEY §2 Tier B 'UDF/UDAF'), the fast
+way: Arrow-vectorized ``pandas_udf`` for scalar functions and grouped
+aggregates. Row-at-a-time Python UDFs are deliberately absent from every
+hot path (the only one in the repo is the opt-in ``field`` fallback).
+
+UDFs are constructed lazily inside each query (pandas_udf type resolution
+needs an active SparkSession, and the registry imports at module scope).
+
+Determinism note: the grouped-aggregate UDF works in integer cents inside
+pandas (int64 sums are order-independent), so its result is exact and the
+DuckDB oracle matches bit-for-bit — the same discipline as the built-in
+aggregate queries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+
+@register(
+    "q09_pandas_udf_scalar",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(reverse(p_name)) AS rev_name,
+      CAST(length(regexp_replace(p_name, '[^aeiouAEIOU]', '', 'g')) AS INTEGER) AS n_vowels
+    FROM part
+    """,
+    doc="Arrow-vectorized scalar pandas_udf (string reverse/upper + vowel "
+    "count) — the UDF surface with batch transfer, no per-row Python.",
+)
+def q09_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("string")
+    def rev_upper(s: pd.Series) -> pd.Series:
+        return s.str[::-1].str.upper()
+
+    @pandas_udf("int")
+    def vowel_count(s: pd.Series) -> pd.Series:
+        return s.str.count("[aeiouAEIOU]").astype("int32")
+
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        rev_upper(F.col("p_name")).alias("rev_name"),
+        vowel_count(F.col("p_name")).alias("n_vowels"),
+    )
+
+
+@register(
+    "q19_pandas_udaf_weighted",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        / 100.0, 6) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Grouped-aggregate pandas_udf (quantity-weighted mean price) over "
+    "exact integer cents — a UDAF through Arrow with an exact oracle.",
+)
+def q19_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def weighted_price(price_c: pd.Series, qty_c: pd.Series) -> float:
+        # integer cents in, exact int64 sums, one double division out
+        num = int((price_c.astype("int64") * qty_c.astype("int64")).sum())
+        den = int(qty_c.astype("int64").sum())
+        return round(num / den / 100.0, 6) if den else float("nan")
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("price_c"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long").alias("qty_c"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        weighted_price(F.col("price_c"), F.col("qty_c")).alias("weighted_avg_price")
+    )

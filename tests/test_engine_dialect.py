@@ -73,3 +73,19 @@ def test_jdbc_ddl_side_channel(spark):
     df = read_jdbc(spark, url, "t_ddl")
     assert df.count() == 2
     assert df.agg(F.sum("b")).collect()[0][0] == 6.0
+
+
+def test_engine_ingest(spark, tmp_path):
+    import os
+
+    eng = Engine()
+    eng._spark = spark
+    src = tmp_path / "src" / "part=a"
+    src.mkdir(parents=True)
+    (src / "f1.txt").write_text("hello\n")
+    (tmp_path / "src" / "f0.txt").write_text("root\n")
+    n = eng.ingest(str(tmp_path / "src"), str(tmp_path / "dst"))
+    assert n == 2
+    assert (tmp_path / "dst" / "part=a" / "f1.txt").read_text() == "hello\n"
+    got = spark.read.option("recursiveFileLookup", "true").text(str(tmp_path / "dst")).count()
+    assert got == 2

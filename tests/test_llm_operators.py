@@ -107,3 +107,19 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         rel = abs(r.approx_customers - exact[r.o_orderpriority]) / exact[r.o_orderpriority]
         assert rel < 0.05, (r.o_orderpriority, r.approx_customers, exact[r.o_orderpriority])
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """q78's fact-fact join must read pre-bucketed tables and plan a
+    sort-merge join with NO hash-partitioning Exchange on either side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q78_bucketed_join"].fn(spark, sf_dir)
+        plan = _physical_plan(df)
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
