@@ -952,3 +952,80 @@ def q08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_qty": ("max", F.max("l_quantity")),
         },
     )
+
+
+@register(
+    "q46_array_map_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      CAST(list_contains(string_split(p_name, ' '), 'green') AS BOOLEAN) AS has_green,
+      array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+      CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+      string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS last_word,
+      array_to_string(list_reverse(string_split(p_name, ' ')), ',') AS reversed_words
+    FROM part
+    """,
+    doc="Array function family (Hive array ops): contains/sort/size/element_at "
+    "(negative index)/reverse over split arrays.",
+)
+def q46_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_contains(words, "green").alias("has_green"),
+        F.concat_ws(",", F.sort_array(words)).alias("sorted_words"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, -1).alias("last_word"),
+        F.concat_ws(",", F.reverse(words)).alias("reversed_words"),
+    )
+
+
+@register(
+    "q47_json_tuple",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      CAST(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS INTEGER) AS missing_is_null,
+      CAST(length(props) AS INTEGER) AS props_len
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="JSON extraction family: json_tuple / get_json_object with missing-key "
+    "NULL semantics (Hive JSON functions).",
+)
+def q47_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    jt = ev.select(
+        "event_id",
+        F.json_tuple(F.col("props"), "k", "missing").alias("k_str", "missing_str"),
+        F.length("props").alias("props_len"),
+    )
+    return jt.select(
+        "event_id",
+        F.col("k_str").cast("bigint").alias("k_val"),
+        F.when(F.col("missing_str").isNull(), 1).otherwise(0).cast("int").alias("missing_is_null"),
+        F.col("props_len").cast("int"),
+    )
+
+
+@register(
+    "q32_distribute_cluster_by",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 100000
+    """,
+    doc="DISTRIBUTE BY + SORT BY (Hive CLUSTER BY): repartition(col) + "
+    "sortWithinPartitions — value-identical to the unordered oracle (the "
+    "clustering is a physical property, asserted via plan in tests).",
+)
+def q32_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartition(8, F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
