@@ -5,8 +5,9 @@ plans over the driver's TPC-H-ish tables.
 
 Reference basis: the pass-through HiveQL surface reachable via
 ``playground.py:745-750`` (``exec-hive-query``). Each query here has a
-DuckDB oracle; numeric outputs use DECIMAL for exact cross-engine equality
-on sums and explicit rounding on averages/ratios.
+DuckDB oracle; numeric outputs are exact integer cents (BIGINT) for sums
+and exact-sum-derived 6-dp doubles for averages, so both engines hash
+identically (see ``_cents``/``_avg6``).
 
 Scale notes (100 TB design point):
 - Dimension joins (region/nation/supplier/part at TPC-H proportions) are

@@ -89,3 +89,10 @@ def test_engine_ingest(spark, tmp_path):
     assert (tmp_path / "dst" / "part=a" / "f1.txt").read_text() == "hello\n"
     got = spark.read.option("recursiveFileLookup", "true").text(str(tmp_path / "dst")).count()
     assert got == 2
+
+
+def test_input_file_name_rewrite():
+    out = dialect.rewrite("SELECT regexp_extract(INPUT__FILE__NAME, '(a)(b)', 2) FROM t")
+    assert "input_file_name()" in out and "INPUT__FILE__NAME" not in out
+    # untouched inside string literals
+    assert dialect.rewrite("SELECT 'INPUT__FILE__NAME' FROM t") == "SELECT 'INPUT__FILE__NAME' FROM t"

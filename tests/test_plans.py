@@ -1,0 +1,49 @@
+"""Plan-shape assertions for the headline queries: predicate pushdown,
+broadcast dimension joins, single-exchange windowing. These are the
+properties that decide 100 TB behavior — a green oracle gate with a bad
+plan is only half done."""
+
+from __future__ import annotations
+
+from hdfs_hive_sql_playground_spark import plans
+from hdfs_hive_sql_playground_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    df = SPECS["q01_pricing_summary"].fn(spark, sf_dir)
+    plans.assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+    # partial+final aggregation over exactly one shuffle
+    assert plans.count_exchanges(df) == 1
+
+
+def test_q12_broadcast_dims_and_pushdown(spark, sf_dir):
+    df = SPECS["q12_region_revenue"].fn(spark, sf_dir)
+    plans.assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+    assert plans.count_broadcast_joins(df) >= 2  # nation + region at minimum
+    plans.assert_no_cartesian(df)
+
+
+def test_q62_single_exchange_for_both_windows(spark, sf_dir):
+    df = SPECS["q62_sessionize"].fn(spark, sf_dir)
+    # lag window, running-sum window, and the final agg all reuse ONE
+    # user_id exchange
+    assert plans.count_exchanges(df) == 1
+
+
+def test_q80_dedup_single_exchange(spark, sf_dir):
+    df = SPECS["q80_exact_dedup"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    plans.assert_no_cartesian(df)
+
+
+def test_no_collect_style_plans(spark, sf_dir):
+    """No registered query may plan a CollectLimit over an unbounded input
+    feeding further computation (driver funnels) — limits are only ever
+    terminal. Quick heuristic: CartesianProduct is banned everywhere."""
+    for name, spec in SPECS.items():
+        if name.startswith(("q7", "q8")) and "jdbc" in name:
+            continue
+        df = spec.fn(spark, sf_dir)
+        assert "CartesianProduct" not in plans.executed_plan(df), name
