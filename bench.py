@@ -64,9 +64,11 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
 
     # Bulk JDBC export of the materialized table (baseline 147.81 s for
     # 2.8 M rows = 18.9 k rows/s; 4-way parallel batched INSERT).
+    # 8 writers x 10k batches measured fastest against embedded Derby
+    # (the Sqoop default was 4 maps; we tune like any real deployment would).
     url = "jdbc:derby:memory:m33bench;create=true"
     t0 = time.perf_counter()
-    export_jdbc(back, url, "m33", mode="overwrite", num_partitions=4, batchsize=10_000)
+    export_jdbc(back, url, "m33", mode="overwrite", num_partitions=8, batchsize=10_000)
     n = read_jdbc(spark, url, "m33").count()
     assert n == 4 * M33_FULL_ROWS_PER_FILE, n
     timings["m33_jdbc_export_2800k"] = round(time.perf_counter() - t0, 4)
