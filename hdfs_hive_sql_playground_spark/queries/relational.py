@@ -30,12 +30,6 @@ from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.tables import load
 
 
-def _dec(col, scale: int = 2):
-    """Exact-money cast: sums of DECIMAL match bit-for-bit across engines,
-    unlike double sums whose value depends on addition order."""
-    return col.cast(f"decimal(18,{scale})")
-
-
 def _cents(name: str):
     """Exact integer cents of a 2-decimal money column.
 

@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces: the
+dialect rewriter must preserve SQL outside its rewrite targets, and the
+oracle canonicalizer must render numerically-equal decimals identically."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdfs_hive_sql_playground_spark import dialect
+from hdfs_hive_sql_playground_spark.oracle import _canon_cell
+
+idents = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+).filter(lambda s: s not in ("field", "top", "select"))
+
+
+@given(idents, st.lists(idents, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_field_rewrite_always_balances_parens(x, vals):
+    args = ", ".join([x] + [f"'{v}'" for v in vals])
+    sql = f"SELECT field({args}) FROM t"
+    out = dialect.rewrite(sql)
+    assert out.count("(") == out.count(")")
+    assert "array_position" in out and "field(" not in out
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz '()_,=<>*.0123456789", max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_rewrite_is_identity_without_targets(sql):
+    """SQL containing none of the rewrite targets passes through verbatim."""
+    lowered = sql.lower()
+    if "field" in lowered or "input__file__name" in lowered or "top" in lowered:
+        return
+    assert dialect.rewrite(sql) == sql
+
+
+@given(
+    st.decimals(
+        min_value=-(10**12), max_value=10**12, allow_nan=False, allow_infinity=False, places=6
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_decimal_canonicalization_scale_invariant(d, extra_zeros):
+    """Decimal('910.00') and Decimal('910') and Decimal('9.1E+2') must all
+    render identically (this exact asymmetry caused round-1 FAILs)."""
+    widened = d.quantize(decimal.Decimal(1).scaleb(-(abs(d.as_tuple().exponent) + extra_zeros)))
+    assert _canon_cell(d) == _canon_cell(widened) == _canon_cell(d.normalize())
+    assert "E" not in _canon_cell(d.normalize()).upper()
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_float_canonicalization_roundtrips(f):
+    assert float(_canon_cell(f)) == f
