@@ -51,12 +51,14 @@ def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       date_trunc('hour', ts) AS window_start,
       event_type,
       COUNT(*) AS n,
-      ROUND(AVG(value), 6) AS avg_value,
+      ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / (COUNT(*) * 100.0), 6) AS avg_value,
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1, 2
     """,
-    doc="Tumbling 1-hour window aggregation (batch dual of streaming window(ts, '1 hour')).",
+    doc="Tumbling 1-hour window aggregation (batch dual of streaming window(ts, '1 hour')). "
+    "avg over exact integer cents: ROUND(AVG(double)) flipped a 6th decimal at sf0.1.",
     bench=True,
 )
 def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +70,11 @@ def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).cast("double")
+                / (F.count(F.lit(1)) * 100.0),
+                6,
+            ).alias("avg_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
     )
