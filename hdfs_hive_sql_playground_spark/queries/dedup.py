@@ -175,6 +175,7 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_ngram_jaccard_pairs",
+    bench=True,
     oracle="""
     WITH words AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') w

@@ -97,6 +97,7 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "q95_multimodal_features",
+    bench=True,
     oracle=f"""
     SELECT
       doc_id,

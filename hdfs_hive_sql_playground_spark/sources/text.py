@@ -67,6 +67,20 @@ def read_text_files(
     )
 
 
+def discover_partitions(base_dir: str) -> dict[str, str]:
+    """MSCK REPAIR analog for the native path: every immediate
+    subdirectory of ``base_dir`` becomes a partition (value = dir name).
+    Driver-side directory listing only — same metadata cost as Hive's
+    partition discovery."""
+    import os
+
+    return {
+        d: os.path.join(base_dir, d)
+        for d in sorted(os.listdir(base_dir))
+        if os.path.isdir(os.path.join(base_dir, d))
+    }
+
+
 def external_text_table(
     spark: SparkSession,
     partitions: dict[str, str],
