@@ -1024,3 +1024,141 @@ def q32_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, F.col("o_custkey"))
         .sortWithinPartitions("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q17_full_outer_join",
+    oracle="""
+    SELECT
+      COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+      CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+      CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+    doc="FULL OUTER join with COALESCE'd key recovery + asymmetric counts "
+    "(Hive full outer join).",
+)
+def q17_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q24_range_frame_window",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS orders_last_30d
+    FROM orders
+    """,
+    doc="RANGE BETWEEN window frame over a day-number key: trailing-30-day "
+    "order counts (Hive RANGE frames; value-based, not row-based). Day "
+    "number via calendar datediff — timezone-free on NTZ timestamps.",
+)
+def q24_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", day.alias("order_day"))
+        .withColumn("orders_last_30d", F.count(F.lit(1)).over(w))
+    )
+
+
+@register(
+    "q48_date_arithmetic",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      CAST(date_diff('month', o_orderdate, TIMESTAMP '1999-01-01') AS INTEGER) AS months_to_99,
+      CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) * 86400
+           + extract(hour FROM o_orderdate) * 3600
+           + extract(minute FROM o_orderdate) * 60
+           + extract(second FROM o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    doc="Date arithmetic family: interval add, datediff, date_trunc, month "
+    "difference, epoch seconds (Hive date functions). Epoch is computed from "
+    "calendar parts (day number + time-of-day), which is timezone-free on "
+    "NTZ timestamps — unix_timestamp() would silently depend on session tz.",
+)
+def q48_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        (
+            (F.lit(1999) - F.year("o_orderdate")) * 12 - F.month("o_orderdate") + 1
+        )
+        .cast("int")
+        .alias("months_to_99"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint")
+            * 86400
+            + F.hour("o_orderdate") * 3600
+            + F.minute("o_orderdate") * 60
+            + F.second("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("epoch_s"),
+    )
+
+
+@register(
+    "q49_string_padding",
+    oracle="""
+    SELECT
+      p_partkey,
+      lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+      rpad(p_brand, 12, '.') AS padded_brand,
+      CAST(length(translate(p_type, 'aeiou', '')) AS INTEGER) AS consonant_len,
+      repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars,
+      concat_ws('|', p_brand, p_type) AS joined
+    FROM part
+    """,
+    doc="String padding/translate/repeat family (Hive lpad/rpad/translate/"
+    "repeat/concat_ws).",
+)
+def q49_string_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("padded_brand"),
+        F.length(F.translate(F.col("p_type"), "aeiou", "")).cast("int").alias("consonant_len"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("joined"),
+    )
