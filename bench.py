@@ -19,8 +19,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-M33_FULL_DIR = os.path.join(REPO, ".bench_data", "m33_full")
-M33_FULL_ROWS_PER_FILE = 700_000  # 4 files -> 2.8 M rows, the reference scale
+# SPARK_GRAFT_M33_SCALE=10 benches a 28 M-row variant (scale-trend check);
+# default 1 is the reference's exact 2.8 M-row workload.
+M33_SCALE = int(os.environ.get("SPARK_GRAFT_M33_SCALE", "1"))
+M33_FULL_DIR = os.path.join(REPO, ".bench_data", f"m33_full_x{M33_SCALE}")
+M33_FULL_ROWS_PER_FILE = 700_000 * M33_SCALE  # 4 files -> 2.8 M rows at x1
 
 
 def _ensure_m33_full() -> None:

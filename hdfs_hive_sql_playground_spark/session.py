@@ -84,3 +84,46 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def cluster_conf(
+    data_tb: float,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """Derive the scale-dependent knobs for a real cluster run.
+
+    Sizing rules (the ones local[32] can't exercise but the plans assume):
+
+    - ``shuffle.partitions``: data / target-partition-size, floored at 2×
+      total cores so every core has work through stragglers. AQE coalesces
+      down from this cap at runtime, so erring high is cheap.
+    - ``files.maxPartitionBytes``: the scan-side analog — keeps each input
+      split ≈ one task's worth.
+    - Executor memory is a caller decision; partitions are sized so a
+      partition (~256 MB compressed, a few GB decoded) fits comfortably in
+      one task's share of the executor heap.
+
+    Usage::
+
+        conf = cluster_conf(data_tb=100)
+        spark = get_spark(master="yarn", shuffle_partitions=None, conf=conf)
+    """
+    total_cores = executors * cores_per_executor
+    data_mb = int(data_tb * 1024 * 1024)
+    by_size = data_mb // target_partition_mb
+    shuffle_partitions = max(by_size, 2 * total_cores)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        # AQE trims the high partition cap back to real sizes at runtime.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+    }

@@ -23,7 +23,6 @@ path testable against batch ground truth on a static directory.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 

@@ -76,8 +76,6 @@ def test_jdbc_ddl_side_channel(spark):
 
 
 def test_engine_ingest(spark, tmp_path):
-    import os
-
     eng = Engine()
     eng._spark = spark
     src = tmp_path / "src" / "part=a"

@@ -56,3 +56,15 @@ def test_decimal_canonicalization_scale_invariant(d, extra_zeros):
 @settings(max_examples=200, deadline=None)
 def test_float_canonicalization_roundtrips(f):
     assert float(_canon_cell(f)) == f
+
+
+def test_cluster_conf_sizing():
+    from hdfs_hive_sql_playground_spark.session import cluster_conf
+
+    c = cluster_conf(data_tb=100)
+    # 100 TB / 256 MB ≈ 400k partitions, well above the 8k core floor
+    assert int(c["spark.sql.shuffle.partitions"]) == (100 * 1024 * 1024) // 256
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    # tiny data floors at 2x total cores
+    small = cluster_conf(data_tb=0.001, executors=10, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
