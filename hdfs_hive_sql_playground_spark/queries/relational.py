@@ -1162,3 +1162,51 @@ def q49_string_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
         F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("joined"),
     )
+
+
+@register(
+    "q18_join_hints",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey < 3
+    """,
+    doc="Join strategy hints (Hive MAPJOIN analog): BROADCAST hint on the dim "
+    "side pins the plan regardless of statistics; results identical to the "
+    "unhinted oracle.",
+)
+def q18_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3).hint("broadcast")
+    return s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name", "n_name")
+
+
+@register(
+    "q33_set_ops_all",
+    oracle="""
+    SELECT tag, v FROM (
+      SELECT 'inter' AS tag, v FROM (
+        SELECT l_suppkey AS v FROM lineitem WHERE l_orderkey < 2000
+        INTERSECT ALL
+        SELECT l_suppkey AS v FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+      )
+      UNION ALL
+      SELECT 'exc' AS tag, v FROM (
+        SELECT l_suppkey AS v FROM lineitem WHERE l_orderkey < 2000
+        EXCEPT ALL
+        SELECT l_suppkey AS v FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+      )
+    )
+    """,
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving set ops — "
+    "Hive 3 supports only DISTINCT variants; Spark adds the ALL forms).",
+)
+def q33_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 2000).select(F.col("l_suppkey").alias("v"))
+    b = li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 3000)).select(
+        F.col("l_suppkey").alias("v")
+    )
+    inter = a.intersectAll(b).select(F.lit("inter").alias("tag"), "v")
+    exc = a.exceptAll(b).select(F.lit("exc").alias("tag"), "v")
+    return inter.unionByName(exc)
