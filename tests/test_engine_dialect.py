@@ -94,3 +94,13 @@ def test_input_file_name_rewrite():
     assert "input_file_name()" in out and "INPUT__FILE__NAME" not in out
     # untouched inside string literals
     assert dialect.rewrite("SELECT 'INPUT__FILE__NAME' FROM t") == "SELECT 'INPUT__FILE__NAME' FROM t"
+
+
+def test_ctas_parquet_roundtrip(spark):
+    from hdfs_hive_sql_playground_spark.m33 import m33_schem
+    from hdfs_hive_sql_playground_spark.sinks import ctas_parquet
+
+    path = ctas_parquet(m33_schem(spark), "m33_parquet_test")
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert dict(back.dtypes)["wavelength"] == "double"
