@@ -60,6 +60,12 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
         spark, "m33_bench", "age_mil bigint, wavelength double, flam double, is_peculiar int"
     )
 
+    if M33_SCALE != 1:
+        # Scale-trend mode: only the scan/transform/materialize path — the
+        # JDBC bench targets in-memory Derby, which can't hold 10x rows.
+        timings[f"m33_rows_x{M33_SCALE}"] = float(4 * M33_FULL_ROWS_PER_FILE)
+        return
+
     # Warehouse-table fetch (baseline 0.339 s).
     t0 = time.perf_counter()
     assert len(back.limit(100).collect()) == 100
