@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 def all_queries() -> dict[str, QuerySpec]:
     # Import for side effects: each module registers its queries.
     from hdfs_hive_sql_playground_spark.queries import (  # noqa: F401
+        advanced_sql,
         dedup,
         events,
         formats,

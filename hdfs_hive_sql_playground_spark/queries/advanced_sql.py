@@ -1,0 +1,336 @@
+"""Advanced Tier-B Hive-SQL surface: CTEs, correlated/decorrelated subquery
+shapes, PIVOT/UNPIVOT, null-treatment windows, distribution windows, hash and
+map/bitwise scalar families, VALUES inline tables, and Hive script TRANSFORM.
+
+Reference basis: the pass-through HiveQL surface reachable via
+``exec-hive-query`` (reference ``playground.py:745-750``) — Hive 3.1.2
+supports every construct here, so parity requires them even though the
+reference's own scripts never exercise them (SURVEY.md §2 Tier B).
+
+Scale notes (100 TB design point):
+- q17/q18/q54 decorrelate to joins/semi-joins by Catalyst — no per-row
+  subquery execution; the aggregates are partial+final.
+- Window queries partition on bounded keys (priority, custkey) — state per
+  partition is small; nothing accumulates unbounded history.
+- TRANSFORM forks one process per task, not per row; the pipe is buffered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_hive_sql_playground_spark.queries import register
+from hdfs_hive_sql_playground_spark.tables import load
+
+_CENTS_SQL = "CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents(name: str):
+    return (F.col(name).cast("decimal(18,2)") * 100).cast("long")
+
+
+@register(
+    "q17_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13-style customer order-count distribution: left outer join "
+    "with an extra join-side predicate, then a two-level aggregation. The "
+    "outer agg re-groups a tiny domain (distinct counts), so the second "
+    "shuffle is negligible at any scale.",
+)
+def q17_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_top_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, {_CENTS_SQL.format(col='o.o_totalprice')} AS totalprice_c,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18-style large-volume orders: IN-subquery with HAVING over an "
+    "aggregate, decorrelated by Catalyst into a semi-join; quantities summed "
+    "as exact BIGINT. The semi-join side reuses the lineitem shuffle "
+    "partitioning on l_orderkey.",
+)
+def q18_top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            _cents("o_totalprice").alias("totalprice_c"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q24_percent_rank_cume_dist",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY {_CENTS_SQL.format(col='o_totalprice')})
+    """,
+    doc="Distribution window functions (percent_rank, cume_dist). Ordering key "
+    "is exact integer cents so tie groups are engine-identical; both outputs "
+    "are ratios of exact ints so the doubles match bit-for-bit.",
+)
+def q24_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(_cents("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q25_ignore_nulls_window",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER wf AS first_closed,
+           lag(nullif(o_orderstatus, 'O'), 1 IGNORE NULLS) OVER wl AS prev_closed
+    FROM orders
+    WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    doc="IGNORE NULLS null-treatment in window functions (first_value / lag "
+    "over a sparse column) — Hive/Spark NULL-treatment clause; deterministic "
+    "because o_orderkey is unique within each partition.",
+)
+def q25_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_inw_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               first_value(nullif(o_orderstatus, 'O')) IGNORE NULLS OVER wf AS first_closed,
+               lag(nullif(o_orderstatus, 'O'), 1) IGNORE NULLS OVER wl AS prev_closed
+        FROM _inw_orders
+        WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wl AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        """
+    )
+
+
+@register(
+    "q33_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long → wide): DataFrame pivot with an explicit value list so "
+    "no extra distinct-values job runs; missing cells coalesced to 0. At "
+    "scale the explicit value list keeps this a single-pass aggregation.",
+)
+def q33_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.select("o_orderpriority", "o_orderstatus")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    z = F.lit(0).cast("long")
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), z).alias("n_f"),
+        F.coalesce(F.col("O"), z).alias("n_o"),
+        F.coalesce(F.col("P"), z).alias("n_p"),
+    )
+
+
+@register(
+    "q34_unpivot_stack",
+    oracle=f"""
+    SELECT o_orderkey, 'totalprice_c' AS metric, {_CENTS_SQL.format(col='o_totalprice')} AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, o_custkey AS val FROM orders
+    """,
+    doc="UNPIVOT (wide → long) via the Hive stack() UDTF — one generator "
+    "expression, no self-union, so the source is scanned once.",
+)
+def q34_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice_c', CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),"
+            " 'custkey', o_custkey)"
+        ).alias("metric", "val"),
+    )
+
+
+@register(
+    "q48_hash_funcs",
+    oracle="""
+    SELECT p_partkey, md5(p_name) AS md5_hex, sha256(p_name) AS sha256_hex
+    FROM part
+    """,
+    doc="Cryptographic digest scalar functions (md5, sha2-256) — Hive "
+    "md5()/sha2() analogs; both engines emit lowercase hex.",
+)
+def q48_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("md5_hex"),
+        F.sha2("p_name", 256).alias("sha256_hex"),
+    )
+
+
+@register(
+    "q49_map_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size AS size_from_map,
+           p_brand AS brand_from_map,
+           p_size & 7 AS size_and,
+           xor(p_size, 21) AS size_xor,
+           p_size << 2 AS size_shl
+    FROM part
+    """,
+    doc="str_to_map construction + key access (Hive str_to_map) and the "
+    "bitwise operator family (&, ^, shiftleft). The oracle computes the "
+    "map-roundtrip values directly — the Spark side must reproduce them "
+    "through an actual MapType column.",
+)
+def q49_map_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    m = F.expr("str_to_map(concat('size:', p_size, ',brand:', p_brand), ',', ':')")
+    return p.select(
+        "p_partkey",
+        m.getItem("size").cast("int").alias("size_from_map"),
+        m.getItem("brand").alias("brand_from_map"),
+        F.expr("p_size & 7").alias("size_and"),
+        F.expr("p_size ^ 21").alias("size_xor"),
+        F.shiftleft("p_size", 2).alias("size_shl"),
+    )
+
+
+@register(
+    "q54_cte_multi_ref",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM({_CENTS_SQL.format(col='l_extendedprice')}) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev_c
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_c = (SELECT MAX(rev_c) FROM rev)
+    """,
+    doc="TPC-H Q15-style CTE referenced twice (join input + scalar-subquery "
+    "MAX). Exact integer cents make the argmax row set engine-independent. "
+    "Catalyst either reuses the aggregated subplan (ReusedExchange) or "
+    "recomputes the cheap branch — both scale-safe since rev is "
+    "one-row-per-supplier.",
+)
+def q54_cte_multi_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_cte_lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("_cte_supplier")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+          FROM _cte_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, rev.rev_c
+        FROM _cte_supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        WHERE rev.rev_c = (SELECT MAX(rev_c) FROM rev)
+        """
+    )
+
+
+@register(
+    "q57_script_transform",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS pk, p_brand AS brand
+    FROM part
+    """,
+    doc="Hive script TRANSFORM ... USING (streaming rows through an external "
+    "process, here 'cat') — Spark's no-serde script transform, one process "
+    "per task with a buffered pipe, not per row. Output columns are STRING "
+    "per Hive TRANSFORM semantics.",
+)
+def q57_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("_tr_part")
+    return spark.sql(
+        "SELECT TRANSFORM(p_partkey, p_brand) USING 'cat' AS (pk STRING, brand STRING) FROM _tr_part"
+    )
+
+
+@register(
+    "q59_values_inline",
+    oracle="""
+    SELECT v.code, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o JOIN (VALUES ('F'), ('P')) AS v(code) ON o.o_orderstatus = v.code
+    GROUP BY v.code
+    """,
+    doc="VALUES inline table joined against a fact table — Hive inline-table "
+    "surface; Spark plans it as a LocalRelation broadcast (no shuffle of the "
+    "fact side beyond the aggregation).",
+)
+def q59_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_vi_orders")
+    return spark.sql(
+        """
+        SELECT v.code, COUNT(*) AS n
+        FROM _vi_orders o JOIN (VALUES ('F'), ('P')) AS v(code) ON o.o_orderstatus = v.code
+        GROUP BY v.code
+        """
+    )

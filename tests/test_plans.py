@@ -47,3 +47,15 @@ def test_no_collect_style_plans(spark, sf_dir):
             continue
         df = spec.fn(spark, sf_dir)
         assert "CartesianProduct" not in plans.executed_plan(df), name
+
+
+def test_q18_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    df = SPECS["q18_top_volume_orders"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "LeftSemi" in p  # IN + HAVING became a semi-join, not a per-row subquery
+    plans.assert_no_cartesian(df)
+
+
+def test_q17_left_join_distribution_no_cartesian(spark, sf_dir):
+    df = SPECS["q17_custdist"].fn(spark, sf_dir)
+    plans.assert_no_cartesian(df)
