@@ -12,7 +12,11 @@ handling. Three operators:
   streaming dual of q62_sessionize; same 30-min gap semantics),
 - ``running_user_totals`` — custom stateful operator via
   ``applyInPandasWithState`` (GroupState + timeout), the extension point
-  for operators Spark lacks natively.
+  for operators Spark lacks natively,
+- ``dedup_events`` — watermark-bounded streaming exact dedup
+  (``dropDuplicatesWithinWatermark``), the streaming dual of q80,
+- ``export_stream_jdbc`` — continuous JDBC export via ``foreachBatch``
+  over the same batched-INSERT path as the batch Sqoop-analog sink (A19).
 
 Scale notes: all three shuffle once on their grouping key per microbatch;
 state store size is bounded by the watermark (windows/sessions older than
@@ -92,6 +96,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_events(events: DataFrame, *keys: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    row per key while holding only watermark-bounded state — the streaming
+    dual of the batch exact-dedup operator (q80). Unlike plain
+    ``dropDuplicates`` on a stream (whose state grows forever), rows older
+    than the watermark are evicted, so state is O(keys per watermark
+    window) regardless of total stream length — the 100 TB/day property."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        list(keys) or ["event_id"]
+    )
+
+
+def export_stream_jdbc(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    num_partitions: int = 4,
+    batchsize: int = 1000,
+):
+    """Continuous JDBC export: the streaming version of the Sqoop bulk
+    export (A19) — each microbatch lands via the same parallel batched
+    ``df.write.jdbc`` path (:func:`..sources.jdbc.export_jdbc`), with
+    exactly-once bookkeeping from the checkpointed batch id. Returns the
+    started StreamingQuery (caller awaits/stops)."""
+    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        export_jdbc(
+            batch_df, url, table, num_partitions=num_partitions, batchsize=batchsize
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -79,3 +79,48 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
+    # Source with every event duplicated: two copies of the same files.
+    dup_dir = str(tmp_path / "events_dup")
+    ev = spark.read.parquet(events_dir)
+    ev.union(ev).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    sink = streaming.run_to_memory(
+        streaming.dedup_events(streaming.stream_events(spark, dup_dir), "event_id"),
+        "t_dedup",
+        output_mode="append",
+    )
+    assert sink.count() == ev.select("event_id").distinct().count()
+
+
+def test_streaming_jdbc_export_foreachbatch(spark, sf_dir, events_dir, tmp_path):
+    from hdfs_hive_sql_playground_spark.sources.jdbc import jdbc_ddl, read_jdbc
+
+    url = "jdbc:derby:memory:streamexp;create=true"
+    jdbc_ddl(
+        spark,
+        url,
+        "CREATE TABLE win_counts (window_start TIMESTAMP, event_type VARCHAR(32), n BIGINT)",
+    )
+    q = streaming.export_stream_jdbc(
+        streaming.windowed_counts(streaming.stream_events(spark, events_dir)),
+        url,
+        "win_counts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    exported = read_jdbc(spark, url, "win_counts")
+    # Append-mode aggregation only emits FINALIZED windows: those whose end
+    # is at or before the final watermark (max event ts - 1 h). The last
+    # windows stay open when a bounded drain ends — correct exactly-once
+    # semantics for an INSERT-only sink, not data loss.
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    want = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .count()
+        .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        .count()
+    )
+    assert exported.count() == want
