@@ -86,6 +86,21 @@ def main() -> int:
     assert any("Statistics" in str(r) for r in stats)
     eng.exec_sql("MSCK REPAIR TABLE spark_catalog.default.m33_raw")
     print(f"dml checks passed (insert -> {n_after} rows, stats collected, msck ok)")
+
+    # Hive storage-format round trips (Tier B 'File formats' row): the same
+    # CTAS against the classic Hive serdes. Verified value-level against the
+    # TEXTFILE m33 table (count + an exact integer aggregate).
+    want_chk = eng.exec_sql(
+        "SELECT COUNT(*) AS n, SUM(age_mil * is_peculiar) AS chk FROM m33"
+    ).collect()[0]
+    for fmt in ("SEQUENCEFILE", "RCFILE", "AVRO"):
+        eng.exec_sql(f"DROP TABLE IF EXISTS m33_{fmt.lower()}")
+        eng.exec_sql(f"CREATE TABLE m33_{fmt.lower()} STORED AS {fmt} AS SELECT * FROM m33")
+        got = eng.exec_sql(
+            f"SELECT COUNT(*) AS n, SUM(age_mil * is_peculiar) AS chk FROM m33_{fmt.lower()}"
+        ).collect()[0]
+        assert (got.n, got.chk) == (want_chk.n, want_chk.chk), (fmt, got, want_chk)
+    print("hive format roundtrips passed: sequencefile, rcfile, avro")
     print(f"rows raw={n_raw} view={n_view} table={n_tbl} top={len(top)} groups={sorted(groups.items())}")
 
     ok = (

@@ -4,9 +4,11 @@ shuffle-free co-located joins.
 
 The reference supports TEXTFILE/ORC/SEQUENCEFILE SerDes via Hive (and its
 author documented that Sqoop could never export ORC — ``README.md:191-193``);
-here each format is a first-class read/write pair. Avro needs the external
-``spark-avro`` module which this environment doesn't ship, so it is
-exercised opportunistically (skipped cleanly when absent).
+here each format is a first-class read/write pair. The classic Hive-serde
+formats (SEQUENCEFILE, RCFILE, AVRO) round-trip through Hive CTAS in
+``examples/run_hive_pipeline.py`` (native ``spark-avro`` isn't shipped in
+this environment, so the native Avro reader is exercised opportunistically
+and skipped cleanly when absent).
 
 Bucketing is the 100 TB co-location strategy the reference never had:
 ``bucketBy(k, key)`` tables join WITHOUT a shuffle on either side — the
