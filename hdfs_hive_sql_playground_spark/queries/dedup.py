@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.tables import load
@@ -109,12 +110,25 @@ JACCARD_MIN = 0.02  # tuned to the synthetic corpus; 0.8 in production
     "q81_minhash_lsh_neardup",
     oracle=None,
     doc="MinHash-LSH near-duplicate pairs: shingle→k minhashes→band bucket "
-    "join→exact-Jaccard verification of candidates only. No all-pairs stage; "
-    "every join is key-equi. Rows-only check (xxhash64 not in DuckDB); the "
-    "exact-Jaccard dual q82 is the oracle-checked twin.",
+    "join→exact-Jaccard verification of candidates only (over 64-bit shingle "
+    "hashes; the shingle relation is persisted so documents is scanned once, "
+    "not 6×). No all-pairs stage; every join is key-equi. Rows-only check "
+    "(xxhash64 not in DuckDB); the exact-Jaccard dual q82 is the "
+    "oracle-checked twin.",
 )
 def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.xxhash64("shingle"))
+    # Hashed shingle relation (doc_id, h): persisted because FOUR branches
+    # consume it (minhash, sizes, and both sides of the verification join)
+    # and exchange reuse cannot kick in across their differing projections —
+    # without this, documents is scanned and re-shingled 6×. Everything
+    # downstream of here shuffles 8-byte hashes, never shingle strings.
+    # At 100 TB the persist becomes a checkpoint to parquet; the relation is
+    # ~shingles-per-doc × 16 B, not the corpus text.
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     seeds = F.broadcast(
         spark.createDataFrame(_SEEDS, "band int, a bigint, b bigint")
     )
@@ -133,6 +147,7 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band")
         .agg(F.min("v").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # self-joined below: k rows/doc, tiny
     )
     # bucket join: docs sharing any (band, sig) are candidates
     a, b = minh.alias("a"), minh.alias("b")
@@ -146,12 +161,13 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sh_a = _doc_shingles(spark, sf_dir)
-    sizes = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Exact-Jaccard verification restricted to candidates, computed over the
+    # 64-bit shingle hashes (collision odds ~n²/2⁶⁴ — negligible): the
+    # intersection join shuffles longs, not shingle strings.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(sh_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh_a.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
