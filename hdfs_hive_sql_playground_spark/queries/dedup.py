@@ -309,3 +309,86 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << (31 - j))).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return bits.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# q87 near-dup connected components (iterative label propagation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_neardup_components",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') w
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM words WHERE len(w) >= 3
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+    doc="Near-duplicate clustering: connected components over the "
+    "share-a-shingle graph via iterative min-label propagation — the "
+    "dedup-group assignment step that follows pair generation. Each "
+    "iteration is ONE shuffle on doc_id; the driver loop only checks a "
+    "scalar convergence count (no row data ever reaches the driver), and "
+    "iteration count is O(graph diameter). The DuckDB oracle computes the "
+    "same components with a recursive CTE — feasible at oracle scale, "
+    "which is exactly why the Spark side must NOT use transitive closure "
+    "(quadratic blowup at 100 TB) and uses label propagation instead.",
+)
+def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir, max_doc=100).persist(StorageLevel.MEMORY_AND_DISK)
+    a = sh.withColumnRenamed("doc_id", "u")
+    b = sh.withColumnRenamed("doc_id", "v")
+    # Undirected edge list, both orientations (u≠v): docs sharing a shingle.
+    edges = (
+        a.join(b, (a.shingle == b.shingle) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(50):
+        neigh = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        relabeled = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nlabel") < F.col("label")).alias("chg"),
+            )
+        )
+        # One scalar to the driver per iteration: the convergence check.
+        changed = relabeled.agg(F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0
+        # localCheckpoint truncates the per-iteration lineage so plan size
+        # stays constant across iterations.
+        labels = relabeled.select("doc_id", "label").localCheckpoint()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 50 iterations")
+    return labels.select("doc_id", F.col("label").alias("component"))
