@@ -203,3 +203,62 @@ def q93_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     md = d.select("doc_id", F.md5(F.concat_ws(" ", words)).alias("content_md5"))
     return md.join(fp, "doc_id").select("doc_id", "content_md5", "positional_fp")
+
+
+# ---------------------------------------------------------------------------
+# q88 TF-IDF top terms (exact integer scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks)
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT t.doc_id, t.word, t.tf, d.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * nd.n * 1000) // d.df DESC, t.word
+             ) AS rnk
+      FROM tf t JOIN dfreq d USING (word) CROSS JOIN nd
+    )
+    WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document, scored in exact integer arithmetic "
+    "(tf·N·1000 div df) so ranking is engine-independent — no float idf "
+    "logs. Shape: token explode → (doc,word) agg → word-keyed df agg "
+    "(broadcast back) → per-doc top-k window. At 100 TB the df relation is "
+    "vocabulary-sized (small) and broadcastable; the only big shuffle is "
+    "the (doc_id, word) aggregation.",
+)
+def q88_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # N as a broadcast one-row relation keeps the whole operator lazy (no
+    # driver-side action while building the plan).
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.expr("(tf * n * 1000) DIV df").desc(), F.col("word")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "word", "tf", "df", F.col("rnk").cast("long").alias("rnk"))
+    )
