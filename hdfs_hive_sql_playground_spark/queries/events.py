@@ -188,3 +188,66 @@ def q64_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 as-of join (time-series point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_asof_join",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    best AS (
+      SELECT l.event_id, l.user_id, MAX(r.ts) AS asof_ts
+      FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+      GROUP BY 1, 2
+    ),
+    picked AS (
+      SELECT b.event_id, ROUND(MAX(r.value), 6) AS asof_value
+      FROM best b JOIN r ON r.user_id = b.user_id AND r.ts = b.asof_ts
+      GROUP BY 1
+    )
+    SELECT l.event_id, l.user_id, b.asof_ts, p.asof_value
+    FROM l
+    LEFT JOIN best b ON l.event_id = b.event_id
+    LEFT JOIN picked p ON l.event_id = p.event_id
+    """,
+    doc="As-of join: each click is matched to the latest purchase by the "
+    "same user at-or-before its timestamp. Spark has no ASOF JOIN operator, "
+    "so this is the union-window formulation: tag both sides, one window "
+    "over (user_id, ts) carrying the last non-null purchase forward — ONE "
+    "shuffle, O(n log n), instead of the quadratic range join the naive "
+    "inequality-join plan would produce (the oracle uses that naive "
+    "formulation, fine at oracle scale). Ties (purchase at the click's "
+    "exact ts) are included; equal-ts purchases resolve to max value.",
+)
+def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        is_p.alias("is_p"),
+        F.when(is_p == 1, F.col("ts")).alias("pts"),
+        F.when(is_p == 1, F.col("value")).alias("pval"),
+    )
+    # Purchases sort before clicks at the same ts (is_p desc) so an
+    # equal-ts purchase is inside the click's frame; among equal-ts
+    # purchases ascending pval makes the max the LAST non-null.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p").desc(), F.col("pval").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_ts", F.last("pts", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.round(F.last("pval", ignorenulls=True).over(w), 6))
+        .filter(F.col("is_p") == 0)
+        .select("event_id", "user_id", "asof_ts", "asof_value")
+    )
