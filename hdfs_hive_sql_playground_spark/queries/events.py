@@ -251,3 +251,100 @@ def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_p") == 0)
         .select("event_id", "user_id", "asof_ts", "asof_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 range join via time-bucketing (inequality join -> equi join)
+# ---------------------------------------------------------------------------
+
+RANGE_US = 5 * 60 * 1_000_000  # ±5 minutes
+
+
+@register(
+    "q66_range_join_bucketed",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    other AS (
+      SELECT user_id, ts FROM events WHERE event_type <> 'error'
+    )
+    SELECT e.event_id, e.user_id, CAST(COUNT(o.ts) AS BIGINT) AS n_nearby
+    FROM err e LEFT JOIN other o
+      ON e.user_id = o.user_id
+     AND o.ts >= e.ts - INTERVAL 5 MINUTE
+     AND o.ts <= e.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+    doc="Range join (events within ±5 min of each error, same user) done "
+    "scale-safe: both sides are bucketed to 5-minute bins and the error "
+    "side explodes to its 3 candidate bins, turning the inequality join "
+    "into an EQUI join on (user_id, bucket) + residual filter — shuffle "
+    "volume O(n·3), no per-user cross product. The oracle is the naive "
+    "inequality join (correct, but quadratic per user — exactly what this "
+    "plan avoids). Note Spark would otherwise plan inequality joins as "
+    "broadcast-nested-loop.",
+)
+def q66_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", us.alias("e_us"), (us / RANGE_US).cast("long").alias("b")
+    )
+    other = ev.filter(F.col("event_type") != "error").select(
+        "user_id", us.alias("o_us"), (us / RANGE_US).cast("long").alias("bucket")
+    )
+    cand = err.select(
+        "event_id",
+        "user_id",
+        "e_us",
+        F.explode(F.sequence(F.col("b") - 1, F.col("b") + 1)).alias("bucket"),
+    )
+    joined = cand.join(other, ["user_id", "bucket"]).filter(
+        (F.col("o_us") >= F.col("e_us") - RANGE_US)
+        & (F.col("o_us") <= F.col("e_us") + RANGE_US)
+    )
+    hits = joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+    # Left semantics: errors with zero nearby events still appear (n=0).
+    return (
+        err.select("event_id", "user_id")
+        .join(hits, "event_id", "left")
+        .select("event_id", "user_id", F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 multi-resolution rollup (hypertable continuous-aggregate analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q67_multires_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style multi-resolution rollup: minute-level partial "
+    "aggregates are re-aggregated to hours, hours to days — the continuous- "
+    "aggregate cascade (each level reads the previous level's partials, "
+    "never the raw events). Works because count/sum are re-aggregable; the "
+    "oracle aggregates raw→day directly and must agree exactly. At 100 TB "
+    "the minute level is the only scan of raw data; coarser levels are "
+    "~60× / ~1440× smaller.",
+)
+def q67_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_value_c"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sum_value_c").alias("sum_value_c"))
+    return hour.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sum_value_c").alias("sum_value_c"))
