@@ -459,7 +459,10 @@ def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     doc="Running aggregate with explicit ROWS frame + moving average (Hive window frames). "
-    "Exact cents arithmetic; moving avg over ≤3 exact ints is engine-independent.",
+    "Exact cents arithmetic; moving avg over ≤3 exact ints is engine-independent. "
+    "Scale note: per-customer history is naturally bounded; for unbounded keys at "
+    "100 TB, pre-bucket the partition key by date (as q67's rollup cascade does) so "
+    "window state stays executor-sized.",
 )
 def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -485,7 +488,9 @@ def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
     FROM events
     """,
-    doc="LEAD/LAG with deterministic ordering; gap in exact integer microseconds.",
+    doc="LEAD/LAG with deterministic ordering; gap in exact integer microseconds. "
+    "Scale note: partitions are per-user; an unbounded-history user would need "
+    "date-bucketed windows (see q67) to bound sort/state per partition.",
 )
 def q22_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
