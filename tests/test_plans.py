@@ -59,3 +59,19 @@ def test_q18_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
 def test_q17_left_join_distribution_no_cartesian(spark, sf_dir):
     df = SPECS["q17_custdist"].fn(spark, sf_dir)
     plans.assert_no_cartesian(df)
+
+
+def test_q65_asof_join_single_exchange_no_nested_loop(spark, sf_dir):
+    df = SPECS["q65_asof_join"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    # union-window formulation: ONE user_id shuffle, and crucially no
+    # BroadcastNestedLoopJoin (what a naive ts-inequality join would plan)
+    assert plans.count_exchanges(df) == 1
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q66_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    df = SPECS["q66_range_join_bucketed"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastNestedLoop" not in p
+    plans.assert_no_cartesian(df)
