@@ -334,3 +334,28 @@ def q59_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY v.code
         """
     )
+
+
+@register(
+    "q58_posexplode_lateral",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, w[i] AS word
+    FROM (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), UNNEST(range(1, len(w) + 1)) AS t(i)
+    """,
+    doc="LATERAL VIEW POSEXPLODE (position-preserving UDTF) — the Hive "
+    "generator that keeps element ordinals; one narrow generate stage, no "
+    "shuffle.",
+)
+def q58_posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_pe_documents")
+    return spark.sql(
+        """
+        SELECT doc_id, pos, word
+        FROM _pe_documents
+        LATERAL VIEW POSEXPLODE(split(lower(trim(text)), ' ')) t AS pos, word
+        WHERE doc_id < 50
+        """
+    )
