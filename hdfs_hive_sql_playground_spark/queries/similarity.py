@@ -248,3 +248,56 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_r6"), F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 int8 scalar quantization (vector compression for the ANN scale path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS e,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, mx,
+             list_transform(e, x -> CAST(floor(127.0 * x / nullif(mx, 0) + 0.5) AS BIGINT)) AS qv,
+             len(e) AS n_dims
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(floor(mx * 1000000) AS BIGINT) AS scale_e6
+    FROM q
+    """,
+    doc="Int8 scalar quantization of the embedding column (max-abs per-vector "
+    "scale): the compression step before a memory-resident ANN index — 4× "
+    "smaller than float32, 8× smaller than double. Pure column expressions "
+    "(transform/aggregate inside codegen, no UDF); rounding is "
+    "floor(x + 0.5) so both engines use the identical IEEE sequence, and "
+    "the check sums/extremes of the quantized vectors plus the scale are "
+    "compared exactly.",
+)
+def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dv = _dvec(F.col("embedding"))
+    mx = F.array_max(F.transform(dv, F.abs))
+    qv = F.transform(
+        dv, lambda x: F.floor(F.lit(127.0) * x / F.nullif(mx, F.lit(0.0)) + F.lit(0.5))
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda s, v: s + v).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.floor(mx * 1_000_000).cast("long").alias("scale_e6"),
+    )
