@@ -301,3 +301,91 @@ def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(qv).alias("q_max"),
         F.floor(mx * 1_000_000).cast("long").alias("scale_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 Arrow-vectorized brute-force top-k (pandas/numpy mapInPandas variant)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_ann_pandas_topk",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_sql_cos('q.qv', 'e.v')} AS cos
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k via Arrow-batched mapInPandas + numpy "
+    "matmul — the Python-side dual of q85 (same result set; ranks must "
+    "agree with the JVM fold and the oracle). Each Arrow batch computes a "
+    "dense (batch × queries) cosine matrix and emits only its per-batch "
+    "top-k per query, so the shuffle is O(partitions · queries · k) rows, "
+    "not the full score matrix; the final exact rank is a tiny window. The "
+    "query matrix is a closure constant (a serving-style query batch), "
+    "which is the one deliberate driver-side collect in the registry. "
+    "Cosine values themselves are not emitted: SIMD/pairwise summation "
+    "order differs from the sequential fold, so only the rank order (which "
+    "both agree on) is the contract.",
+)
+def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ qm.T  # (batch, queries) cosine matrix
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = s[:, j]
+                mask = ids != qids[j]
+                cand_ids, cand_cos = ids[mask], col[mask]
+                k = min(TOP_K, len(cand_ids))
+                if k == 0:
+                    continue
+                part = np.argpartition(-cand_cos, k - 1)[:k]
+                out_q.append(np.full(k, qids[j]))
+                out_n.append(cand_ids[part])
+                out_c.append(cand_cos[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int"))
+    )
