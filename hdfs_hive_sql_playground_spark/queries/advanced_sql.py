@@ -359,3 +359,29 @@ def q58_posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50
         """
     )
+
+
+@register(
+    "q35_hash_sample",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderpriority
+    """,
+    doc="Deterministic hash sampling — the reproducible TABLESAMPLE: keep "
+    "rows whose key hashes into a fixed bucket (first md5 nibble = '0' → "
+    "1/16 sample). Unlike TABLESAMPLE(PERCENT) this is stable across "
+    "engines, runs, and partitionings, which is what a 100 TB pipeline "
+    "needs for resumable sampled jobs; the predicate is a pure map-side "
+    "filter (no shuffle, no sort).",
+)
+def q35_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    return (
+        o.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum"))
+    )

@@ -310,6 +310,7 @@ def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_ann_pandas_topk",
+    bench=True,
     oracle=f"""
     WITH e AS ({_SQL_E}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
