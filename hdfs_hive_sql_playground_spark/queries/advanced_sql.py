@@ -385,3 +385,29 @@ def q35_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum"))
     )
+
+
+@register(
+    "q36_collect_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS n_collected,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive collection UDAFs (collect_set/collect_list): set-aggregated "
+    "values rendered through sort_array + array_join so the output is "
+    "order-canonical and engine-independent. Distinct-set state per group "
+    "is bounded by the value domain, not the row count — safe at any "
+    "scale for low-cardinality columns (for unbounded domains, use the "
+    "HLL sketch q06 instead).",
+)
+def q36_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count("o_orderstatus").alias("n_collected"),
+        F.countDistinct("o_orderstatus").alias("n_distinct"),
+    )
