@@ -262,3 +262,43 @@ def q88_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "word", "tf", "df", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 stratified quota sampling (training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_LANG = 25
+
+
+@register(
+    "q94_stratified_quota",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {QUOTA_PER_LANG}
+    """,
+    doc="Stratified quota sampling: at most N documents per language, chosen "
+    "by hash order (md5 of the key) so the 'random' subset is deterministic, "
+    "resumable, and identical on every engine/run — how a training-mix "
+    "rebalance (N docs per language/source) is done reproducibly at 100 TB. "
+    "One shuffle on the stratum key; per-stratum state is a counter.",
+)
+def q94_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+    )
