@@ -411,3 +411,74 @@ def q36_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("n_collected"),
         F.countDistinct("o_orderstatus").alias("n_distinct"),
     )
+
+
+@register(
+    "q37_global_sales_opportunity",
+    oracle=f"""
+    SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({_CENTS_SQL.format(col='c_acctbal')}) AS BIGINT) AS totacctbal_c
+    FROM (
+      SELECT substr(c_name, 10, 1) AS cntry, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ) t
+    GROUP BY cntry
+    """,
+    doc="TPC-H Q22-style: correlated NOT EXISTS (decorrelated to a "
+    "null-aware anti-join) + an uncorrelated scalar AVG subquery + "
+    "substring bucketing. The AVG comparison only selects rows (never "
+    "emitted), so float avg semantics can't affect the hash; emitted "
+    "money is exact cents.",
+)
+def q37_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_gso_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gso_orders")
+    return spark.sql(
+        """
+        SELECT cntry, COUNT(*) AS numcust,
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                 AS totacctbal_c
+        FROM (
+          SELECT substr(c_name, 10, 1) AS cntry, c_acctbal
+          FROM _gso_customer c
+          WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM _gso_customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (SELECT 1 FROM _gso_orders o WHERE o.o_custkey = c.c_custkey)
+        ) t
+        GROUP BY cntry
+        """
+    )
+
+
+@register(
+    "q38_nth_value_window",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           nth_value({_CENTS_SQL.format(col='o_totalprice')}, 2) OVER w AS second_price_c,
+           nth_value(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY {_CENTS_SQL.format(col='o_totalprice')} DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="nth_value window function over a deterministic (cents, key) "
+    "ordering — completes the FIRST/LAST/NTH value family.",
+)
+def q38_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(_cents("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nth_value(_cents("o_totalprice"), 2).over(w).alias("second_price_c"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
