@@ -75,3 +75,11 @@ def test_q66_range_join_is_equi_not_nested_loop(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "BroadcastNestedLoop" not in p
     plans.assert_no_cartesian(df)
+
+
+def test_q37_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    df = SPECS["q37_global_sales_opportunity"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Anti" in p  # NOT EXISTS became an anti-join, not a per-row subquery
+    assert "BroadcastNestedLoop" not in p or "Anti" in p
+    plans.assert_no_cartesian(df)
