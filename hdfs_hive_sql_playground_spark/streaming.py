@@ -139,6 +139,40 @@ def export_stream_jdbc(
     )
 
 
+def stream_stream_join(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream time-interval join: each click joined to
+    the same user's purchases in the preceding 5 minutes. Both sides carry
+    watermarks and the join condition bounds event-time distance, so the
+    state store holds only the watermark window per side — the conditions
+    Spark requires for stream-stream joins to be runnable at all (and the
+    reason they stay O(window), not O(stream), at 100 TB/day)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts - INTERVAL 5 MINUTES AND p_ts <= c_ts"
+        ),
+        "inner",
+    ).select("click_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value")
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -124,3 +124,30 @@ def test_streaming_jdbc_export_foreachbatch(spark, sf_dir, events_dir, tmp_path)
         .count()
     )
     assert exported.count() == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    sink = streaming.run_to_memory(
+        streaming.stream_stream_join(streaming.stream_events(spark, events_dir)),
+        "t_ss_join",
+        output_mode="append",
+    )
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value",
+    )
+    want = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("p_ts") <= F.col("c_ts")),
+        )
+        .count()
+    )
+    assert sink.count() == want
+    assert want > 0  # non-vacuous: the corpus must actually produce matches
