@@ -348,3 +348,33 @@ def q67_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour.groupBy(
         F.date_trunc("day", "hour").alias("day"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sum_value_c").alias("sum_value_c"))
+
+
+# ---------------------------------------------------------------------------
+# q68 keep-latest window dedup (the row_number()=1 idiom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_keep_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Keep-latest-row-per-key via ROW_NUMBER()=1 — the standard CDC/upsert "
+    "compaction idiom (one shuffle on the key; deterministic (ts, event_id) "
+    "tie-break). The streaming dual is dropDuplicatesWithinWatermark.",
+)
+def q68_keep_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
