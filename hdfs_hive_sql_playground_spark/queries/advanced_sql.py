@@ -482,3 +482,47 @@ def q38_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value(_cents("o_totalprice"), 2).over(w).alias("second_price_c"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "q39_null_ordering",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderdate END
+               AS maybe_date
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT o_orderkey, maybe_date, 'nulls_first' AS null_order FROM base
+      ORDER BY maybe_date ASC NULLS FIRST, o_orderkey LIMIT 25)
+    UNION ALL
+    SELECT * FROM (
+      SELECT o_orderkey, maybe_date, 'nulls_last' AS null_order FROM base
+      ORDER BY maybe_date ASC NULLS LAST, o_orderkey LIMIT 25)
+    """,
+    doc="Explicit NULLS FIRST / NULLS LAST ordering with a deterministic "
+    "unique-key tiebreak and LIMIT. Engines disagree on the default (Spark "
+    "ASC is nulls-first, DuckDB/ANSI nulls-last), so portable HiveQL must "
+    "spell it out; both branches compile to TakeOrderedAndProject — "
+    "per-partition top-k merged on the driver, never a global sort.",
+)
+def q39_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    maybe = (
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("date"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("maybe_date")
+    )
+    base = o.select("o_orderkey", maybe)
+    first = (
+        base.orderBy(F.col("maybe_date").asc_nulls_first(), "o_orderkey")
+        .limit(25)
+        .withColumn("null_order", F.lit("nulls_first"))
+    )
+    last = (
+        base.orderBy(F.col("maybe_date").asc_nulls_last(), "o_orderkey")
+        .limit(25)
+        .withColumn("null_order", F.lit("nulls_last"))
+    )
+    return first.unionAll(last)
