@@ -83,3 +83,12 @@ def test_q37_not_exists_decorrelates_to_anti_join(spark, sf_dir):
     assert "Anti" in p  # NOT EXISTS became an anti-join, not a per-row subquery
     assert "BroadcastNestedLoop" not in p or "Anti" in p
     plans.assert_no_cartesian(df)
+
+
+def test_q39_topk_not_global_sort(spark, sf_dir):
+    df = SPECS["q39_null_ordering"].fn(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    # Each ORDER BY ... LIMIT branch must plan as per-partition top-k
+    # (TakeOrderedAndProject), never a full-shuffle global Sort.
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert plans.count_exchanges(df) == 0
