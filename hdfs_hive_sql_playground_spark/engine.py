@@ -147,7 +147,12 @@ class Engine:
         if not hasattr(self, "_text_shims"):
             self._text_shims: dict[str, dict[str, Any]] = {}
 
-        m = self._CREATE_TEXT_RE.search(sql)
+        # Anchor every DDL pattern to the start of the trimmed statement:
+        # a non-DDL statement that merely CONTAINS a matching fragment
+        # (inside a string literal or comment) must not be intercepted.
+        sql = sql.strip()
+
+        m = self._CREATE_TEXT_RE.match(sql)
         if m:
             name, row_col, part_col, skip = m.group(1), m.group(2), m.group(3), int(m.group(4))
             if self._catalog_is_hive():
@@ -164,7 +169,7 @@ class Engine:
             self._refresh_text_shim(name)
             return self.spark.sql("SELECT 1 AS ok").limit(0)
 
-        m = self._ADD_PART_RE.search(sql)
+        m = self._ADD_PART_RE.match(sql)
         if m and m.group(1) in getattr(self, "_text_shims", {}):
             name, col, value, path = m.group(1), m.group(2), m.group(3), m.group(4)
             if self._catalog_is_hive():
@@ -181,9 +186,14 @@ class Engine:
             self._refresh_text_shim(name)
             return self.spark.sql("SELECT 1 AS ok").limit(0)
 
-        m = self._CREATE_VIEW_RE.search(sql)
+        m = self._CREATE_VIEW_RE.match(sql)
+        spans = dialect._scan_literal_spans(sql)
         if m and any(
-            re.search(rf"\b{t}\b", sql, re.IGNORECASE) for t in getattr(self, "_text_shims", {})
+            any(
+                not dialect._in_literal(mm.start(), spans)
+                for mm in re.finditer(rf"\b{t}\b", sql, re.IGNORECASE)
+            )
+            for t in getattr(self, "_text_shims", {})
         ):
             sql = self._CREATE_VIEW_RE.sub(
                 lambda mm: f"CREATE {mm.group(1) or ''}TEMPORARY VIEW {mm.group(2)}", sql, count=1
@@ -206,13 +216,19 @@ class Engine:
     def exec_file(self, path: str) -> list[DataFrame]:
         """``exec-hive-file`` analog: run each ;-terminated statement
         (``playground.py:738-743``). Full-line ``--`` comments are stripped
-        before splitting (a ';' inside a comment is not a separator)."""
+        before splitting, and the split is literal-aware: a ';' inside a
+        single-quoted string is part of the statement, not a separator."""
         with open(path) as f:
             lines = [ln for ln in f.read().splitlines() if not ln.lstrip().startswith("--")]
-        results = []
-        for stmt in [s.strip() for s in "\n".join(lines).split(";") if s.strip()]:
-            results.append(self.exec_sql(stmt))
-        return results
+        text = "\n".join(lines)
+        spans = dialect._scan_literal_spans(text)
+        stmts, start = [], 0
+        for i, ch in enumerate(text):
+            if ch == ";" and not dialect._in_literal(i, spans):
+                stmts.append(text[start:i])
+                start = i + 1
+        stmts.append(text[start:])
+        return [self.exec_sql(s.strip()) for s in stmts if s.strip()]
 
     def register_testdata(self, sf_dir: str) -> None:
         for name in TABLES:

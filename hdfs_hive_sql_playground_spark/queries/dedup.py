@@ -316,9 +316,12 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+MAX_SHINGLE_DF = 8  # shingles in more docs than this are stopword noise
+
+
 @register(
     "q87_neardup_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE words AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') w
       FROM documents WHERE doc_id < 100
@@ -329,9 +332,13 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
       FROM words WHERE len(w) >= 3
     ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
     edges AS (
       SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
     ),
     nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
     reach(src, dst) AS (
@@ -344,18 +351,33 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Near-duplicate clustering: connected components over the "
     "share-a-shingle graph via iterative min-label propagation — the "
-    "dedup-group assignment step that follows pair generation. Each "
-    "iteration is ONE shuffle on doc_id; the driver loop only checks a "
-    "scalar convergence count (no row data ever reaches the driver), and "
-    "iteration count is O(graph diameter). The DuckDB oracle computes the "
-    "same components with a recursive CTE — feasible at oracle scale, "
-    "which is exactly why the Spark side must NOT use transitive closure "
-    "(quadratic blowup at 100 TB) and uses label propagation instead.",
+    "dedup-group assignment step that follows pair generation. The edge "
+    "join is bounded per key: shingles shared by > MAX_SHINGLE_DF docs are "
+    "dropped first (a k-doc shingle emits k² edges, so one stopword-heavy "
+    "shingle at corpus scale is a quadratic hot key; capping document "
+    "frequency is the standard fix and loses only non-discriminative "
+    "edges). Each iteration is ONE shuffle on doc_id; the driver loop only "
+    "checks a scalar convergence count (no row data ever reaches the "
+    "driver), and iteration count is O(graph diameter). The DuckDB oracle "
+    "computes the same capped graph with a recursive CTE — feasible at "
+    "oracle scale, which is exactly why the Spark side must NOT use "
+    "transitive closure (quadratic blowup at 100 TB) and uses label "
+    "propagation instead.",
 )
 def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir, max_doc=100).persist(StorageLevel.MEMORY_AND_DISK)
-    a = sh.withColumnRenamed("doc_id", "u")
-    b = sh.withColumnRenamed("doc_id", "v")
+    # Cap shingle document frequency BEFORE the self-join: a shingle shared
+    # by k docs contributes k² edge candidates, so the join's per-key cost
+    # is now ≤ MAX_SHINGLE_DF² regardless of corpus size.
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shc = sh.join(rare, "shingle", "left_semi")
+    a = shc.withColumnRenamed("doc_id", "u")
+    b = shc.withColumnRenamed("doc_id", "v")
     # Undirected edge list, both orientations (u≠v): docs sharing a shingle.
     edges = (
         a.join(b, (a.shingle == b.shingle) & (F.col("u") != F.col("v")))

@@ -73,22 +73,39 @@ FEATURE_SCHEMA = (
 
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic byte-level 'decode': per-batch vectorized feature
-    extraction standing in for a codec. Pure function of the payload."""
+    extraction standing in for a codec. Pure function of the payload.
+
+    The whole batch's payloads are packed into ONE uint8 buffer with an
+    offset vector; every feature is then a numpy gather/prefix-sum over
+    that buffer — no per-row Python inside the batch loop."""
+    import numpy as np
+
     for pdf in batches:
         blobs = pdf["blob"]
-        n_bytes = blobs.str.len().astype("int64")
-        first = blobs.apply(lambda b: int(b[0]) if len(b) else -1).astype("int32")
-        last = blobs.apply(lambda b: int(b[-1]) if len(b) else -1).astype("int32")
-        checksum = blobs.apply(lambda b: int(sum(b[:CHECKSUM_PREFIX]))).astype("int64")
-        n_frames = -(-n_bytes // FRAME_BYTES)
-        last_len = n_bytes - (n_frames - 1) * FRAME_BYTES
+        nb = blobs.str.len().to_numpy(dtype="int64")
+        buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        ends = nb.cumsum()
+        starts = ends - nb
+        if len(buf):
+            first = np.where(nb > 0, buf[np.minimum(starts, len(buf) - 1)], -1)
+            last = np.where(nb > 0, buf[np.maximum(ends - 1, 0)], -1)
+            # prefix-sum trick: sum of bytes [start, start+min(nb, PREFIX))
+            csum = np.concatenate(([0], buf.astype(np.int64).cumsum()))
+            pref_end = starts + np.minimum(nb, CHECKSUM_PREFIX)
+            checksum = csum[pref_end] - csum[starts]
+        else:
+            first = np.full(len(nb), -1, dtype=np.int64)
+            last = np.full(len(nb), -1, dtype=np.int64)
+            checksum = np.zeros(len(nb), dtype=np.int64)
+        n_frames = -(-nb // FRAME_BYTES)
+        last_len = nb - (n_frames - 1) * FRAME_BYTES
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "first_byte": first,
-                "last_byte": last,
-                "checksum_prefix": checksum,
+                "n_bytes": nb,
+                "first_byte": first.astype("int32"),
+                "last_byte": last.astype("int32"),
+                "checksum_prefix": checksum.astype("int64"),
                 "n_frames": n_frames,
                 "last_frame_len": last_len,
             }

@@ -30,10 +30,13 @@ def salted_agg(
 
     ``aggs`` maps output column name → (merge_fn_name, partial_agg_column),
     e.g. ``{"n": ("sum", F.count(F.lit(1))), "mx": ("max", F.max("x"))}``.
-    The salt is deterministic (hash of all columns mod n_salts) so results
-    are reproducible; any uniform-ish salt works.
+    The salt is per-row and content-independent (row position mod n_salts):
+    fully identical rows — the common hot-key case of repeated null-key /
+    constant-payload rows — still spread across all n_salts partial groups,
+    which a content-hash salt cannot do. The salt never reaches the output,
+    so the merged result is reproducible regardless of salt assignment.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

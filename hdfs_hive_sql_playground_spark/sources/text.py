@@ -33,11 +33,46 @@ from pyspark.sql import functions as F
 ROW_COL = "row_str"
 FILE_COL = "input_file"
 
+# The wholetext header-skip path materializes each FILE as one row; a single
+# multi-GB file would OOM an executor. Refuse loudly instead (the caller
+# splits the file upstream or drops the header requirement) — same layout
+# constraint Hive's split-0-only header skip imposes, made explicit.
+MAX_WHOLETEXT_FILE_BYTES = 256 * 1024 * 1024
+
+
+def _check_wholetext_sizes(path: str, limit: int) -> None:
+    """Driver-side size guard for the wholetext path. Only local paths can
+    be stat'ed cheaply here; non-local URIs (hdfs://, s3a://) pass through —
+    the documented constraint still applies."""
+    import glob as _glob
+    import os
+
+    root = path[len("file:") :] if path.startswith("file:") else path
+    if not os.path.exists(root) and not _glob.glob(root):
+        return
+    candidates = [root] if os.path.isfile(root) else _glob.glob(root)
+    files: list[str] = []
+    for c in candidates:
+        if os.path.isdir(c):
+            for r, _, fs in os.walk(c):
+                files += [os.path.join(r, f) for f in fs]
+        elif os.path.isfile(c):
+            files.append(c)
+    for f in files:
+        size = os.path.getsize(f)
+        if size > limit:
+            raise ValueError(
+                f"header-skip text scan reads whole files into memory; {f!r} "
+                f"is {size} bytes (> {limit}). Split the file upstream or "
+                "read it without skip_header_lines."
+            )
+
 
 def read_text_files(
     spark: SparkSession,
     path: str,
     skip_header_lines: int = 0,
+    max_file_bytes: int = MAX_WHOLETEXT_FILE_BYTES,
 ) -> DataFrame:
     """One STRING row per line of every text file under ``path``, minus the
     first ``skip_header_lines`` lines of EACH file.
@@ -50,21 +85,24 @@ def read_text_files(
             F.col("value").alias(ROW_COL),
             F.input_file_name().alias(FILE_COL),
         )
+    _check_wholetext_sizes(path, max_file_bytes)
     whole = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias(FILE_COL),
         F.split(F.col("value"), "\n").alias("_lines"),
     )
+    # Drop ONLY the phantom empty element produced by a trailing final
+    # newline (Hive's text reader emits no record for it) — interior blank
+    # lines remain data rows, exactly like the skip_header_lines=0 path.
+    lines = F.when(
+        F.element_at(F.col("_lines"), -1) == "",
+        F.slice(F.col("_lines"), 1, F.size(F.col("_lines")) - 1),
+    ).otherwise(F.col("_lines"))
     body = F.slice(
-        F.col("_lines"),
+        lines,
         skip_header_lines + 1,
-        F.greatest(F.size(F.col("_lines")) - skip_header_lines, F.lit(0)),
+        F.greatest(F.size(lines) - skip_header_lines, F.lit(0)),
     )
-    return (
-        whole.select(FILE_COL, F.explode(body).alias(ROW_COL))
-        # Drop the phantom empty record produced by a trailing final
-        # newline (Hive's text reader emits no such record either).
-        .filter(F.col(ROW_COL) != "")
-    )
+    return whole.select(FILE_COL, F.explode(body).alias(ROW_COL))
 
 
 def discover_partitions(base_dir: str) -> dict[str, str]:

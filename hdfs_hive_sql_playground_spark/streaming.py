@@ -111,6 +111,44 @@ def dedup_events(events: DataFrame, *keys: str) -> DataFrame:
     )
 
 
+def make_jdbc_batch_sink(
+    url: str,
+    table: str,
+    num_partitions: int = 4,
+    batchsize: int = 1000,
+    exactly_once: bool = True,
+):
+    """Build the foreachBatch sink used by :func:`export_stream_jdbc`.
+
+    With ``exactly_once=True`` each batch is stamped with its checkpointed
+    ``batch_id`` in a ``batch_stamp BIGINT`` column and the sink DELETEs its
+    own batch's rows before appending, so a microbatch replayed after a
+    failure converges to exactly-once target state (delivery itself is
+    at-least-once — foreachBatch's contract). The target table must carry
+    the ``batch_stamp`` column. With ``exactly_once=False`` the batch is
+    appended as-is: at-least-once, unmodified target schema."""
+    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc, jdbc_ddl
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if exactly_once:
+            batch_df = batch_df.withColumn("batch_stamp", F.lit(batch_id).cast("bigint"))
+            try:
+                jdbc_ddl(
+                    batch_df.sparkSession,
+                    url,
+                    f"DELETE FROM {table} WHERE batch_stamp = {int(batch_id)}",
+                )
+            except Exception:
+                # First batch against a not-yet-created table: nothing to
+                # clear; the append below creates it (with batch_stamp).
+                pass
+        export_jdbc(
+            batch_df, url, table, num_partitions=num_partitions, batchsize=batchsize
+        )
+
+    return _sink
+
+
 def export_stream_jdbc(
     stream_df: DataFrame,
     url: str,
@@ -118,21 +156,22 @@ def export_stream_jdbc(
     checkpoint_dir: str,
     num_partitions: int = 4,
     batchsize: int = 1000,
+    exactly_once: bool = True,
 ):
     """Continuous JDBC export: the streaming version of the Sqoop bulk
     export (A19) — each microbatch lands via the same parallel batched
-    ``df.write.jdbc`` path (:func:`..sources.jdbc.export_jdbc`), with
-    exactly-once bookkeeping from the checkpointed batch id. Returns the
-    started StreamingQuery (caller awaits/stops)."""
-    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        export_jdbc(
-            batch_df, url, table, num_partitions=num_partitions, batchsize=batchsize
-        )
-
+    ``df.write.jdbc`` path (:func:`..sources.jdbc.export_jdbc`). The
+    default sink is idempotent per checkpointed batch id (delete-then-
+    append keyed by a ``batch_stamp`` column — see
+    :func:`make_jdbc_batch_sink`), so retried microbatches do not
+    duplicate rows. Returns the started StreamingQuery (caller
+    awaits/stops)."""
+    sink = make_jdbc_batch_sink(
+        url, table, num_partitions=num_partitions, batchsize=batchsize,
+        exactly_once=exactly_once,
+    )
     return (
-        stream_df.writeStream.foreachBatch(_sink)
+        stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -101,7 +101,8 @@ def test_streaming_jdbc_export_foreachbatch(spark, sf_dir, events_dir, tmp_path)
     jdbc_ddl(
         spark,
         url,
-        "CREATE TABLE win_counts (window_start TIMESTAMP, event_type VARCHAR(32), n BIGINT)",
+        "CREATE TABLE win_counts (window_start TIMESTAMP, event_type VARCHAR(32), "
+        "n BIGINT, batch_stamp BIGINT)",
     )
     q = streaming.export_stream_jdbc(
         streaming.windowed_counts(streaming.stream_events(spark, events_dir)),
@@ -124,6 +125,33 @@ def test_streaming_jdbc_export_foreachbatch(spark, sf_dir, events_dir, tmp_path)
         .count()
     )
     assert exported.count() == want
+
+
+def test_streaming_jdbc_sink_idempotent_on_batch_replay(spark, sf_dir):
+    """A microbatch replayed with the same checkpointed batch_id (the
+    foreachBatch at-least-once failure mode) must not duplicate target
+    rows: the sink deletes its own batch before appending."""
+    from hdfs_hive_sql_playground_spark.sources.jdbc import jdbc_ddl, read_jdbc
+
+    url = "jdbc:derby:memory:streamidem;create=true"
+    jdbc_ddl(
+        spark, url,
+        "CREATE TABLE idem (user_id BIGINT, n_events BIGINT, batch_stamp BIGINT)",
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .limit(20)
+    )
+    sink = streaming.make_jdbc_batch_sink(url, "idem")
+    sink(batch, 7)
+    n1 = read_jdbc(spark, url, "idem").count()
+    assert n1 > 0
+    sink(batch, 7)  # simulated retry of the SAME batch
+    assert read_jdbc(spark, url, "idem").count() == n1
+    sink(batch, 8)  # a genuinely new batch still appends
+    assert read_jdbc(spark, url, "idem").count() == 2 * n1
 
 
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
