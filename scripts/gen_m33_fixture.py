@@ -40,13 +40,21 @@ def gen_file(path: str, age: int, peculiar: bool, rows: int) -> None:
         f.write("\n".join(lines) + "\n")
 
 
-def gen_tree(out_dir: str, rows: int) -> int:
-    """Write the full 4-file tree; returns total data rows."""
+def gen_tree(out_dir: str, rows: int, n_files: int = 1) -> int:
+    """Write the fixture tree; returns total data rows.
+
+    ``n_files`` > 1 scales the dataset by ADDING files per (partition, age)
+    leaf instead of growing one file — the reference's own layout (~18 MB
+    per file, many files), and the layout the wholetext header-skip path
+    requires: per-file memory stays constant while parallelism grows."""
     for part in PARTS:
         for age in AGES:
-            name = f"hmix.a{age:06d}z0790"
-            gen_file(os.path.join(out_dir, part, name), age, part == "cp", rows)
-    return len(PARTS) * len(AGES) * rows
+            for r in range(n_files):
+                # The age regexp keys on the 'hmix.a<AGE>' prefix; replica
+                # suffixes after the z-block don't disturb it.
+                name = f"hmix.a{age:06d}z0790" + (f"_f{r}" if r else "")
+                gen_file(os.path.join(out_dir, part, name), age, part == "cp", rows)
+    return len(PARTS) * len(AGES) * n_files * rows
 
 
 def main() -> None:
