@@ -87,6 +87,38 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
     assert n == M33_TOTAL_ROWS, n
     timings["m33_jdbc_export_2800k"] = round(time.perf_counter() - t0, 4)
 
+    if os.environ.get("SPARK_GRAFT_SKIP_TREND") != "1":
+        _bench_m33_trend(spark, timings)
+
+
+# Scale-trend evidence in every default run: CTAS the same workload at 4x
+# the rows (11.2 M, 16 files) and report the x4/x1 wall ratio. Entries are
+# prefixed 'trend_' and EXCLUDED from the wall-clock total — they are slope
+# evidence (does the plan scale ~linearly?), not headline throughput.
+TREND_SCALE = 4
+
+
+def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
+    from hdfs_hive_sql_playground_spark.m33 import m33_schem
+    from hdfs_hive_sql_playground_spark.sinks import ctas_text
+
+    trend_dir = os.path.join(REPO, ".bench_data", f"m33_full_x{TREND_SCALE}v2")
+    marker = os.path.join(trend_dir, ".complete")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from gen_m33_fixture import gen_tree
+
+        gen_tree(trend_dir, M33_FULL_ROWS_PER_FILE, n_files=TREND_SCALE)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    t0 = time.perf_counter()
+    ctas_text(m33_schem(spark, trend_dir), "m33_bench_trend")
+    wall = round(time.perf_counter() - t0, 4)
+    timings[f"trend_m33_ctas_x{TREND_SCALE}"] = wall
+    base = timings.get("m33_ctas_2800k")
+    if base:
+        timings[f"trend_ctas_x{TREND_SCALE}_over_x1_ratio"] = round(wall / base, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,9 +144,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_M33_BENCH") != "1":
         _bench_m33(spark, timings)
 
-    # m33_rows_x* entries are row-count markers for scale-trend runs, not
-    # timings — keep them out of the wall-clock total.
-    total = round(sum(v for k, v in timings.items() if not k.startswith("m33_rows")), 4)
+    # m33_rows_x* entries are row-count markers and trend_* entries are
+    # scale-slope evidence, not headline timings — keep both out of the
+    # wall-clock total.
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith(("m33_rows", "trend_"))
+        ),
+        4,
+    )
     print(
         json.dumps(
             {
