@@ -94,9 +94,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # changed-this-round queries: force a fresh driver row
     "q87_neardup_components",
     "q95_multimodal_features",
-    "q70_m33_schem_view",
-    "q73_m33_ctas_roundtrip",
-    "q74_m33_jdbc_export_roundtrip",
+    # new-this-round queries (never driver-checked)
+    "q98_simhash_banded_neardup",
+    "q99_curation_pipeline",
+    "q100_bigram_topk",
 )
 
 

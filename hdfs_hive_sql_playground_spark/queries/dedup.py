@@ -260,12 +260,14 @@ def _token_hash32(tok: Column) -> Column:
     return out
 
 
-@register(
-    "q83_simhash",
-    oracle=f"""
+def _simhash_oracle_ctes(max_doc: int = 200) -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — shared by the q83
+    fingerprint oracle and the q98 banded-near-dup oracle so the two can
+    never drift apart."""
+    return f"""
     WITH toks AS (
       SELECT DISTINCT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < {max_doc}
     ),
     th AS (
       SELECT doc_id, {' + '.join(
@@ -281,12 +283,18 @@ def _token_hash32(tok: Column) -> Column:
         for j in range(SIMHASH_BITS)
       )}
       FROM th GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST({' + '.join(f"(CASE WHEN s{j} > 0 THEN {1 << (31 - j)} ELSE 0 END)"
-                            for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-    FROM bits
-    """,
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST({' + '.join(f"(CASE WHEN s{j} > 0 THEN {1 << (31 - j)} ELSE 0 END)"
+                              for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+      FROM bits
+    )"""
+
+
+@register(
+    "q83_simhash",
+    oracle=_simhash_oracle_ctes() + "\n    SELECT doc_id, simhash FROM sim",
     doc="32-bit SimHash per document from md5-derived token hashes: per-token "
     "bit votes, one groupBy(doc_id) shuffle, sign-threshold assembly. The md5 "
     "nibble formula is engine-portable, so even this is oracle-checked.",
@@ -414,3 +422,77 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("label propagation did not converge in 50 iterations")
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# q98 banded SimHash near-dup (Hamming-LSH, fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit fingerprint
+HAMMING_MAX = 10
+
+
+@register(
+    "q98_simhash_banded_neardup",
+    oracle=_simhash_oracle_ctes()
+    + f""",
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, (simhash // {1 << (8 * b)}) & 255 AS bv FROM sim"
+        for b in range(SIMHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sim sa ON sa.doc_id = doc_a
+    JOIN sim sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_MAX}
+    """,
+    doc="SimHash near-duplicate pairs via Hamming-LSH banding: the 32-bit "
+    "fingerprint splits into 4 bands of 8 bits; docs sharing any band value "
+    "become candidates (key-equi join on (band, byte) — never all-pairs), "
+    "then candidates are verified with an exact popcount(xor) Hamming "
+    "distance. Pigeonhole guarantees recall 1.0 for distance < 4 and "
+    "probabilistic recall above; this is the q81 MinHash-LSH shape with an "
+    "engine-portable hash, so unlike q81 the WHOLE banded pipeline is "
+    "value-hash-checked against DuckDB. The fingerprint relation (one row "
+    "per doc) is persisted: three branches consume it and exchange reuse "
+    "does not fire across differing projections.",
+)
+def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q83_simhash(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sim.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha")), "doc_a"
+    ).join(sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb")), "doc_b")
+    hamming = F.bit_count(F.expr("sha ^ shb")).cast("int")
+    return pairs.filter(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )

@@ -302,3 +302,171 @@ def q94_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= QUOTA_PER_LANG)
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 end-to-end curation pipeline (quality gate → exact dedup → LID → quota)
+# ---------------------------------------------------------------------------
+
+CURATION_QUOTA = 15
+
+
+@register(
+    "q99_curation_pipeline",
+    bench=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               len(string_split(t, ' ')) AS n_tokens,
+               len(list_filter(string_split(t, ' '),
+                               w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop
+        FROM base
+      )
+      WHERE n_tokens BETWEEN 20 AND 1000 AND n_stop * 1.0 / n_tokens >= 0.01
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+        FROM quality
+      )
+      WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, lex.lang, COUNT(*) AS n_hits
+      FROM toks t JOIN {_lex_values_sql()} ON t.tok = lex.word
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ),
+    langed AS (
+      SELECT c.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+      FROM canon c LEFT JOIN best b ON c.doc_id = b.doc_id
+    )
+    SELECT pred_lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT pred_lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY pred_lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM langed
+    )
+    WHERE rn <= {CURATION_QUOTA}
+    """,
+    doc="The full training-data curation pipeline as ONE composed DataFrame "
+    "plan: quality gate (q91's keep rule) → exact dedup keep-canonical "
+    "(q80's min-doc_id rule) → language ID (q90's lexicon argmax) → "
+    "deterministic per-language quota (q94's hash-order sampling). Each "
+    "stage reuses the proven operator's exact semantics, so the composite "
+    "is oracle-checked end to end. Shape at 100 TB: two narrow shuffles "
+    "(content-hash dedup, per-doc token agg) plus one stratum window — no "
+    "stage widens the data beyond its keys.",
+)
+def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    n_tokens = F.size(F.split(t, " "))
+    n_stop = F.size(F.filter(F.split(t, " "), lambda w: w.isin(list(STOPWORDS))))
+    quality = d.select("doc_id", t.alias("t")).filter(
+        (n_tokens >= 20) & (n_tokens <= 1000) & (n_stop / n_tokens >= 0.01)
+    )
+    w_dedup = Window.partitionBy(F.md5(F.col("t"))).orderBy("doc_id")
+    canon = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(lang, w) for lang, ws in sorted(LEXICON.items()) for w in ws],
+            "lang string, word string",
+        )
+    )
+    hits = (
+        toks.join(lex, toks.tok == lex.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    langed = canon.join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang")
+    )
+    w_quota = Window.partitionBy("pred_lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        langed.withColumn("rn", F.row_number().over(w_quota).cast("long"))
+        .filter(F.col("rn") <= CURATION_QUOTA)
+        .select("pred_lang", "doc_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 corpus bigram statistics (top-k n-grams)
+# ---------------------------------------------------------------------------
+
+TOPK_BIGRAMS = 50
+
+
+@register(
+    "q100_bigram_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    bi AS (
+      SELECT UNNEST(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {TOPK_BIGRAMS}
+    """,
+    doc="Corpus-level bigram frequency top-k (vocabulary/collocation stats "
+    "for tokenizer training and contamination checks). Non-distinct bigram "
+    "explode → map-side partial count → single shuffle on the bigram key → "
+    "TakeOrdered top-k (no global sort materialized); ties broken by the "
+    "bigram string so the k-boundary is engine-deterministic.",
+)
+def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOPK_BIGRAMS)
+    )

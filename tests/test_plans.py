@@ -92,3 +92,22 @@ def test_q39_topk_not_global_sort(spark, sf_dir):
     # (TakeOrderedAndProject), never a full-shuffle global Sort.
     assert plan.count("TakeOrderedAndProject") == 2
     assert plans.count_exchanges(df) == 0
+
+
+def test_q98_banded_simhash_equi_join_no_cartesian(spark, sf_dir):
+    df = SPECS["q98_simhash_banded_neardup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    # The candidate stage must be a (band, byte)-keyed equi-join: all-pairs
+    # Hamming comparison would plan a nested-loop/cartesian.
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q100_bigram_topk_takeordered_not_global_sort(spark, sf_dir):
+    df = SPECS["q100_bigram_topk"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    # Top-k over the bigram counts: per-partition heap + driver merge, not
+    # a full global sort of the vocabulary.
+    assert "TakeOrderedAndProject" in p
+    # one exchange for the bigram aggregation, none for the ordering
+    assert plans.count_exchanges(df) == 1
