@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
         udfs,
+        warehouse,
     )
 
     ordered = {name: REGISTRY[name] for name in DRIVER_PRIORITY if name in REGISTRY}

@@ -370,9 +370,11 @@ CURATION_QUOTA = 15
     "(q80's min-doc_id rule) → language ID (q90's lexicon argmax) → "
     "deterministic per-language quota (q94's hash-order sampling). Each "
     "stage reuses the proven operator's exact semantics, so the composite "
-    "is oracle-checked end to end. Shape at 100 TB: two narrow shuffles "
-    "(content-hash dedup, per-doc token agg) plus one stratum window — no "
-    "stage widens the data beyond its keys.",
+    "is oracle-checked end to end. Shape at 100 TB: five key-narrow "
+    "exchanges (content-hash window, per-doc token agg, per-doc argmax "
+    "window, doc_id equi-join, stratum window) — every shuffle carries "
+    "keys and small payloads, never widened rows; the lexicon join is a "
+    "broadcast.",
 )
 def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
