@@ -99,6 +99,71 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _make_user_stats_processor():
+    """Build the StatefulProcessor lazily: the class only exists on Spark
+    4.x, and constructing it inside the function keeps module import safe
+    on older runtimes."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        """Per-user running (count, total value) kept in a ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("total", DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("stats", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running event stats via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (typed ValueState/ListState/
+    MapState + timers), the successor extension point to
+    ``applyInPandasWithState`` shown in :func:`running_user_totals`. State
+    is a fixed-size (count, total) per key, so the state store is O(keys)
+    regardless of stream length. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_stats_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_events(events: DataFrame, *keys: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps one
     row per key while holding only watermark-bounded state — the streaming

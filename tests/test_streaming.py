@@ -81,6 +81,63 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     assert got == want
 
 
+def test_transform_with_state_running_stats(spark, sf_dir, events_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary state): after a full
+    availableNow drain, each user's LAST emitted running stats must equal
+    the batch ground truth. Needs the RocksDB state store provider, and —
+    environmentally — the protobuf package its state-server protocol uses;
+    when that's absent the operator is probed and skipped with the exact
+    reason (same policy as the native-avro probe)."""
+    if not hasattr(spark.read.parquet(events_dir).groupBy("user_id"),
+                   "transformWithStateInPandas"):
+        pytest.skip("transformWithStateInPandas not in this Spark")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        pytest.skip(
+            "transformWithStateInPandas requires google.protobuf "
+            f"(not installed in this container): {e}"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = streaming.run_to_memory(
+            streaming.user_stats_tws(streaming.stream_events(spark, events_dir)),
+            "t_tws",
+            output_mode="update",
+        )
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in sink.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[u][0] == want[u][0] for u in want)
+    # float totals: running-sum order differs from batch reduce order, so
+    # compare within tolerance rather than bit-exact
+    assert all(abs(got[u][1] - want[u][1]) < 1e-6 for u in want)
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
     # Source with every event duplicated: two copies of the same files.
     dup_dir = str(tmp_path / "events_dup")
