@@ -96,25 +96,88 @@ def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q81 MinHash-LSH near-dup (rows-only: minhash seeds use xxhash64, which
-# DuckDB cannot replicate)
+# q81 MinHash-LSH near-dup (oracle-checked: the shingle hash is the
+# engine-portable md5-nibble construction, so DuckDB replicates the whole
+# minhash → band → verify pipeline)
 # ---------------------------------------------------------------------------
 
 MINHASH_K = 16  # 16 bands of r=1 row: P(candidate) = 1-(1-j)^16
 MERSENNE_P = (1 << 31) - 1
 _SEEDS = [(i, 2 * i + 1, 7919 * (i + 1)) for i in range(MINHASH_K)]
 JACCARD_MIN = 0.02  # tuned to the synthetic corpus; 0.8 in production
+SHINGLE_HASH_NIBBLES = 12  # 48-bit shingle hash (fits BIGINT math on both engines)
+
+
+def _shingle_hash48(col: Column) -> Column:
+    """First 12 md5 nibbles of the shingle as a 48-bit int — the wide
+    sibling of :func:`_token_hash32`, portable to any engine with
+    md5 + substr + strpos. A production deployment swaps in xxhash64 (same
+    plan, one expression); this construction exists so the ENTIRE LSH
+    pipeline is value-hash-checkable against DuckDB."""
+    h = F.md5(col)
+    out = F.lit(0).cast("bigint")
+    for k in range(SHINGLE_HASH_NIBBLES):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, k + 1, 1)) - 1
+        out = out * 16 + nib.cast("bigint")
+    return out
+
+
+def _shingle_hash48_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1)"
+        f" * {16 ** (SHINGLE_HASH_NIBBLES - 1 - k)}"
+        for k in range(SHINGLE_HASH_NIBBLES)
+    )
 
 
 @register(
     "q81_minhash_lsh_neardup",
-    oracle=None,
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM words WHERE len(w) >= 3
+    ),
+    sh AS (SELECT doc_id, {_shingle_hash48_sql('shingle')} AS h FROM sh0),
+    seeds(band, a, b) AS (VALUES {', '.join(f'({i}, {a}, {b})' for i, a, b in _SEEDS)}),
+    minh AS (
+      SELECT doc_id, band,
+             MIN((a * (h % {MERSENNE_P}) + b) % {MERSENNE_P}) AS sig
+      FROM sh CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM minh x JOIN minh y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    WHERE jaccard >= {JACCARD_MIN}
+    """,
     doc="MinHash-LSH near-duplicate pairs: shingle→k minhashes→band bucket "
-    "join→exact-Jaccard verification of candidates only (over 64-bit shingle "
-    "hashes; the shingle relation is persisted so documents is scanned once, "
-    "not 6×). No all-pairs stage; every join is key-equi. Rows-only check "
-    "(xxhash64 not in DuckDB); the exact-Jaccard dual q82 is the "
-    "oracle-checked twin.",
+    "join→exact-Jaccard verification of candidates only (over 48-bit "
+    "portable shingle hashes; the shingle relation is persisted so "
+    "documents is scanned once, not 6×). No all-pairs stage; every join is "
+    "key-equi. The md5-nibble hash makes the ENTIRE pipeline "
+    "value-hash-checked against DuckDB (previously rows-only under "
+    "xxhash64); production swaps xxhash64 back in with one expression.",
 )
 def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashed shingle relation (doc_id, h): persisted because FOUR branches
@@ -126,7 +189,7 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~shingles-per-doc × 16 B, not the corpus text.
     sh = (
         _doc_shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .select("doc_id", _shingle_hash48(F.col("shingle")).alias("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seeds = F.broadcast(
