@@ -390,3 +390,129 @@ def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 SRP-LSH embedding near-dup (sign-random-projection banding)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+SRP_BITS = 16
+SRP_BAND_BITS = 8  # 2 bands of 8 bits: P(candidate | random) ~ 2/256
+SRP_MAX_VEC = 500
+_SRP_N_BANDS = SRP_BITS // SRP_BAND_BITS
+
+
+def _srp_weights() -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes: weight(j, i) = ±1 from the
+    parity of md5("srp:j:i")'s first nibble. Generated in plain Python and
+    embedded as LITERALS in both the Spark plan and the oracle SQL, so the
+    two engines share the exact hyperplanes without any cross-engine hash
+    function."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(SRP_BITS)
+    ]
+
+
+_SRP_W = _srp_weights()
+
+
+def _srp_band_sql() -> str:
+    def dot(j: int) -> str:
+        lit = "[" + ", ".join(str(w) for w in _SRP_W[j]) + "]"
+        return f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> v[i] * ({lit})[i]))"
+
+    bit = [f"(CASE WHEN {dot(j)} >= 0 THEN 1 ELSE 0 END)" for j in range(SRP_BITS)]
+    bands = []
+    for b in range(_SRP_N_BANDS):
+        expr = " + ".join(
+            f"{bit[b * SRP_BAND_BITS + k]} * {1 << k}" for k in range(SRP_BAND_BITS)
+        )
+        bands.append(f"SELECT vec_id, {b} AS band, {expr} AS bv FROM e")
+    return " UNION ALL ".join(bands)
+
+
+@register(
+    "q103_srp_lsh_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {SRP_MAX_VEC}
+    ),
+    bands AS ({_srp_band_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_r6 FROM (
+      SELECT vec_a, vec_b, ROUND({_sql_cos('ea.v', 'eb.v')}, 6) AS cos_r6
+      FROM cand
+      JOIN e ea ON ea.vec_id = vec_a
+      JOIN e eb ON eb.vec_id = vec_b
+    )
+    WHERE cos_r6 >= {NEARDUP_COS}
+    """,
+    doc="Embedding near-dup via sign-random-projection LSH (the hyperplane "
+    "dual of q81's MinHash banding): 16 deterministic Rademacher "
+    "hyperplanes give a 16-bit sign sketch, banded 2x8 bits; vectors "
+    "sharing a band value become candidates through a key-equi join (never "
+    "all-pairs), then exact sequential-fold cosine verifies. Hyperplanes "
+    "are Python-generated literals shared by both engines, and the "
+    "fold-based dots are bit-identical, so the whole pipeline is value-"
+    "hash-checked. At 100 TB the sketch is 2 bytes/vector and the "
+    "verification cost is bounded by band-bucket sizes (tunable via band "
+    "width), the standard cosine-LSH operating point.",
+)
+def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    e = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < SRP_MAX_VEC)
+        .select("vec_id", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: bands + 2 verify sides
+    )
+
+    def dot(j: int) -> Column:
+        w = F.array(*[F.lit(x) for x in _SRP_W[j]])
+        return F.aggregate(
+            F.zip_with(F.col("v"), w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    bits = [F.when(dot(j) >= 0, 1).otherwise(0) for j in range(SRP_BITS)]
+    band_cols = []
+    for b in range(_SRP_N_BANDS):
+        expr = None
+        for k in range(SRP_BAND_BITS):
+            term = bits[b * SRP_BAND_BITS + k] * (1 << k)
+            expr = term if expr is None else expr + term
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), expr.alias("bv"))
+        )
+    bands = e.select("vec_id", F.explode(F.array(*band_cols)).alias("s")).select(
+        "vec_id", F.col("s.band").alias("band"), F.col("s.bv").alias("bv")
+    )
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bv")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+    ).join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+    cos_r6 = F.round(_cos(F.col("va"), F.col("vb")), 6)
+    return pairs.select("vec_a", "vec_b", cos_r6.alias("cos_r6")).filter(
+        F.col("cos_r6") >= NEARDUP_COS
+    )
