@@ -105,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import for side effects: each module registers its queries.
     from hdfs_hive_sql_playground_spark.queries import (  # noqa: F401
         advanced_sql,
+        curation2,
         dedup,
         events,
         formats,
@@ -112,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text,
         udfs,
         warehouse,

@@ -559,3 +559,66 @@ def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+# Exact duplicated-span detection (the "exact-substring dedup" family from
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+# instead of whole-doc or near-dup similarity, find the VERBATIM n-gram
+# spans that repeat across documents — the spans a substring-dedup pass
+# would cut. 8 words ≈ the paper's 50-token granularity shrunk to the
+# synthetic corpus' short documents.
+SPAN_N = 8
+SPAN_TOPK = 100
+
+
+@register(
+    "q105_dup_ngram_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ws[t.i : t.i + {SPAN_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - {SPAN_N} + 2)) AS t(i)
+      WHERE len(ws) >= {SPAN_N}
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occ DESC, n_docs DESC, gram
+    LIMIT {SPAN_TOPK}
+    """,
+    doc=f"Cross-document duplicated {SPAN_N}-gram spans (exact-substring-dedup "
+    "shape, Lee et al. 2022): positioned n-gram explode, one groupBy(gram) "
+    "with map-side partial aggregation, HAVING distinct-docs >= 2, "
+    "deterministic top-k. At 100 TB the groupBy key becomes the 48-bit gram "
+    "hash (q81's portable hash) with the text joined back for the survivors; "
+    "the plan shape — one explode + one bounded-output aggregation — is "
+    "identical.",
+)
+def q105_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(w) - SPAN_N + 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(SPAN_N)]
+        ),
+    )
+    g = d.filter(F.size(w) >= SPAN_N).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), "gram")
+        .limit(SPAN_TOPK)
+    )

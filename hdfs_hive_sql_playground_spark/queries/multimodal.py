@@ -161,3 +161,74 @@ def q96_multimodal_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("meta.n_bytes").alias("max_bytes"),
         F.sum(n_frames).cast("bigint").alias("total_frames"),
     )
+
+
+# Every SAMPLE_EVERY-th frame is kept — the video-frame-sampling /
+# audio-windowing access pattern (decode only a strided subset of a
+# payload's frames, never the whole asset).
+SAMPLE_EVERY = 3
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len int, frame_sum bigint"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Strided frame extraction, fully vectorized per Arrow batch: the
+    batch's payloads are packed into one uint8 buffer, every frame's
+    (start, length) is derived with ``repeat``/``cumsum`` index algebra,
+    and the per-frame byte sum is a prefix-sum gather. No per-row or
+    per-frame Python — the loop is the Arrow batch iterator itself."""
+    import numpy as np
+
+    for pdf in batches:
+        blobs = pdf["blob"]
+        nb = blobs.str.len().to_numpy(dtype="int64")
+        n_frames = -(-nb // FRAME_BYTES)
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype="int64"), n_frames)
+        starts = np.repeat(nb.cumsum() - nb, n_frames)
+        # frame index within each doc: global arange minus each doc's base
+        base = np.repeat(n_frames.cumsum() - n_frames, n_frames)
+        fidx = np.arange(int(n_frames.sum()), dtype="int64") - base
+        flen = np.minimum(FRAME_BYTES, np.repeat(nb, n_frames) - fidx * FRAME_BYTES)
+        fstart = starts + fidx * FRAME_BYTES
+        buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        csum = np.concatenate(([0], buf.astype(np.int64).cumsum()))
+        fsum = csum[fstart + flen] - csum[fstart]
+        keep = fidx % SAMPLE_EVERY == 0
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids[keep],
+                "frame_idx": fidx[keep],
+                "frame_len": flen[keep].astype("int32"),
+                "frame_sum": fsum[keep],
+            }
+        )
+
+
+@register(
+    "q107_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS nb,
+             UNNEST(range(0, CAST(ceil(length(text) * 1.0 / {FRAME_BYTES}) AS BIGINT)))
+               AS fi
+      FROM documents
+    )
+    SELECT doc_id,
+           fi AS frame_idx,
+           CAST(LEAST({FRAME_BYTES}, nb - fi * {FRAME_BYTES}) AS INT) AS frame_len,
+           CAST(list_sum(list_transform(
+                 range(1, CAST(LEAST({FRAME_BYTES}, nb - fi * {FRAME_BYTES}) AS BIGINT) + 1),
+                 i -> ord(substr(text, CAST(fi * {FRAME_BYTES} + i AS BIGINT), 1))))
+             AS BIGINT) AS frame_sum
+    FROM f
+    WHERE fi % {SAMPLE_EVERY} = 0
+    """,
+    doc=f"Strided frame sampling: explode each asset's payload into "
+    f"{FRAME_BYTES}-byte frames and keep every {SAMPLE_EVERY}rd one, with a "
+    "deterministic per-frame byte-sum standing in for the decode. One "
+    "mapInPandas pass, no shuffle, output bounded to 1/3 of the frame count "
+    "— the plumbing (binary column in, per-frame rows out) is exactly a "
+    "video frame-sampler's; only the checksum swaps for a real codec.",
+)
+def q107_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets(spark, sf_dir).select("doc_id", "blob")
+    return a.mapInPandas(sample_frames, schema=FRAME_SCHEMA)

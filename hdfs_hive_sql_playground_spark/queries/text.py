@@ -472,3 +472,68 @@ def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOPK_BIGRAMS)
     )
+
+
+@register(
+    "q106_repetition_signals",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS tg
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           ROUND((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6) AS dup_word_frac,
+           ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) END, 6)
+             AS dup_bigram_frac,
+           ROUND(CASE WHEN len(tg) = 0 THEN 0.0
+                 ELSE (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg) END, 6)
+             AS dup_trigram_frac,
+           CASE WHEN ROUND((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6) <= 0.9
+                 AND ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) END, 6) <= 0.75
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM g
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 §A1.1: "
+    "duplicate n-gram fractions as low-quality indicators): per-document "
+    "duplicate word / bigram / trigram fractions and a keep flag. Computed "
+    "ENTIRELY as array expressions inside the projection — zero shuffles, "
+    "zero explodes, zero UDFs; the 100 TB plan is a pure map-side pass.",
+)
+def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+
+    def ngrams(n: int):
+        idx = F.sequence(F.lit(1), F.size(w) - n + 1)
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+        )
+
+    def dup_frac(arr):
+        total = F.size(arr)
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            F.round((total - F.size(F.array_distinct(arr))) / total, 6)
+        )
+
+    bg, tg = ngrams(2), ngrams(3)
+    dup_w = dup_frac(w)
+    dup_b = dup_frac(bg)
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        dup_w.alias("dup_word_frac"),
+        dup_b.alias("dup_bigram_frac"),
+        dup_frac(tg).alias("dup_trigram_frac"),
+        F.when((dup_w <= 0.9) & (dup_b <= 0.75), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep_flag"),
+    )

@@ -111,3 +111,49 @@ def test_q100_bigram_topk_takeordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     # one exchange for the bigram aggregation, none for the ordering
     assert plans.count_exchanges(df) == 1
+
+
+def test_q104_sketch_recount_is_broadcast_bounded(spark, sf_dir):
+    """The heavy-hitter recount must join candidates by BROADCAST (the
+    sketch output is tiny) so the only wide shuffle aggregates candidate
+    tokens, never the full token stream."""
+    df = SPECS["q104_heavy_hitters"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_broadcast_joins(df) >= 1  # candidate semi-join
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row N-total join
+    plans.assert_no_cartesian(df)
+
+
+def test_q106_repetition_signals_zero_shuffle(spark, sf_dir):
+    """Gopher-style repetition stats are a pure projection: no exchange,
+    no explode-induced shuffle, nothing but a map-side pass."""
+    df = SPECS["q106_repetition_signals"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_q107_frame_sample_single_pass_no_shuffle(spark, sf_dir):
+    """Frame sampling is one mapInPandas over the scan — exploding frames
+    must not introduce an exchange."""
+    df = SPECS["q107_frame_sample"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+    assert "MapInPandas" in plans.executed_plan(df)
+
+
+def test_q108_probe_index_is_broadcast(spark, sf_dir):
+    """Decontamination must broadcast the probe index; the corpus side
+    joins map-side and only hit rows reach an exchange."""
+    df = SPECS["q108_decontaminate"].fn(spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 1
+    plans.assert_no_cartesian(df)
+
+
+def test_q109_only_hashes_shuffle(spark, sf_dir):
+    """Incremental dedup shuffles 128-bit content hashes, never text: no
+    plan node may carry the text column past the scan projection."""
+    df = SPECS["q109_incremental_dedup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "LeftAnti" in p
+    # text appears only inside the scan/md5 projection, not in exchanges:
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
