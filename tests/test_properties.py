@@ -68,3 +68,68 @@ def test_cluster_conf_sizing():
     # tiny data floors at 2x total cores
     small = cluster_conf(data_tb=0.001, executors=10, cores_per_executor=4)
     assert int(small["spark.sql.shuffle.partitions"]) == 80
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries kernel (queries/sketches.py): the candidate set must contain
+# EVERY token with frequency > N/capacity, for any stream content and any
+# batch split — the guarantee the exact-recount pass builds on.
+
+token_streams = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=2), min_size=1, max_size=300
+)
+
+
+@given(token_streams, st.integers(min_value=1, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_mg_candidates_never_miss_a_heavy_hitter(toks, n_batches):
+    import collections
+
+    import pandas as pd
+
+    from hdfs_hive_sql_playground_spark.queries.sketches import (
+        MG_CAPACITY,
+        _mg_candidates,
+    )
+
+    # Split the stream into documents (one token each keeps it simple),
+    # then into arbitrary Arrow-batch boundaries.
+    docs = pd.DataFrame({"text": toks})
+    bounds = [len(toks) * i // n_batches for i in range(n_batches + 1)]
+    batches = [docs.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    (cand,) = list(_mg_candidates(iter(batches)))
+    got = set(cand["tok"])
+    counts = collections.Counter(toks)
+    for tok, c in counts.items():
+        if c * MG_CAPACITY > len(toks):
+            assert tok in got, (tok, c, len(toks))
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling kernel (queries/multimodal.py): the vectorized index
+# algebra must agree with a naive per-row reference for any payloads.
+
+
+@given(st.lists(st.binary(min_size=0, max_size=130), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_sample_frames_matches_naive_reference(blobs):
+    import pandas as pd
+
+    from hdfs_hive_sql_playground_spark.queries.multimodal import (
+        FRAME_BYTES,
+        SAMPLE_EVERY,
+        sample_frames,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(blobs)), "blob": blobs})
+    (out,) = list(sample_frames(iter([pdf])))
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_len, r.frame_sum)
+        for r in out.itertuples()
+    }
+    expect = {}
+    for doc_id, blob in enumerate(blobs):
+        for fi in range(0, -(-len(blob) // FRAME_BYTES), SAMPLE_EVERY):
+            chunk = blob[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+            expect[(doc_id, fi)] = (len(chunk), sum(chunk))
+    assert got == expect
