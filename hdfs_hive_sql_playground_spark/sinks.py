@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 DEFAULT_WAREHOUSE = os.path.join(
@@ -64,3 +65,33 @@ def ctas_parquet(df: DataFrame, table: str, warehouse_dir: str | None = None) ->
     path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, table)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    sort_by: list[str],
+    n_output_files: int = 8,
+) -> None:
+    """Write a scan-optimized parquet layout: directory-partitioned by
+    ``partition_by`` (→ partition pruning skips whole directories) and
+    range-clustered + sorted within files on ``sort_by`` (→ parquet
+    row-group min/max statistics make selective predicates skip pages).
+
+    This is the layout decision that matters most at 100 TB: a time-series
+    table written this way answers "one day, one key range" queries by
+    reading a handful of files instead of the whole corpus. The range
+    partitioning leads with ``partition_by``, so each output directory is
+    written by the few tasks whose range covers it — without this, every
+    task writes to every directory and the layout degrades into
+    tasks × partitions tiny files. ``n_output_files`` bounds total files.
+    """
+    keys = [F.col(partition_by), *[F.col(c) for c in sort_by]]
+    (
+        df.repartitionByRange(max(n_output_files, 1), *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .parquet(path)
+    )

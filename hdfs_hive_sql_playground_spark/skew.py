@@ -49,3 +49,34 @@ def salted_agg(
         ]
     )
     return merged
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join salting: salt the BIG side per-row and replicate
+    the small side once per salt value, so a single hot join key becomes
+    ``n_salts`` balanced shuffle keys.
+
+    Reach for this when the small side is too large to broadcast AND the
+    skew is concentrated enough that AQE's skew-split (which only splits
+    oversized partitions of the ALREADY-shuffled big side) still leaves a
+    straggler — the classic power-law user_id ⋈ profile case. The salt is
+    row-position based (content-independent), never reaches the output,
+    and the join result is row-for-row identical to the unsalted join.
+
+    Only ``inner`` and ``left`` are supported: a right/full join would
+    emit the small side's unmatched rows once per replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [*on, "_salt"], how).drop("_salt")

@@ -1,0 +1,87 @@
+"""Tests for the scale helpers: salted_join must be row-for-row identical
+to the plain join, and write_range_layout must produce a layout where
+partition pruning and row-group predicate pushdown actually engage."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_hive_sql_playground_spark import plans
+from hdfs_hive_sql_playground_spark.sinks import write_range_layout
+from hdfs_hive_sql_playground_spark.skew import salted_join
+from hdfs_hive_sql_playground_spark.tables import load
+
+
+def _norm(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_inner_matches_plain_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    big = orders.withColumnRenamed("o_custkey", "custkey")
+    small = cust.withColumnRenamed("c_custkey", "custkey")
+    cols = ["o_orderkey", "custkey", "c_nationkey"]
+    plain = big.join(small, ["custkey"])
+    salted = salted_join(big, small, ["custkey"], n_salts=7)
+    assert _norm(salted, cols) == _norm(plain, cols)
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # keep only even customers on the small side so some orders miss
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    big = orders.withColumnRenamed("o_custkey", "custkey")
+    small = cust.withColumnRenamed("c_custkey", "custkey")
+    cols = ["o_orderkey", "custkey", "c_nationkey"]
+    plain = big.join(small, ["custkey"], "left")
+    salted = salted_join(big, small, ["custkey"], n_salts=5, how="left")
+    assert _norm(salted, cols) == _norm(plain, cols)
+
+
+def test_salted_join_rejects_replica_duplicating_sides(spark, sf_dir):
+    d = load(spark, sf_dir, "nation")
+    with pytest.raises(ValueError):
+        salted_join(d, d, ["n_nationkey"], how="full")
+
+
+def test_range_layout_prunes_partitions_and_pushes_predicates(
+    spark, sf_dir, tmp_path
+):
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out = os.path.join(str(tmp_path), "events_layout")
+    write_range_layout(ev, out, "event_type", ["user_id"], n_output_files=8)
+
+    back = spark.read.parquet(out)
+    one = back.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") <= 10)
+    )
+    p = plans.executed_plan(one)
+    # Directory pruning: the event_type predicate must be a PartitionFilter
+    # (never a post-scan filter), and user_id must reach the parquet reader
+    # as a pushed filter so row-group stats can skip.
+    assert "PartitionFilters: [" in p
+    assert "event_type" in p.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    plans.assert_pushed_filters(one, "LessThanOrEqual(user_id")
+
+    # Round trip preserves the data.
+    assert back.count() == ev.count()
+
+
+def test_range_layout_bounds_file_count(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out = os.path.join(str(tmp_path), "events_layout_files")
+    write_range_layout(ev, out, "event_type", ["user_id"], n_output_files=8)
+    n_files = 0
+    for root, _dirs, files in os.walk(out):
+        n_files += sum(1 for f in files if f.endswith(".parquet"))
+    # range partitioning leads with the directory key: total files stay at
+    # ~n_output_files, not tasks × partitions
+    assert 1 <= n_files <= 12
