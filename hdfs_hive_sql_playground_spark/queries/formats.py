@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
-from hdfs_hive_sql_playground_spark.sinks import DEFAULT_WAREHOUSE
+from hdfs_hive_sql_playground_spark.sinks import DEFAULT_WAREHOUSE, write_range_layout
 from hdfs_hive_sql_playground_spark.tables import load
 
 _AGG_ORACLE = """
@@ -130,4 +130,37 @@ def q78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_price_c"
             ),
         )
+    )
+
+
+@register(
+    "q110_range_layout_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+    FROM events
+    WHERE event_type = 'click' AND user_id <= 50
+    """,
+    doc="Scan-optimized layout round trip: events rewritten with "
+    "write_range_layout (directory-partitioned by event_type, "
+    "range-clustered + sorted by user_id), then a selective read back. The "
+    "plan test asserts the event_type predicate becomes a PartitionFilter "
+    "(directory pruning) and user_id reaches the parquet reader as a pushed "
+    "filter (row-group min/max skipping) — the layout decision that turns a "
+    "100 TB time-series scan into a handful of file reads.",
+)
+def q110_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(DEFAULT_WAREHOUSE, "events_range_layout")
+    write_range_layout(src, path, "event_type", ["user_id"])
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") <= 50)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("value_c"),
     )
