@@ -85,3 +85,45 @@ def q19_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         weighted_price(F.col("price_c"), F.col("qty_c")).alias("weighted_avg_price")
     )
+
+
+@register(
+    "q111_grouped_map_demean",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(price_c * COUNT(*) OVER (PARTITION BY o_custkey)
+                - SUM(price_c) OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS dev_scaled_c,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM o
+    """,
+    doc="Grouped-MAP pandas UDF (applyInPandas): per-customer demeaned "
+    "order price, kept exact by scaling — dev_scaled_c = price_c * n - "
+    "sum_c is pure int64 arithmetic, so the whole-group transform is "
+    "bit-identical to the window-function oracle. Completes the pandas "
+    "UDF family (scalar q09, grouped-agg q19, grouped-map here); the "
+    "shuffle is one hash exchange on the group key, same as the window "
+    "formulation.",
+)
+def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["price_c"].astype("int64")
+        n = len(p)
+        pdf["dev_scaled_c"] = p * n - int(p.sum())
+        pdf["n_orders"] = n
+        return pdf[["o_orderkey", "o_custkey", "dev_scaled_c", "n_orders"]]
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("price_c"),
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        demean,
+        schema="o_orderkey bigint, o_custkey bigint, dev_scaled_c bigint, n_orders bigint",
+    )
