@@ -120,6 +120,52 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
         timings[f"trend_ctas_x{TREND_SCALE}_over_x1_ratio"] = round(wall / base, 3)
 
 
+# Documents-table scale trend: the testdata documents/embeddings tables grow
+# only at sf0.1 (5k rows), so LLM-operator timings alone are small-data. To
+# show the slope, replicate documents 8x (doc_ids remapped unique, exact-dup
+# group sizes 8x) into a cached fixture and re-time the linear-path corpus
+# ops. trend_* naming keeps these out of the wall-clock total, same as the
+# m33 trend.
+DOC_TREND_SCALE = 8
+DOC_TREND_QUERIES = ("q80_exact_dedup", "q91_quality_score", "q104_heavy_hitters")
+
+
+def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}")
+    marker = os.path.join(trend_dir, ".complete")
+    if not os.path.exists(marker):
+        docs = load(spark, sf_dir, "documents")
+        n = docs.count()
+        big = (
+            docs.select(
+                F.explode(F.sequence(F.lit(0), F.lit(DOC_TREND_SCALE - 1))).alias("_r"),
+                "*",
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * n)
+            .drop("_r")
+        )
+        big.write.mode("overwrite").parquet(os.path.join(trend_dir, "documents.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    specs = all_queries()
+    for name in DOC_TREND_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, trend_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 4)
+        timings[f"trend_{name}_x{DOC_TREND_SCALE}"] = wall
+        base = timings.get(name)
+        if base:
+            timings[f"trend_{name}_x{DOC_TREND_SCALE}_over_x1_ratio"] = round(
+                wall / base, 3
+            )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -140,6 +186,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    if os.environ.get("SPARK_GRAFT_SKIP_TREND") != "1":
+        _bench_doc_trend(spark, sf_dir, timings)
 
     if os.environ.get("SPARK_GRAFT_SKIP_M33_BENCH") != "1":
         _bench_m33(spark, timings)
