@@ -537,3 +537,49 @@ def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("keep_flag"),
     )
+
+
+# Token budget per packed training sequence (greedy sequential packing).
+PACK_BUDGET = 256
+
+
+@register(
+    "q112_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok)
+                      / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    doc="Sequence packing for training batches: greedy running-token-sum "
+    f"assignment of documents to ≤{PACK_BUDGET}-token packs, sharded by "
+    "language (PARTITION BY lang) so packing is one bounded window per "
+    "shard — never a global single-partition sort. Deterministic doc_id "
+    "order makes the pack assignment exactly reproducible; all arithmetic "
+    "is int64.",
+)
+def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_words(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
