@@ -41,6 +41,11 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # text-analysis, pandas UDFs, and the relational tail) plus the 5 queries whose
 # implementation changed this round (q87/q95/q70/q73/q74) so the hard signal
 # re-proves them.  Queries not listed keep registration order after these.
+#
+# Rotation discipline for future rounds: once this window is driver-proven,
+# replace it with whichever queries still lack a fresh driver row (next up:
+# q101-q112 and the re-hashed q81), backfilling with previously-proven
+# queries so every entry periodically re-earns its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # similarity / ANN family (never driver-checked)
     "q84_embedding_neardup_cells",
