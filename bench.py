@@ -176,9 +176,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not session startup.
+    # Warm the JVM + file listing + Python worker pool once so per-query
+    # numbers measure the query, not session or Arrow-worker startup.
     next(iter(specs.values())).fn(spark, sf_dir).count()
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
