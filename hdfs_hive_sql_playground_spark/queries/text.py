@@ -583,3 +583,57 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+@register(
+    "q113_collapse_repeats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, ws,
+             list_filter(
+               list_transform(range(1, len(ws) + 1),
+                              i -> CASE WHEN i = 1 OR ws[i] <> ws[i - 1]
+                                   THEN ws[i] END),
+               x -> x IS NOT NULL) AS kw
+      FROM w
+    )
+    SELECT doc_id,
+           array_to_string(kw, ' ') AS cleaned_text,
+           CAST(len(ws) - len(kw) AS BIGINT) AS n_removed
+    FROM kept
+    """,
+    doc="Repetition REMOVAL (not just flagging): collapse consecutive "
+    "duplicate words and emit the cleaned text plus the removed count — "
+    "the cheap stutter-cleanup pass crawl pipelines run before token "
+    "counting. Pure array expressions in one projection: zero shuffles, "
+    "zero UDFs, text never leaves the map side.",
+)
+def q113_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(w))
+    kept = F.filter(
+        F.transform(
+            idx,
+            # guard: index the predecessor with greatest(i-1, 1) so the
+            # i=1 disjunct never risks an ANSI element_at(_, 0) error if
+            # the OR doesn't short-circuit in codegen
+            lambda i: F.when(
+                (i == 1)
+                | (
+                    F.element_at(w, i)
+                    != F.element_at(w, F.greatest(i - 1, F.lit(1)))
+                ),
+                F.element_at(w, i),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned_text"),
+        (F.size(w) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
