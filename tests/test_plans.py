@@ -39,14 +39,19 @@ def test_q80_dedup_single_exchange(spark, sf_dir):
 
 
 def test_no_collect_style_plans(spark, sf_dir):
-    """No registered query may plan a CollectLimit over an unbounded input
-    feeding further computation (driver funnels) — limits are only ever
-    terminal. Quick heuristic: CartesianProduct is banned everywhere."""
+    """Registry-wide plan invariants: CartesianProduct is banned everywhere
+    (no driver funnels / all-pairs stages), and no plan may carry the raw
+    documents.text column through an Exchange — at 100 TB the shuffle
+    carries hashes, grams, and signatures, never documents."""
     for name, spec in SPECS.items():
         if name.startswith(("q7", "q8")) and "jdbc" in name:
             continue
         df = spec.fn(spark, sf_dir)
-        assert "CartesianProduct" not in plans.executed_plan(df), name
+        p = plans.executed_plan(df)
+        assert "CartesianProduct" not in p, name
+        for line in p.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line, (name, line)
 
 
 def test_q18_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
