@@ -35,74 +35,73 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  Rounds 1-2 proved the first 50 alphabetical-module slots
-# (advanced_sql/dedup/events/formats/m33/multimodal + 8 relational); this list
-# front-loads the 45 queries that have never had a driver row (similarity,
-# text-analysis, pandas UDFs, and the relational tail) plus the 5 queries whose
-# implementation changed this round (q87/q95/q70/q73/q74) so the hard signal
-# re-proves them.  Queries not listed keep registration order after these.
+# insertion order.  Rounds 1-3 cumulatively proved 96 of 111 queries; this
+# round-4 window front-loads the 14 oracle-eligible queries that have never
+# had a driver row (the 13 late-round-3 additions q101-q113 plus
+# q81_minhash_lsh_neardup, whose only driver row predates the md5-nibble
+# re-hash), then backfills the remaining 36 slots with the queries whose
+# green rows are oldest (round-2 vintage) so every entry periodically
+# re-earns its green.  The backfill deliberately includes q70/q73/q74
+# (read_text_files blank-line semantics changed in round 3) and q96
+# (consumes the rewritten fake_features), per the round-3 advice.
 #
-# Rotation discipline for future rounds: once this window is driver-proven,
-# replace it with whichever queries still lack a fresh driver row (next up:
-# q101-q112 and the re-hashed q81), backfilling with previously-proven
-# queries so every entry periodically re-earns its green row.
+# Rotation discipline for future rounds: replace the window with whichever
+# queries still lack a fresh driver row, backfilling with the stalest
+# previously-proven greens.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # similarity / ANN family (never driver-checked)
-    "q84_embedding_neardup_cells",
-    "q85_ann_bruteforce_topk",
-    "q86_ivf_ann_topk",
-    "q89_embedding_quantize",
-    "q97_ann_pandas_topk",
-    # text-analysis family (never driver-checked)
-    "q88_tfidf_top_terms",
-    "q90_language_id",
-    "q91_quality_score",
-    "q92_token_count",
-    "q93_fingerprint",
-    "q94_stratified_quota",
-    # pandas UDF / UDAF (never driver-checked)
-    "q09_pandas_udf_scalar",
-    "q19_pandas_udaf_weighted",
-    # relational tail (never driver-checked)
-    "q06_approx_distinct",
-    "q07_exact_percentiles",
-    "q08_salted_agg",
-    "q13_semi_join",
-    "q14_anti_join",
-    "q15_outer_join_coalesce",
-    "q16_theta_self_join",
-    "q17_full_outer_join",
-    "q18_join_hints",
-    "q20_window_rank",
-    "q21_window_running_sum",
-    "q22_lead_lag",
-    "q23_ntile_first_last",
-    "q24_range_frame_window",
-    "q30_topk_orders",
-    "q31_set_ops",
-    "q32_distribute_cluster_by",
-    "q33_set_ops_all",
-    "q40_string_funcs",
-    "q41_split_array_cast",
-    "q42_conditional",
-    "q43_math_funcs",
-    "q44_date_funcs",
-    "q45_field_function",
-    "q46_array_map_funcs",
-    "q47_json_tuple",
-    "q48_date_arithmetic",
-    "q49_string_padding",
-    "q50_explode_tokens",
-    "q51_scalar_subquery",
-    "q52_correlated_exists",
-    "q53_in_subquery",
-    # changed-this-round queries: force a fresh driver row
-    "q87_neardup_components",
-    "q95_multimodal_features",
-    # new-this-round queries (never driver-checked)
-    "q98_simhash_banded_neardup",
-    "q99_curation_pipeline",
-    "q100_bigram_topk",
+    # never driver-proven (late-r3 additions + re-hashed q81)
+    "q101_merge_upsert",
+    "q102_scd2_build",
+    "q103_srp_lsh_neardup",
+    "q104_heavy_hitters",
+    "q105_dup_ngram_spans",
+    "q106_repetition_signals",
+    "q107_frame_sample",
+    "q108_decontaminate",
+    "q109_incremental_dedup",
+    "q110_range_layout_scan",
+    "q111_grouped_map_demean",
+    "q112_sequence_packing",
+    "q113_collapse_repeats",
+    "q81_minhash_lsh_neardup",
+    # backfill: round-2-vintage greens on changed code paths first
+    "q70_m33_schem_view",
+    "q71_m33_schem_agg",
+    "q72_m33_limit_fetch",
+    "q73_m33_ctas_roundtrip",
+    "q74_m33_jdbc_export_roundtrip",
+    "q96_multimodal_meta_agg",
+    # backfill: remaining round-2-vintage greens, oldest first
+    "q75_orc_roundtrip",
+    "q76_json_roundtrip",
+    "q77_csv_roundtrip",
+    "q78_bucketed_join",
+    "q80_exact_dedup",
+    "q82_ngram_jaccard_pairs",
+    "q83_simhash",
+    "q01_pricing_summary",
+    "q02_distinct_agg",
+    "q03_rollup",
+    "q04_cube",
+    "q05_grouping_sets",
+    "q10_join_chain_revenue",
+    "q11_broadcast_dim_join",
+    "q12_region_revenue",
+    "q33_pivot_status",
+    "q36_collect_agg",
+    "q24_percent_rank_cume_dist",
+    "q25_ignore_nulls_window",
+    "q38_nth_value_window",
+    "q39_null_ordering",
+    "q34_unpivot_stack",
+    "q35_hash_sample",
+    "q37_global_sales_opportunity",
+    "q54_cte_multi_ref",
+    "q57_script_transform",
+    "q58_posexplode_lateral",
+    "q59_values_inline",
+    "q60_json_extract",
+    "q48_hash_funcs",
 )
 
 

@@ -153,8 +153,28 @@ def q110_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = os.path.join(DEFAULT_WAREHOUSE, "events_range_layout")
-    write_range_layout(src, path, "event_type", ["user_id"])
+    # The rewritten layout is a pure function of sf_dir, so key the path by
+    # the input and guard with a completeness marker: repeated invocations
+    # (the registry-wide plan sweep calls every query several times) reuse
+    # the layout instead of re-running the overwrite, and two concurrent
+    # sessions on the same repo no longer race mid-write — the layout is
+    # built in a per-process staging dir and atomically renamed into place.
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(DEFAULT_WAREHOUSE, f"events_range_layout_{tag}")
+    marker = os.path.join(path, "_LAYOUT_COMPLETE")
+    if not os.path.exists(marker):
+        staging = f"{path}.staging.{os.getpid()}"
+        write_range_layout(src, staging, "event_type", ["user_id"])
+        with open(os.path.join(staging, "_LAYOUT_COMPLETE"), "w") as f:
+            f.write(tag + "\n")
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # Another session won the rename race; its completed layout is
+            # equivalent (same sf_dir) — drop ours.
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     back = spark.read.parquet(path)
     return back.filter(
         (F.col("event_type") == "click") & (F.col("user_id") <= 50)

@@ -64,6 +64,12 @@ def get_spark(
         # Read parquet TIMESTAMP(NANOS) columns as nanosecond longs instead
         # of failing the scan; tables.load() converts them to µs timestamps.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Naive (isAdjustedToUTC=false) parquet timestamps scan directly as
+        # TIMESTAMP, not TIMESTAMP_NTZ: with the UTC session timezone the
+        # values are identical to the oracle's naive reading, and doing it
+        # at the reader (instead of a cast) keeps min/max pushdown on
+        # timestamp columns intact.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     for key, value in defaults.items():
         builder = builder.config(key, value)

@@ -69,6 +69,27 @@ def read_jdbc(
     return reader.load()
 
 
+def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
+    """True iff ``table`` exists on the JDBC target, probed with a
+    zero-row ``SELECT 1 FROM <table> WHERE 1=0``.  Used to distinguish
+    "table not created yet" from genuine failures (connection drop, lock
+    timeout, permissions) so callers don't have to blanket-catch around
+    statements that must not fail silently."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
+            return True
+        except Exception:
+            return False
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def jdbc_ddl(spark: SparkSession, url: str, *statements: str) -> None:
     """Run DDL on the export target through a raw JDBC statement — the
     Spark-side analog of ``sqlcmd -q "CREATE TABLE ..."``

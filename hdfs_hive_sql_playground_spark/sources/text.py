@@ -40,31 +40,36 @@ FILE_COL = "input_file"
 MAX_WHOLETEXT_FILE_BYTES = 256 * 1024 * 1024
 
 
-def _check_wholetext_sizes(path: str, limit: int) -> None:
-    """Driver-side size guard for the wholetext path. Only local paths can
-    be stat'ed cheaply here; non-local URIs (hdfs://, s3a://) pass through —
-    the documented constraint still applies."""
-    import glob as _glob
-    import os
-
-    root = path[len("file:") :] if path.startswith("file:") else path
-    if not os.path.exists(root) and not _glob.glob(root):
+def _check_wholetext_sizes(spark: SparkSession, path: str, limit: int) -> None:
+    """Driver-side size guard for the wholetext path, via the Hadoop
+    FileSystem API so EVERY scheme Spark can read (file:, hdfs://, s3a://)
+    is guarded, not just local paths. Metadata-only: globStatus +
+    listStatus — the same listing the scan itself performs, so the cost is
+    already paid at 100 TB. Hidden files (``_``/``.`` prefixes) are skipped
+    exactly as FileInputFormat skips them."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
         return
-    candidates = [root] if os.path.isfile(root) else _glob.glob(root)
-    files: list[str] = []
-    for c in candidates:
-        if os.path.isdir(c):
-            for r, _, fs in os.walk(c):
-                files += [os.path.join(r, f) for f in fs]
-        elif os.path.isfile(c):
-            files.append(c)
-    for f in files:
-        size = os.path.getsize(f)
+    stack = list(statuses)
+    while stack:
+        st = stack.pop()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isDirectory():
+            stack.extend(fs.listStatus(st.getPath()))
+            continue
+        size = st.getLen()
         if size > limit:
             raise ValueError(
-                f"header-skip text scan reads whole files into memory; {f!r} "
-                f"is {size} bytes (> {limit}). Split the file upstream or "
-                "read it without skip_header_lines."
+                f"header-skip text scan reads whole files into memory; "
+                f"{st.getPath().toString()!r} is {size} bytes (> {limit}). "
+                "Split the file upstream or read it without "
+                "skip_header_lines."
             )
 
 
@@ -85,22 +90,27 @@ def read_text_files(
             F.col("value").alias(ROW_COL),
             F.input_file_name().alias(FILE_COL),
         )
-    _check_wholetext_sizes(path, max_file_bytes)
+    _check_wholetext_sizes(spark, path, max_file_bytes)
+    # Drop ONLY the phantom empty record a trailing final newline would
+    # produce (Hive's text reader emits no record for it) — interior blank
+    # lines remain data rows, exactly like the skip_header_lines=0 path.
+    # Stripping the ONE trailing '\n' from the STRING before splitting is
+    # semantically identical to dropping a trailing "" element after, but
+    # costs a substring copy instead of a conditional whole-array slice of
+    # the multi-hundred-k-element lines array (the round-3 formulation,
+    # which doubled the per-file array work on this hot path).
+    v = F.col("value")
+    trimmed = F.when(
+        v.endswith("\n"), F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(v)
     whole = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias(FILE_COL),
-        F.split(F.col("value"), "\n").alias("_lines"),
+        F.split(trimmed, "\n").alias("_lines"),
     )
-    # Drop ONLY the phantom empty element produced by a trailing final
-    # newline (Hive's text reader emits no record for it) — interior blank
-    # lines remain data rows, exactly like the skip_header_lines=0 path.
-    lines = F.when(
-        F.element_at(F.col("_lines"), -1) == "",
-        F.slice(F.col("_lines"), 1, F.size(F.col("_lines")) - 1),
-    ).otherwise(F.col("_lines"))
     body = F.slice(
-        lines,
+        F.col("_lines"),
         skip_header_lines + 1,
-        F.greatest(F.size(lines) - skip_header_lines, F.lit(0)),
+        F.greatest(F.size(F.col("_lines")) - skip_header_lines, F.lit(0)),
     )
     return whole.select(FILE_COL, F.explode(body).alias(ROW_COL))
 

@@ -192,21 +192,27 @@ def make_jdbc_batch_sink(
     at-least-once — foreachBatch's contract). The target table must carry
     the ``batch_stamp`` column. With ``exactly_once=False`` the batch is
     appended as-is: at-least-once, unmodified target schema."""
-    from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc, jdbc_ddl
+    from hdfs_hive_sql_playground_spark.sources.jdbc import (
+        export_jdbc,
+        jdbc_ddl,
+        jdbc_table_exists,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if exactly_once:
             batch_df = batch_df.withColumn("batch_stamp", F.lit(batch_id).cast("bigint"))
-            try:
+            # Only a not-yet-created target may skip the replay DELETE (the
+            # append below creates the table, batch_stamp included).  Any
+            # OTHER DELETE failure — connection drop, lock timeout,
+            # permissions — must propagate and fail the microbatch, else a
+            # replayed batch whose DELETE silently failed would append
+            # duplicates: the exact failure this sink exists to prevent.
+            if jdbc_table_exists(batch_df.sparkSession, url, table):
                 jdbc_ddl(
                     batch_df.sparkSession,
                     url,
                     f"DELETE FROM {table} WHERE batch_stamp = {int(batch_id)}",
                 )
-            except Exception:
-                # First batch against a not-yet-created table: nothing to
-                # clear; the append below creates it (with batch_stamp).
-                pass
         export_jdbc(
             batch_df, url, table, num_partitions=num_partitions, batchsize=batchsize
         )

@@ -34,11 +34,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Runtime-set so foreign sessions (e.g. the verification driver's, built
+    # without our session defaults) scan timestamps the same way we do:
+    # TIMESTAMP(NANOS) as nanosecond longs (converted below) instead of
+    # PARQUET_TYPE_ILLEGAL, and naive timestamp[us] (the current testdata
+    # vintage for events.ts / o_orderdate / l_shipdate) as TIMESTAMP rather
+    # than TIMESTAMP_NTZ — with the UTC session timezone the values match
+    # the oracle's naive reading, and reader-level handling (vs a cast)
+    # keeps min/max pushdown on timestamp columns intact.
     if name == "events":
-        # Runtime-set so foreign sessions (e.g. the verification driver's,
-        # built without our session defaults) can scan TIMESTAMP(NANOS)
-        # parquet too — without this the scan throws PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     # (PARQUET_TYPE_ILLEGAL). The session sets

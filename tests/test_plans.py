@@ -38,20 +38,41 @@ def test_q80_dedup_single_exchange(spark, sf_dir):
     plans.assert_no_cartesian(df)
 
 
+# Attributes that carry a full document through the plan: the raw column
+# plus every alias a query derives from it wholesale (q99's
+# t = lower(trim(text)), q113's cleaned_text).  Extend this tuple whenever
+# a query introduces a new full-text alias — grams, hashes, signatures,
+# and per-token explode outputs are fine to shuffle; whole documents are
+# not.  Matched as whole attribute names in Spark's attr#id notation (a
+# bare "t#" substring would false-positive on e.g. c_mktsegment#13364).
+import re
+
+FULL_TEXT_ATTRS = ("text", "t", "cleaned_text")
+_FULL_TEXT_RE = re.compile(
+    r"(?<![A-Za-z0-9_])(?:" + "|".join(FULL_TEXT_ATTRS) + r")#\d"
+)
+
+
+def _assert_no_full_text_in_exchange(name: str, plan: str) -> None:
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            m = _FULL_TEXT_RE.search(line)
+            assert m is None, (name, m.group(0) if m else None, line)
+
+
 def test_no_collect_style_plans(spark, sf_dir):
     """Registry-wide plan invariants: CartesianProduct is banned everywhere
     (no driver funnels / all-pairs stages), and no plan may carry the raw
-    documents.text column through an Exchange — at 100 TB the shuffle
-    carries hashes, grams, and signatures, never documents."""
+    documents.text column — or any full-text alias of it — through an
+    Exchange: at 100 TB the shuffle carries hashes, grams, and signatures,
+    never documents."""
     for name, spec in SPECS.items():
         if name.startswith(("q7", "q8")) and "jdbc" in name:
             continue
         df = spec.fn(spark, sf_dir)
         p = plans.executed_plan(df)
         assert "CartesianProduct" not in p, name
-        for line in p.splitlines():
-            if "Exchange" in line:
-                assert "text#" not in line, (name, line)
+        _assert_no_full_text_in_exchange(name, p)
 
 
 def test_q18_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
@@ -159,6 +180,65 @@ def test_q109_only_hashes_shuffle(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "LeftAnti" in p
     # text appears only inside the scan/md5 projection, not in exchanges:
-    for line in p.splitlines():
-        if "Exchange" in line:
-            assert "text#" not in line
+    _assert_no_full_text_in_exchange("q109_incremental_dedup", p)
+
+
+def test_q101_merge_is_key_equi_full_outer(spark, sf_dir):
+    """MERGE semantics must plan as ONE key-equi full-outer join (the
+    Delta/Iceberg MERGE shape): two CDC aggregations + the join exchange,
+    never a nested-loop or per-row lookup."""
+    df = SPECS["q101_merge_upsert"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "FullOuter" in p
+    assert "BroadcastNestedLoop" not in p
+    plans.assert_no_cartesian(df)
+    # update-agg + insert-agg + merge-key join = exactly three exchanges
+    assert plans.count_exchanges(df) == 3
+    # the insert branch's key filter reaches the parquet reader
+    plans.assert_pushed_filters(df, "LessThan(o_custkey,50)")
+
+
+def test_q102_scd2_single_dimension_key_exchange(spark, sf_dir):
+    """SCD2 builds the whole validity history with ONE shuffle on the
+    dimension key (lead() window) — no self-join — and the key filter is
+    pushed to the scan."""
+    df = SPECS["q102_scd2_build"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    plans.assert_pushed_filters(df, "LessThan(o_custkey,500)")
+
+
+def test_q105_gram_agg_bounded_output_topk(spark, sf_dir):
+    """Duplicated-span detection: positioned n-gram explode feeds a
+    two-phase distinct aggregation (grams partial-aggregate map-side), and
+    the top-k is TakeOrderedAndProject, never a global sort of the gram
+    vocabulary."""
+    df = SPECS["q105_dup_ngram_spans"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    # (gram, doc_id) distinct exchange + gram rollup exchange — nothing more
+    assert plans.count_exchanges(df) == 2
+    assert "TakeOrderedAndProject" in p
+    plans.assert_no_cartesian(df)
+
+
+def test_q110_partition_pruning_and_rowgroup_pushdown(spark, sf_dir):
+    """The range layout must actually pay off at scan time: event_type
+    becomes a PartitionFilter (directory pruning) and user_id reaches the
+    parquet reader as a pushed filter (row-group min/max skipping), with
+    zero exchanges in the read-back."""
+    df = SPECS["q110_range_layout_scan"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    scan = next(ln for ln in p.splitlines() if "FileScan" in ln)
+    part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in part and "click" in part, scan
+    plans.assert_pushed_filters(df, "LessThanOrEqual(user_id,50)")
+    assert plans.count_exchanges(df) == 0
+
+
+def test_q112_one_window_exchange_per_lang_shard(spark, sf_dir):
+    """Sequence packing is one running-sum window PARTITION BY lang: a
+    single exchange on the shard key, never a global single-partition
+    sort."""
+    df = SPECS["q112_sequence_packing"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    p = plans.executed_plan(df)
+    assert "SinglePartition" not in p

@@ -75,6 +75,32 @@ def test_range_layout_prunes_partitions_and_pushes_predicates(
     assert back.count() == ev.count()
 
 
+def test_wholetext_size_guard_uses_hadoop_fs_api(spark, tmp_path):
+    """The wholetext header-skip path refuses files over the size cap via
+    the Hadoop FileSystem API, so the guard covers every URI scheme Spark
+    can read (file:, hdfs://, s3a://) — not just os.walk-able local paths.
+    Exercised here through an explicit file: URI, which the old local-stat
+    implementation passed through unguarded."""
+    from hdfs_hive_sql_playground_spark.sources.text import read_text_files
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "ok.txt").write_text("h1\nh2\nrow1\nrow2\n")
+    (d / "big.txt").write_text("h1\nh2\n" + "x" * 4096 + "\n")
+    (d / "_hidden.txt").write_text("y" * 4096)  # FileInputFormat skips these
+    uri = f"file://{d}"
+
+    with pytest.raises(ValueError, match="big.txt"):
+        read_text_files(spark, uri, skip_header_lines=2, max_file_bytes=1024)
+
+    # Under the cap the same URI reads fine (hidden oversize file ignored),
+    # and the guard is metadata-only — values are unaffected.
+    rows = read_text_files(spark, uri, skip_header_lines=2, max_file_bytes=8192)
+    got = {r.row_str for r in rows.collect()}
+    assert {"row1", "row2", "x" * 4096} <= got
+    assert not any(r.startswith("y") for r in got)  # hidden file never read
+
+
 def test_range_layout_bounds_file_count(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     out = os.path.join(str(tmp_path), "events_layout_files")

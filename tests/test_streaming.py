@@ -211,6 +211,37 @@ def test_streaming_jdbc_sink_idempotent_on_batch_replay(spark, sf_dir):
     assert read_jdbc(spark, url, "idem").count() == 2 * n1
 
 
+def test_streaming_jdbc_sink_delete_failure_propagates(spark, sf_dir):
+    """Only a not-yet-created table may skip the replay DELETE. Any other
+    DELETE failure (here: the target exists but lacks the batch_stamp
+    column, standing in for lock timeouts / permission errors) must fail
+    the microbatch — a swallowed DELETE followed by a successful append
+    would duplicate replayed rows."""
+    import pytest
+
+    from hdfs_hive_sql_playground_spark.sources.jdbc import (
+        jdbc_ddl,
+        jdbc_table_exists,
+        read_jdbc,
+    )
+
+    url = "jdbc:derby:memory:streamdelfail;create=true"
+    jdbc_ddl(spark, url, "CREATE TABLE nostamp (user_id BIGINT, n_events BIGINT)")
+    assert jdbc_table_exists(spark, url, "nostamp")
+    assert not jdbc_table_exists(spark, url, "never_created")
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .limit(5)
+    )
+    sink = streaming.make_jdbc_batch_sink(url, "nostamp")
+    with pytest.raises(Exception, match="(?i)batch_stamp"):
+        sink(batch, 1)
+    # Nothing was appended after the failed DELETE.
+    assert read_jdbc(spark, url, "nostamp").count() == 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     sink = streaming.run_to_memory(
         streaming.stream_stream_join(streaming.stream_events(spark, events_dir)),
