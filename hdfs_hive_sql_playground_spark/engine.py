@@ -39,11 +39,16 @@ class Engine:
     # -- lifecycle (A27-A29) -------------------------------------------------
 
     def start(self) -> "Engine":
+        from hdfs_hive_sql_playground_spark.thrift import SINGLE_SESSION_CONF
+
+        # singleSession is static (build-time): harmless when no Thrift
+        # server is started, required for wire clients to share the
+        # engine's session when one is (serve_thrift).
         self._spark = get_spark(
             app_name=self.app_name,
             master=self.master,
             warehouse_dir=self.warehouse_dir,
-            conf=self.conf,
+            conf={**SINGLE_SESSION_CONF, **self.conf},
         )
         return self
 
@@ -203,6 +208,17 @@ class Engine:
 
     def _catalog_is_hive(self) -> bool:
         return self.spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+
+    def serve_thrift(self, host: str = "127.0.0.1", port: int | None = None):
+        """Start the HiveServer2 wire boundary over this engine's session
+        (the reference's ``hiveserver2`` on ``hs:10000``,
+        ``playground.py:672-677``; beeline client ``bee.sh:2``). Returns a
+        :class:`..thrift.ThriftServer` handle — every view the engine has
+        registered is queryable by any HiveServer2 JDBC/ODBC client at
+        ``handle.url``. Call ``handle.stop()`` to tear down."""
+        from hdfs_hive_sql_playground_spark.thrift import start_thrift_server
+
+        return start_thrift_server(self.spark, host=host, port=port)
 
     def exec_sql(self, sql: str) -> DataFrame:
         """``exec-hive-query`` analog: arbitrary SQL, with ``field()``,

@@ -1,0 +1,144 @@
+"""HiveServer2 wire boundary: serve the engine's session over the Thrift
+JDBC/ODBC protocol and query it back as a wire client.
+
+Reference basis (SURVEY §3.1, scoped optional): the reference runs
+HiveServer2 on its ``hs`` node (``playground.py:672-677`` launches
+``hiveserver2`` listening on 10000) and its only interactive client is
+beeline over JDBC (``bin/helper-scripts/bee.sh:2`` —
+``beeline -u jdbc:hive2://hs:10000``). Spark ships the same boundary:
+``HiveThriftServer2.startWithContext`` serves an existing SparkSession on
+the identical wire protocol, so beeline / Tableau / DBeaver / any
+HiveServer2 JDBC client works unchanged.
+
+Design decisions:
+
+- **singleSession**: the served session IS the engine's session
+  (``spark.sql.hive.thriftServer.singleSession=true``, a static conf the
+  engine sets at build). Wire clients see every temp view the engine
+  registered, and wire-side DDL is visible to the engine — matching the
+  reference's one-HiveServer2 topology.
+- The port/bind-host are runtime-set on the Hadoop conf just before
+  server start, so callers pick free ports without rebuilding sessions.
+- The client half (:func:`wire_sql`) uses the in-JVM ``hive-jdbc`` driver
+  through ``java.sql.DriverManager`` — a genuine localhost Thrift
+  round-trip (connect → execute → fetch), not an in-process shortcut; no
+  Python-side JDBC dependency.
+
+At scale this is the serving boundary, not the data path: results that
+cross it should be final aggregates/LIMITed fetches (the reference used
+it the same way — ``SELECT TOP``-style verification reads).
+"""
+
+from __future__ import annotations
+
+import socket
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+SINGLE_SESSION_CONF = {"spark.sql.hive.thriftServer.singleSession": "true"}
+
+
+def _free_port(host: str) -> int:
+    with socket.socket() as s:
+        s.bind((host, 0))
+        return s.getsockname()[1]
+
+
+@dataclass
+class ThriftServer:
+    """Handle for a running in-process HiveServer2 (stop with .stop())."""
+
+    host: str
+    port: int
+    _jserver: Any
+    _spark: SparkSession
+
+    @property
+    def url(self) -> str:
+        return f"jdbc:hive2://{self.host}:{self.port}/default"
+
+    def stop(self) -> None:
+        if self._jserver is not None:
+            self._jserver.stop()
+            self._jserver = None
+
+
+def start_thrift_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int | None = None,
+    timeout_s: float = 30.0,
+) -> ThriftServer:
+    """Serve ``spark``'s session over the HiveServer2 Thrift protocol.
+
+    Blocks until the listener accepts TCP connections (or raises after
+    ``timeout_s``). ``port=None`` picks a free port. For wire clients to
+    see the engine's temp views, the session must have been built with
+    ``SINGLE_SESSION_CONF`` (the engine does this by default); without it
+    each connection gets an isolated Spark session — still functional,
+    but only global/catalog objects are visible.
+    """
+    if port is None:
+        port = _free_port(host)
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.set("hive.server2.thrift.port", str(port))
+    hconf.set("hive.server2.thrift.bind.host", host)
+    jserver = spark._jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+        spark._jsparkSession.sqlContext()
+    )
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection((host, port), timeout=1.0):
+                return ThriftServer(host=host, port=port, _jserver=jserver, _spark=spark)
+        except OSError:
+            time.sleep(0.25)
+    jserver.stop()
+    raise TimeoutError(f"thrift server did not listen on {host}:{port} within {timeout_s}s")
+
+
+def wire_sql(
+    spark: SparkSession, url: str, sql: str, user: str = "anon"
+) -> list[tuple]:
+    """Execute ``sql`` over the wire as a JDBC client (beeline analog) and
+    fetch all rows as Python tuples. Uses the in-JVM hive-jdbc driver —
+    a real localhost Thrift round-trip."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url, user, "")
+    try:
+        st = conn.createStatement()
+        try:
+            has_rs = st.execute(sql)
+            if not has_rs:
+                return []
+            rs = st.getResultSet()
+            meta = rs.getMetaData()
+            n = meta.getColumnCount()
+            out: list[tuple] = []
+            while rs.next():
+                out.append(tuple(rs.getObject(i + 1) for i in range(n)))
+            rs.close()
+            return out
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def wire_tables(spark: SparkSession, url: str, user: str = "anon") -> list[str]:
+    """List table/view names over the wire via JDBC DatabaseMetaData —
+    what beeline's ``!tables`` issues."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url, user, "")
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        names = []
+        while rs.next():
+            names.append(rs.getString(3))
+        rs.close()
+        return sorted(names)
+    finally:
+        conn.close()

@@ -1,0 +1,34 @@
+"""HiveServer2 wire-boundary parity (SURVEY §3.1): the engine serves its
+session over the Thrift JDBC protocol and a wire client sees exactly the
+in-process results, can issue DDL back into the shared session, and can
+enumerate tables — the reference's hs-node + beeline topology
+(``playground.py:672-677``, ``bee.sh:2``).
+
+Runs in a subprocess: ``spark.sql.hive.thriftServer.singleSession`` is a
+static conf the already-running test session doesn't carry, and the
+Thrift listener wants its own JVM lifecycle (same pattern as
+test_hive_ddl)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_thrift_wire_boundary_end_to_end():
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "run_thrift_server.py"), sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    out = proc.stdout
+    assert "THRIFT_OK wire==inprocess" in out, out[-2000:] + proc.stderr[-2000:]
+    assert "THRIFT_OK wire-ddl-visible-to-engine" in out, out[-2000:]
+    assert "THRIFT_OK metadata" in out, out[-2000:]
+    assert proc.returncode == 0
