@@ -255,6 +255,21 @@ def main() -> None:
     if run_m33:
         _bench_m33(spark, timings)
 
+    # Warm each benched query once at the tiny SF before timing: a plan's
+    # first execution pays Janino/JIT compilation of its generated code
+    # (measured on q99: 6.2 s cold vs 1.2-2.0 s warm at sf0.1 — compiler,
+    # not engine), and the generated code is identical across scale
+    # factors, so a sf0.001 pass fills the codegen cache for pennies.
+    # This also makes the x8 trend ratios honest: previously the x8 leg
+    # inherited the x1 leg's compile for free, understating the slope.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_sf):
+        for spec in specs.values():
+            spec.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+
+    # Drain warm-up + m33 garbage so the first timed queries don't absorb
+    # the export's GC debt.
+    _quiesce(spark)
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
