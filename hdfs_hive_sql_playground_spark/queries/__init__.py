@@ -63,6 +63,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q111_grouped_map_demean",
     "q112_sequence_packing",
     "q113_collapse_repeats",
+    "q114_pii_redact",
     "q81_minhash_lsh_neardup",
     # backfill: round-2-vintage greens on changed code paths first
     "q70_m33_schem_view",
@@ -101,7 +102,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q58_posexplode_lateral",
     "q59_values_inline",
     "q60_json_extract",
-    "q48_hash_funcs",
 )
 
 

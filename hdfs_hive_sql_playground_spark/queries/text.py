@@ -637,3 +637,65 @@ def q113_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("cleaned_text"),
         (F.size(w) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+# PII redaction (the C4/RefinedWeb-style scrub pass that runs before any
+# text ships to training): emails, NANP-style phone numbers, and IPv4
+# addresses replaced with typed placeholders. Patterns are deliberately
+# RE2-compatible (no backrefs/lookarounds) so Spark's Java regex and the
+# DuckDB oracle's RE2 produce byte-identical output.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "q114_pii_redact",
+    oracle=f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel 555-123-4567 host 10.0.0.'
+                  || CAST(doc_id % 250 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips
+    FROM salted
+    """,
+    doc="PII redaction: emails / phone numbers / IPv4 replaced with typed "
+    "placeholders, plus per-doc hit counts. Deterministic synthetic PII is "
+    "appended per doc_id so the redaction paths are exercised on every row "
+    "and cross-engine hash equality proves byte-identical rewrites. Pure "
+    "zero-shuffle projection (regexp_replace chain in one map-side pass) — "
+    "the 100 TB scrub is embarrassingly parallel and the redacted text "
+    "never enters an exchange.",
+)
+def q114_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-123-4567 host 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("bigint").alias("n_ips"),
+    )

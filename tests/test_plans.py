@@ -47,7 +47,7 @@ def test_q80_dedup_single_exchange(spark, sf_dir):
 # bare "t#" substring would false-positive on e.g. c_mktsegment#13364).
 import re
 
-FULL_TEXT_ATTRS = ("text", "t", "cleaned_text")
+FULL_TEXT_ATTRS = ("text", "t", "cleaned_text", "redacted")
 _FULL_TEXT_RE = re.compile(
     r"(?<![A-Za-z0-9_])(?:" + "|".join(FULL_TEXT_ATTRS) + r")#\d"
 )
@@ -231,6 +231,13 @@ def test_q110_partition_pruning_and_rowgroup_pushdown(spark, sf_dir):
     part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in part and "click" in part, scan
     plans.assert_pushed_filters(df, "LessThanOrEqual(user_id,50)")
+    assert plans.count_exchanges(df) == 0
+
+
+def test_q114_pii_redact_zero_shuffle(spark, sf_dir):
+    """PII scrubbing is a pure map-side regexp_replace chain: no exchange,
+    and the redacted text never leaves the projection."""
+    df = SPECS["q114_pii_redact"].fn(spark, sf_dir)
     assert plans.count_exchanges(df) == 0
 
 

@@ -101,6 +101,46 @@ def test_wholetext_size_guard_uses_hadoop_fs_api(spark, tmp_path):
     assert not any(r.startswith("y") for r in got)  # hidden file never read
 
 
+def test_header_skip_line_semantics_edge_cases(spark, tmp_path):
+    """The wholetext header-skip path must emit exactly the lines a Hive
+    LineRecordReader would after skipping k header lines per file: the
+    phantom empty record from ONE trailing final newline is dropped,
+    interior blank lines stay data, files shorter than the skip produce
+    nothing, and a file not ending in a newline keeps its last line.
+    Pinned because round 3 changed these semantics and round 4 rewrote
+    the implementation (string-level trailing-newline strip)."""
+    from hdfs_hive_sql_playground_spark.sources.text import read_text_files
+
+    cases = {
+        # filename: (content, expected rows after skip=2)
+        "trailing_nl.txt": ("h1\nh2\na\nb\n", ["a", "b"]),
+        "no_trailing_nl.txt": ("h1\nh2\na\nb", ["a", "b"]),
+        "interior_blanks.txt": ("h1\nh2\na\n\nb\n", ["a", "", "b"]),
+        "ends_blank_line.txt": ("h1\nh2\na\n\n", ["a", ""]),
+        "only_headers.txt": ("h1\nh2\n", []),
+        "short_file.txt": ("h1\n", []),
+        "empty_file.txt": ("", []),
+    }
+    d = tmp_path / "hdr"
+    d.mkdir()
+    for fname, (content, _) in cases.items():
+        (d / fname).write_text(content)
+
+    df = read_text_files(spark, str(d), skip_header_lines=2)
+    got: dict[str, list[str]] = {k: [] for k in cases}
+    for r in df.collect():
+        got[r.input_file.rsplit("/", 1)[-1]].append(r.row_str)
+    for fname, (_, expect) in cases.items():
+        assert sorted(got[fname]) == sorted(expect), (fname, got[fname], expect)
+
+    # And the no-skip path agrees with plain line reading (no phantom drop
+    # beyond what spark.read.text itself does).
+    plain = read_text_files(spark, str(d / "interior_blanks.txt"))
+    assert sorted(r.row_str for r in plain.collect()) == sorted(
+        ["h1", "h2", "a", "", "b"]
+    )
+
+
 def test_range_layout_bounds_file_count(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     out = os.path.join(str(tmp_path), "events_layout_files")
