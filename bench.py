@@ -160,14 +160,19 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
         timings[f"trend_ctas_x{TREND_SCALE}_over_x1_ratio"] = round(wall / base, 3)
 
 
-# Documents-table scale trend: the testdata documents/embeddings tables grow
-# only at sf0.1 (5k rows), so LLM-operator timings alone are small-data. To
-# show the slope, replicate documents 8x (doc_ids remapped unique, exact-dup
-# group sizes 8x) into a cached fixture and re-time the linear-path corpus
-# ops. trend_* naming keeps these out of the wall-clock total, same as the
-# m33 trend.
+# Corpus scale trend: the testdata documents/embeddings tables grow only at
+# sf0.1 (5k rows), so LLM-operator timings alone are small-data. To show the
+# slope, replicate documents AND embeddings 8x (ids remapped unique,
+# exact-dup group sizes 8x, IVF cells 8x fuller while the query set stays
+# fixed) into a cached fixture and re-time the corpus ops. trend_* naming
+# keeps these out of the wall-clock total, same as the m33 trend.
 DOC_TREND_SCALE = 8
-DOC_TREND_QUERIES = ("q80_exact_dedup", "q91_quality_score", "q104_heavy_hitters")
+DOC_TREND_QUERIES = (
+    "q80_exact_dedup",
+    "q91_quality_score",
+    "q104_heavy_hitters",
+    "q86_ivf_ann_topk",
+)
 
 
 def _ensure_doc_trend(spark, sf_dir: str) -> str:
@@ -176,20 +181,25 @@ def _ensure_doc_trend(spark, sf_dir: str) -> str:
     from hdfs_hive_sql_playground_spark.tables import load
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}")
+    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}_v2")
     marker = os.path.join(trend_dir, ".complete")
     if not os.path.exists(marker):
-        docs = load(spark, sf_dir, "documents")
-        n = docs.count()
-        big = (
-            docs.select(
-                F.explode(F.sequence(F.lit(0), F.lit(DOC_TREND_SCALE - 1))).alias("_r"),
-                "*",
+        for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+            src = load(spark, sf_dir, table)
+            n = src.count()
+            big = (
+                src.select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(DOC_TREND_SCALE - 1))
+                    ).alias("_r"),
+                    "*",
+                )
+                .withColumn(id_col, F.col(id_col) + F.col("_r") * n)
+                .drop("_r")
             )
-            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * n)
-            .drop("_r")
-        )
-        big.write.mode("overwrite").parquet(os.path.join(trend_dir, "documents.parquet"))
+            big.write.mode("overwrite").parquet(
+                os.path.join(trend_dir, f"{table}.parquet")
+            )
         with open(marker, "w") as f:
             f.write("ok\n")
     return trend_dir

@@ -13,6 +13,7 @@ Dropped verbs are the Docker/daemon plumbing that has no Spark analog
 | sqoop-export                | m33-export      |
 | sql-exec-query (TOP n read) | exec-sql with TOP rewrite |
 | (runall.py pipeline)        | m33-pipeline    |
+| start-* (hiveserver2 on hs) | serve-thrift    |
 
 Usage: python -m hdfs_hive_sql_playground_spark.cli <verb> [args]
 """
@@ -57,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--num-partitions", type=int, default=4)
     exp.add_argument("--batchsize", type=int, default=1000)
 
+    srv = sub.add_parser(
+        "serve-thrift",
+        help="serve the session over the HiveServer2 wire protocol "
+        "(start-hiveserver2 analog; connect with any hive2 JDBC client)",
+    )
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=None, help="default: a free port")
+    srv.add_argument("--testdata", default=None, help="sf dir to register as views")
+    srv.add_argument("--m33", action="store_true", help="register m33_raw/m33_schem views")
+
     args = p.parse_args(argv)
     eng = Engine(master=args.master).start()
     try:
@@ -86,6 +97,20 @@ def main(argv: list[str] | None = None) -> int:
             eng.m33_ctas()
             n = eng.m33_export(args.jdbc_url, num_partitions=args.num_partitions, batchsize=args.batchsize)
             print(f"exported + verified rows: {n}")
+        elif args.verb == "serve-thrift":
+            if args.testdata:
+                eng.register_testdata(args.testdata)
+            if args.m33:
+                eng.m33_create_views()
+            server = eng.serve_thrift(host=args.host, port=args.port)
+            print(f"listening: {server.url}", flush=True)
+            try:
+                import time
+
+                while True:
+                    time.sleep(60)
+            except KeyboardInterrupt:
+                server.stop()
     finally:
         eng.stop()
     return 0

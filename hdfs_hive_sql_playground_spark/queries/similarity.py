@@ -217,6 +217,7 @@ def q85_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN: probe the 2 nearest cells per query, rank candidates only "
     "from probed cells — the scale path (cost ~ n_queries · n/N_CELLS · "
     "PROBE_CELLS instead of n_queries · n).",
+    bench=True,
 )
 def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _assignments(spark, sf_dir)

@@ -234,6 +234,30 @@ def test_q110_partition_pruning_and_rowgroup_pushdown(spark, sf_dir):
     assert plans.count_exchanges(df) == 0
 
 
+def test_q99_composed_pipeline_bounded_exchanges(spark, sf_dir):
+    """The end-to-end curation pipeline (quality → dedup → LID → quota)
+    composes as ONE plan with a bounded number of key-narrow exchanges —
+    no stage multiplies shuffles, the lexicon joins broadcast, and nothing
+    plans nested-loop/cartesian."""
+    df = SPECS["q99_curation_pipeline"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 6
+    assert "BroadcastNestedLoop" not in p
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q99_curation_pipeline", p)
+
+
+def test_q103_srp_lsh_is_bucketed_equi_join(spark, sf_dir):
+    """SRP-LSH near-dup must candidate-pair via (band, signature) equi
+    joins with broadcast small sides — an all-pairs Hamming comparison
+    would plan a nested-loop."""
+    df = SPECS["q103_srp_lsh_neardup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastNestedLoop" not in p
+    plans.assert_no_cartesian(df)
+    assert plans.count_exchanges(df) <= 4
+
+
 def test_q114_pii_redact_zero_shuffle(spark, sf_dir):
     """PII scrubbing is a pure map-side regexp_replace chain: no exchange,
     and the redacted text never leaves the projection."""
