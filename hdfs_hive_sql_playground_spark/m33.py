@@ -31,7 +31,11 @@ SKIP_HEADER_LINES = 3  # TBLPROPERTIES("skip.header.line.count"="3")
 AGE_PATTERN = r"(hmix\.a)(\d*)"
 
 
-def m33_raw(spark: SparkSession, base_dir: str | None = None) -> DataFrame:
+def m33_raw(
+    spark: SparkSession,
+    base_dir: str | None = None,
+    per_file_cols: dict | None = None,
+) -> DataFrame:
     """The raw external table: one STRING row per data line, partitioned by
     ``peculiarity`` ∈ {cp, nocp} (partition value from the catalog map)."""
     base = base_dir or DEFAULT_M33_DIR
@@ -40,15 +44,27 @@ def m33_raw(spark: SparkSession, base_dir: str | None = None) -> DataFrame:
         partitions={"cp": os.path.join(base, "cp"), "nocp": os.path.join(base, "nocp")},
         partition_col=PARTITION_COL,
         skip_header_lines=SKIP_HEADER_LINES,
+        per_file_cols=per_file_cols,
     )
 
 
 def m33_schem(spark: SparkSession, base_dir: str | None = None) -> DataFrame:
-    """The typed projection view over the raw rows."""
-    raw = m33_raw(spark, base_dir)
+    """The typed projection view over the raw rows.
+
+    The filename-derived ``age_mil`` is computed once per FILE (hoisted
+    above the line explode via ``per_file_cols``), not once per line —
+    per-row evaluation of the same regexp on 2.8 M identical path strings
+    measured ~1 s of pure waste in the CTAS."""
+    raw = m33_raw(
+        spark,
+        base_dir,
+        per_file_cols={
+            "age_mil": lambda f: F.regexp_extract(f, AGE_PATTERN, 2).cast("bigint")
+        },
+    )
     data = F.split(F.trim(F.col("row_str")), "  ")
     return raw.select(
-        F.regexp_extract(F.col("input_file"), AGE_PATTERN, 2).cast("bigint").alias("age_mil"),
+        "age_mil",
         data.getItem(0).cast("double").alias("wavelength"),
         data.getItem(1).cast("double").alias("flam"),
         (field(F.col(PARTITION_COL), "nocp", "cp") - 1).cast("int").alias("is_peculiar"),
