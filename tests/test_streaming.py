@@ -184,6 +184,48 @@ def test_streaming_jdbc_export_foreachbatch(spark, sf_dir, events_dir, tmp_path)
     assert exported.count() == want
 
 
+def test_streaming_checkpoint_restart_exports_only_new_data(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Restart semantics: a second run of the export stream from the SAME
+    checkpoint must pick up exactly the files added since the first run —
+    no re-export of already-committed batches, no gaps. This is the
+    production restart path (availableNow drain → process exits → new data
+    lands → next drain resumes from the checkpoint)."""
+    from hdfs_hive_sql_playground_spark.sources.jdbc import jdbc_ddl, read_jdbc
+
+    src = str(tmp_path / "src")
+    ev = spark.read.parquet(events_dir)
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    url = "jdbc:derby:memory:streamrestart;create=true"
+    jdbc_ddl(
+        spark, url,
+        "CREATE TABLE restarts (event_id BIGINT, user_id BIGINT, batch_stamp BIGINT)",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = streaming.export_stream_jdbc(
+            streaming.stream_events(spark, src).select("event_id", "user_id"),
+            url,
+            "restarts",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    drain()
+    assert read_jdbc(spark, url, "restarts").count() == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    drain()  # restart from the same checkpoint
+    out = read_jdbc(spark, url, "restarts")
+    assert out.count() == ev.count()  # nothing re-exported, nothing missed
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
 def test_streaming_jdbc_sink_idempotent_on_batch_replay(spark, sf_dir):
     """A microbatch replayed with the same checkpointed batch_id (the
     foreachBatch at-least-once failure mode) must not duplicate target
