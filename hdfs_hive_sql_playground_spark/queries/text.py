@@ -699,3 +699,90 @@ def q114_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("bigint").alias("n_ips"),
     )
+
+
+# Domain mixing (the data-mixing stage of a training pipeline, cf. the
+# temperature-weighted sampling of GPT-3 / DoReMi): per-source token masses
+# are re-weighted with temperature alpha=0.5 — weight_s = sqrt(tokens_s) —
+# flattening the natural distribution so small domains are over-sampled,
+# then each source keeps its docs (in deterministic doc_id order) until its
+# token quota is spent. ALL arithmetic is integer-exact across engines:
+# isqrt via floor(sqrt(double)) (sqrt is correctly rounded IEEE in both),
+# quotas via bigint multiply/divide, cutoffs via bigint running sums — no
+# float accumulation anywhere, so the oracle hash is exact.
+MIX_TOKEN_BUDGET = 20_000
+
+
+@register(
+    "q115_domain_mix_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    w AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS wt
+      FROM tok GROUP BY source
+    ),
+    q AS (
+      SELECT source,
+             CAST(({MIX_TOKEN_BUDGET} * wt) // (SELECT SUM(wt) FROM w) AS BIGINT)
+               AS quota_tok
+      FROM w
+    )
+    SELECT t.doc_id, t.source, t.n_tok, q.quota_tok,
+           CAST(CASE WHEN SUM(t.n_tok) OVER (PARTITION BY t.source
+                                             ORDER BY t.doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                          <= q.quota_tok
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM tok t JOIN q ON t.source = q.source
+    """,
+    doc="Temperature-weighted domain mixing (alpha=0.5): per-source token "
+    "masses re-weighted by integer sqrt, token quotas assigned by exact "
+    "bigint arithmetic, and each source keeps docs in deterministic doc_id "
+    "order until its quota is spent. Plan: one tiny per-source aggregate "
+    "broadcast back onto the corpus + one window shuffle on source — the "
+    "mixing decision for 100 TB costs one exchange. Completes the pipeline "
+    "family: quality -> dedup -> LID -> pack -> MIX.",
+)
+def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(_words(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = tok.groupBy("source").agg(
+        F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("bigint").alias("wt")
+    )
+    total = w.agg(F.sum("wt").alias("wt_total"))
+    quotas = F.broadcast(
+        w.crossJoin(F.broadcast(total)).select(
+            "source",
+            # integer `div`, NOT `/`: float-divide-then-cast truncates on
+            # Spark but rounds on DuckDB — off-by-one quotas cross-engine
+            F.expr(f"({MIX_TOKEN_BUDGET}L * wt) div wt_total").alias("quota_tok"),
+        )
+    )
+    cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.join(quotas, "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "quota_tok",
+        F.when(F.sum("n_tok").over(cum) <= F.col("quota_tok"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+

@@ -265,6 +265,17 @@ def test_q114_pii_redact_zero_shuffle(spark, sf_dir):
     assert plans.count_exchanges(df) == 0
 
 
+def test_q115_domain_mix_broadcasts_quotas(spark, sf_dir):
+    """Domain mixing: the per-source quota table (tiny) must broadcast
+    onto the corpus; the only single-partition exchange is the one-row
+    weight total; no cartesian anywhere."""
+    df = SPECS["q115_domain_mix_sample"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert plans.count_broadcast_joins(df) >= 1
+    assert p.count("SinglePartition") == 1
+
+
 def test_q112_one_window_exchange_per_lang_shard(spark, sf_dir):
     """Sequence packing is one running-sum window PARTITION BY lang: a
     single exchange on the shard key, never a global single-partition
