@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q113_collapse_repeats",
     "q114_pii_redact",
     "q115_domain_mix_sample",
+    "q116_canonical_per_cluster",
     "q81_minhash_lsh_neardup",
     # backfill: round-2-vintage greens on changed code paths first
     "q70_m33_schem_view",
@@ -101,7 +102,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q54_cte_multi_ref",
     "q57_script_transform",
     "q58_posexplode_lateral",
-    "q59_values_inline",
 )
 
 

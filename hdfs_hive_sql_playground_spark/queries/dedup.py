@@ -487,6 +487,81 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+@register(
+    "q116_canonical_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') w
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM words WHERE len(w) >= 3
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+      FROM reach GROUP BY src
+    ),
+    tokc AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE doc_id < 100
+    ),
+    full_assign AS (
+      SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component, t.n_tok
+      FROM tokc t LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component, n_tok,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY component
+                                             ORDER BY n_tok DESC, doc_id) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+    FROM full_assign
+    """,
+    doc="Canonical-document selection — the dedup DECISION step that "
+    "follows clustering: every doc (singletons included, as their own "
+    "component) is assigned to its near-dup cluster (q87's capped-graph "
+    "label propagation) and each cluster keeps its longest document (ties "
+    "broken by doc_id) — the keep-longest retention policy common in "
+    "production dedup. Integer-only ranking keys, so the choice is "
+    "cross-engine deterministic. Adds ONE window exchange on component on "
+    "top of q87's per-iteration doc_id shuffles.",
+)
+def q116_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    comp = q87_neardup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tokc = d.select("doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("n_tok"))
+    assigned = tokc.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_tok",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return assigned.select(
+        "doc_id",
+        "component",
+        "n_tok",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int").alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q98 banded SimHash near-dup (Hamming-LSH, fully oracle-checked)
 # ---------------------------------------------------------------------------
