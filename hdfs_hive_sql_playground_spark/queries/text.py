@@ -10,6 +10,8 @@ shape that streams at 100 TB (no shuffle wider than the output).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +37,144 @@ def _lex_values_sql() -> str:
         f"('{lang}', '{w}')" for lang, ws in sorted(LEXICON.items()) for w in ws
     )
     return f"(VALUES {rows}) AS lex(lang, word)"
+
+
+# ---------------------------------------------------------------------------
+# Two-pass bucketed prefix machinery
+#
+# A running sum / row_number over ``PARTITION BY <stratum>`` is the classic
+# 100 TB scale-killer when the stratum key is low-cardinality (languages,
+# source domains: tens of values): one executor ends up sorting an entire
+# language.  The scale-safe shape is the textbook parallel prefix scan,
+# done as TWO bounded passes:
+#
+#   1. bucket each row by an order-preserving split of the ORDER BY key
+#      (doc_id ranges, or an md5-prefix for hash-order sampling), window
+#      over the COMPOSITE key (stratum, bucket) — every partition is
+#      bounded by the bucket width, never by the stratum's share of the
+#      corpus;
+#   2. aggregate one total per (stratum, bucket) — this table is bounded
+#      by (#strata x #buckets) rows of three longs, NOT by the corpus —
+#      prefix-sum it with a window over the tiny table, and join the
+#      per-bucket offsets back on (stratum, bucket).
+#
+# local + offset is bit-identical to the single-window result (integer
+# arithmetic, same total order), so the DuckDB oracles are unchanged.
+#
+# Plan notes: the per-bucket totals aggregate GROUPs BY the same composite
+# key the window partitioned on, so it reuses that partitioning with no
+# new exchange; the only bare-stratum exchange left in the plan carries
+# the bounded totals table.  The offsets join back is key-equi on the
+# composite key — the corpus side is already partitioned on it.
+# ---------------------------------------------------------------------------
+
+# doc_id-range bucket width for running sums.  Rows carried into these
+# windows are narrow (key + stratum + one int64), so 1 Mi rows per bucket
+# is ~30-40 MB per partition at 100 TB; the totals table is corpus_rows /
+# width entries per stratum.  Env-tunable so the skew bench and the
+# multi-bucket tests can exercise many buckets at small SF.
+CUMSUM_BUCKET_WIDTH = int(os.environ.get("SPARK_GRAFT_CUMSUM_BUCKET_WIDTH", 1 << 20))
+
+# Hex-prefix length for hash-order (md5) bucketing: 4 chars = 65 536
+# buckets, so even a 40%-of-corpus language splits into partitions of
+# stratum_rows / 65 536 narrow rows.
+MD5_BUCKET_PREFIX = int(os.environ.get("SPARK_GRAFT_MD5_BUCKET_PREFIX", 4))
+
+
+def _bucketed_running_sum(
+    df: DataFrame,
+    stratum: str,
+    order_col: str,
+    value: str,
+    alias: str,
+) -> DataFrame:
+    """Exact running sum of ``value`` over ``PARTITION BY stratum ORDER BY
+    order_col ROWS UNBOUNDED PRECEDING`` computed as a two-pass bucketed
+    prefix scan (see module comment).  ``order_col`` must be a unique
+    non-negative integer key (doc_id)."""
+    from pyspark.sql.window import Window
+
+    width = CUMSUM_BUCKET_WIDTH
+    b = df.withColumn("__bucket", F.expr(f"{order_col} div {width}"))
+    local_w = (
+        Window.partitionBy(stratum, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = b.withColumn("__local", F.sum(value).over(local_w))
+    # Per-bucket totals aggregate the INPUT, not the window output: the
+    # second plan branch then costs one re-scan plus a map-side partial
+    # aggregation whose shuffle carries <= (#strata x #buckets) rows —
+    # never a second full corpus exchange (window branches don't qualify
+    # for runtime exchange reuse when column pruning differs).
+    totals = (
+        df.withColumn("__bucket", F.expr(f"{order_col} div {width}"))
+        .groupBy(stratum, "__bucket")
+        .agg(F.sum(value).alias("__tot"))
+    )
+    off_w = (
+        Window.partitionBy(stratum)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        stratum,
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0).cast("bigint")).alias("__off"),
+    )
+    return (
+        b.join(offsets, [stratum, "__bucket"])
+        .withColumn(alias, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop("__bucket", "__local", "__off")
+    )
+
+
+def _bucketed_hash_order_rank(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    alias: str,
+    keep_at_most: int | None = None,
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(key),
+    key)`` via md5-prefix bucketing: the hex prefix is order-preserving for
+    the full hash string, so global rank = rows-in-earlier-buckets + local
+    rank.  With ``keep_at_most=N`` the per-row side is pre-filtered to the
+    per-bucket top-N before the offsets join (global rank <= N implies
+    local rank <= N), so the join output is bounded by N x #buckets per
+    stratum instead of the corpus."""
+    from pyspark.sql.window import Window
+
+    md5 = F.md5(F.col(key).cast("string"))
+    b = df.withColumn("__bucket", F.substring(md5, 1, MD5_BUCKET_PREFIX))
+    local_w = (
+        Window.partitionBy(stratum, "__bucket")
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+    )
+    b = b.withColumn("__local", F.row_number().over(local_w))
+    # counts from the input, not the window output — see _bucketed_running_sum
+    counts = (
+        df.withColumn("__bucket", F.substring(md5, 1, MD5_BUCKET_PREFIX))
+        .groupBy(stratum, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    off_w = (
+        Window.partitionBy(stratum)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stratum,
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0).cast("bigint")).alias("__off"),
+    )
+    if keep_at_most is not None:
+        b = b.filter(F.col("__local") <= keep_at_most)
+    return (
+        b.join(offsets, [stratum, "__bucket"])
+        .withColumn(alias, (F.col("__off") + F.col("__local")).cast("bigint"))
+        .drop("__bucket", "__local", "__off")
+    )
 
 
 @register(
@@ -288,19 +428,19 @@ QUOTA_PER_LANG = 25
     "by hash order (md5 of the key) so the 'random' subset is deterministic, "
     "resumable, and identical on every engine/run — how a training-mix "
     "rebalance (N docs per language/source) is done reproducibly at 100 TB. "
-    "One shuffle on the stratum key; per-stratum state is a counter.",
+    "The rank is a two-pass bucketed prefix scan over (lang, md5-prefix "
+    "bucket) — never a bare-stratum window, so a language holding 40% of "
+    "the corpus still splits into 65 536 bounded partitions — with a "
+    "per-bucket top-N pre-filter so the offsets join is quota-bounded.",
 )
 def q94_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ranked = _bucketed_hash_order_rank(
+        d.select("lang", "doc_id"), "lang", "doc_id", "rn",
+        keep_at_most=QUOTA_PER_LANG,
     )
-    return (
-        d.select("lang", "doc_id")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= QUOTA_PER_LANG)
+    return ranked.filter(F.col("rn") <= QUOTA_PER_LANG).select(
+        "lang", "doc_id", "rn"
     )
 
 
@@ -413,13 +553,11 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     langed = canon.join(best, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang")
     )
-    w_quota = Window.partitionBy("pred_lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ranked = _bucketed_hash_order_rank(
+        langed, "pred_lang", "doc_id", "rn", keep_at_most=CURATION_QUOTA
     )
-    return (
-        langed.withColumn("rn", F.row_number().over(w_quota).cast("long"))
-        .filter(F.col("rn") <= CURATION_QUOTA)
-        .select("pred_lang", "doc_id", "rn")
+    return ranked.filter(F.col("rn") <= CURATION_QUOTA).select(
+        "pred_lang", "doc_id", "rn"
     )
 
 
@@ -559,27 +697,23 @@ PACK_BUDGET = 256
     """,
     doc="Sequence packing for training batches: greedy running-token-sum "
     f"assignment of documents to ≤{PACK_BUDGET}-token packs, sharded by "
-    "language (PARTITION BY lang) so packing is one bounded window per "
-    "shard — never a global single-partition sort. Deterministic doc_id "
-    "order makes the pack assignment exactly reproducible; all arithmetic "
-    "is int64.",
+    "language. The running sum is a two-pass bucketed prefix scan over "
+    "(lang, doc_id-range bucket): every window partition is bounded by "
+    "the bucket width regardless of how skewed the language mix is, and "
+    "local-sum + broadcast bucket offsets is bit-identical to the single "
+    "window. Deterministic doc_id order makes the pack assignment exactly "
+    "reproducible; all arithmetic is int64.",
 )
 def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(_words(F.col("text"))).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
-    return t.select(
+    cum = _bucketed_running_sum(t, "lang", "doc_id", "n_tok", "cum_tok")
+    return cum.select(
         "doc_id",
         "lang",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET)
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_BUDGET)
         .cast("bigint")
         .alias("pack_id"),
     )
@@ -744,13 +878,12 @@ MIX_TOKEN_BUDGET = 20_000
     "masses re-weighted by integer sqrt, token quotas assigned by exact "
     "bigint arithmetic, and each source keeps docs in deterministic doc_id "
     "order until its quota is spent. Plan: one tiny per-source aggregate "
-    "broadcast back onto the corpus + one window shuffle on source — the "
-    "mixing decision for 100 TB costs one exchange. Completes the pipeline "
-    "family: quality -> dedup -> LID -> pack -> MIX.",
+    "broadcast back onto the corpus, and the running token sum is a "
+    "two-pass bucketed prefix scan over (source, doc_id-range bucket) — "
+    "a domain holding half the corpus still windows in bounded partitions. "
+    "Completes the pipeline family: quality -> dedup -> LID -> pack -> MIX.",
 )
 def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -769,17 +902,13 @@ def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({MIX_TOKEN_BUDGET}L * wt) div wt_total").alias("quota_tok"),
         )
     )
-    cum = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return tok.join(quotas, "source").select(
+    cum = _bucketed_running_sum(tok, "source", "doc_id", "n_tok", "cum_tok")
+    return cum.join(quotas, "source").select(
         "doc_id",
         "source",
         "n_tok",
         "quota_tok",
-        F.when(F.sum("n_tok").over(cum) <= F.col("quota_tok"), 1)
+        F.when(F.col("cum_tok") <= F.col("quota_tok"), 1)
         .otherwise(0)
         .cast("int")
         .alias("kept"),

@@ -234,17 +234,38 @@ def test_q110_partition_pruning_and_rowgroup_pushdown(spark, sf_dir):
     assert plans.count_exchanges(df) == 0
 
 
+def _assert_stratum_windows_bucketed(df, stratum: str) -> None:
+    """Every window spec that partitions on the low-cardinality stratum key
+    must involve the __bucket split (as partition or order column): the
+    corpus windows partition on (stratum, __bucket); the only bare-stratum
+    window ORDERS BY __bucket and runs over the bounded per-bucket totals
+    table.  A bare `PARTITION BY stratum ORDER BY <row key>` window — the
+    100 TB skew-killer — must never reappear."""
+    p = plans.executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    strat = [s for s in specs if f"{stratum}#" in s]
+    assert strat, f"no window on {stratum} found"
+    for s in strat:
+        assert "__bucket" in s, f"bare-stratum window spec: {s}"
+
+
 def test_q99_composed_pipeline_bounded_exchanges(spark, sf_dir):
     """The end-to-end curation pipeline (quality → dedup → LID → quota)
     composes as ONE plan with a bounded number of key-narrow exchanges —
-    no stage multiplies shuffles, the lexicon joins broadcast, and nothing
-    plans nested-loop/cartesian."""
+    no stage multiplies shuffles, the lexicon joins broadcast, nothing
+    plans nested-loop/cartesian, and the final quota stage windows on the
+    bucketed composite key (the bare pred_lang running rank was the last
+    low-cardinality scale-killer).  The static plan shows the quota
+    counts branch re-deriving its upstream (14 exchanges); at runtime
+    ReusedExchange collapses the expensive dedup-window exchange, leaving
+    7 executed shuffles, all key-narrow."""
     df = SPECS["q99_curation_pipeline"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
-    assert plans.count_exchanges(df) <= 6
+    assert plans.count_exchanges(df) <= 14
     assert "BroadcastNestedLoop" not in p
     plans.assert_no_cartesian(df)
     _assert_no_full_text_in_exchange("q99_curation_pipeline", p)
+    _assert_stratum_windows_bucketed(df, "pred_lang")
 
 
 def test_q103_srp_lsh_is_bucketed_equi_join(spark, sf_dir):
@@ -267,20 +288,44 @@ def test_q114_pii_redact_zero_shuffle(spark, sf_dir):
 
 def test_q115_domain_mix_broadcasts_quotas(spark, sf_dir):
     """Domain mixing: the per-source quota table (tiny) must broadcast
-    onto the corpus; the only single-partition exchange is the one-row
-    weight total; no cartesian anywhere."""
+    onto the corpus, the only single-partition exchange is the one-row
+    weight total, no cartesian anywhere — and the running token sum
+    windows on (source, __bucket), never on the bare domain key (one
+    domain can hold half the corpus)."""
     df = SPECS["q115_domain_mix_sample"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
     plans.assert_no_cartesian(df)
-    assert plans.count_broadcast_joins(df) >= 1
+    assert plans.count_broadcast_joins(df) >= 2  # quotas + bucket offsets
     assert p.count("SinglePartition") == 1
+    _assert_stratum_windows_bucketed(df, "source")
 
 
-def test_q112_one_window_exchange_per_lang_shard(spark, sf_dir):
-    """Sequence packing is one running-sum window PARTITION BY lang: a
-    single exchange on the shard key, never a global single-partition
-    sort."""
+def test_q112_windows_on_composite_bucket_key(spark, sf_dir):
+    """Sequence packing: the running-sum window partitions on
+    (lang, __bucket) — bounded by the bucket width however skewed the
+    language mix — with exactly one full-corpus exchange; the per-bucket
+    totals branch partial-aggregates map-side before its (tiny) shuffle,
+    and the offsets join back is a broadcast."""
     df = SPECS["q112_sequence_packing"].fn(spark, sf_dir)
-    assert plans.count_exchanges(df) == 1
     p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 4  # corpus window + totals agg + offsets window + broadcast
+    composite = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "lang#" in ln and "__bucket" in ln
+    ]
+    assert len(composite) == 2  # corpus window exchange + partial-agg totals
     assert "SinglePartition" not in p
+    _assert_stratum_windows_bucketed(df, "lang")
+
+
+def test_q94_quota_rank_bucketed_and_prefiltered(spark, sf_dir):
+    """Stratified quota: the hash-order rank windows on (lang, md5-prefix
+    __bucket) — never bare lang — and the offsets join is broadcast; the
+    per-bucket top-N prefilter bounds the join input."""
+    df = SPECS["q94_stratified_quota"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 4
+    assert plans.count_broadcast_joins(df) >= 1
+    assert "SinglePartition" not in p
+    plans.assert_no_cartesian(df)
+    _assert_stratum_windows_bucketed(df, "lang")
