@@ -35,73 +35,72 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  Rounds 1-3 cumulatively proved 96 of 111 queries; this
-# round-4 window front-loads the 14 oracle-eligible queries that have never
-# had a driver row (the 13 late-round-3 additions q101-q113 plus
-# q81_minhash_lsh_neardup, whose only driver row predates the md5-nibble
-# re-hash), then backfills the remaining 36 slots with the queries whose
-# green rows are oldest (round-2 vintage) so every entry periodically
-# re-earns its green.  The backfill deliberately includes q70/q73/q74
-# (read_text_files blank-line semantics changed in round 3) and q96
-# (consumes the rewritten fake_features), per the round-3 advice.
+# insertion order.  After round 4 every registry query has a cumulative
+# driver-green row except q06 (rows-only by design).  This round-5 window
+# front-loads (a) the 14 queries whose only green is round-2 vintage —
+# code paths around them (session defaults, tables.load) changed since —
+# (b) the four queries whose implementation changed this round (the
+# bucketed-prefix-scan rewrite of the stratum windows), and (c) the new
+# q06b companion, then backfills with the stalest round-3-vintage greens.
 #
 # Rotation discipline for future rounds: replace the window with whichever
 # queries still lack a fresh driver row, backfilling with the stalest
-# previously-proven greens.
+# previously-proven greens; no green should be older than 2 rounds.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-proven (late-r3 additions + re-hashed q81)
-    "q101_merge_upsert",
-    "q102_scd2_build",
-    "q103_srp_lsh_neardup",
-    "q104_heavy_hitters",
-    "q105_dup_ngram_spans",
-    "q106_repetition_signals",
-    "q107_frame_sample",
-    "q108_decontaminate",
-    "q109_incremental_dedup",
-    "q110_range_layout_scan",
-    "q111_grouped_map_demean",
+    # (a) round-2-vintage greens, last proven 2 rounds ago
+    "q17_custdist",
+    "q18_top_volume_orders",
+    "q48_hash_funcs",
+    "q49_map_bitwise",
+    "q59_values_inline",
+    "q60_json_extract",
+    "q61_tumbling_window",
+    "q62_sessionize",
+    "q63_pivot",
+    "q64_session_window",
+    "q65_asof_join",
+    "q66_range_join_bucketed",
+    "q67_multires_rollup",
+    "q68_keep_latest_per_key",
+    # (b) implementation changed this round: bucketed prefix scans
+    "q94_stratified_quota",
+    "q99_curation_pipeline",
     "q112_sequence_packing",
-    "q113_collapse_repeats",
-    "q114_pii_redact",
     "q115_domain_mix_sample",
-    "q116_canonical_per_cluster",
-    "q81_minhash_lsh_neardup",
-    # backfill: round-2-vintage greens on changed code paths first
-    "q70_m33_schem_view",
-    "q71_m33_schem_agg",
-    "q72_m33_limit_fetch",
-    "q73_m33_ctas_roundtrip",
-    "q74_m33_jdbc_export_roundtrip",
-    "q96_multimodal_meta_agg",
-    # backfill: remaining round-2-vintage greens, oldest first
-    "q75_orc_roundtrip",
-    "q76_json_roundtrip",
-    "q77_csv_roundtrip",
-    "q78_bucketed_join",
-    "q80_exact_dedup",
-    "q82_ngram_jaccard_pairs",
-    "q83_simhash",
-    "q01_pricing_summary",
-    "q02_distinct_agg",
-    "q03_rollup",
-    "q04_cube",
-    "q05_grouping_sets",
-    "q10_join_chain_revenue",
-    "q11_broadcast_dim_join",
-    "q12_region_revenue",
-    "q33_pivot_status",
-    "q36_collect_agg",
-    "q24_percent_rank_cume_dist",
-    "q25_ignore_nulls_window",
-    "q38_nth_value_window",
-    "q39_null_ordering",
-    "q34_unpivot_stack",
-    "q35_hash_sample",
-    "q37_global_sales_opportunity",
-    "q54_cte_multi_ref",
-    "q57_script_transform",
-    "q58_posexplode_lateral",
+    # (c) new this round: hash-checkable HLL companion
+    "q06b_hll_exact_check",
+    # backfill: stalest round-3-vintage greens
+    "q07_exact_percentiles",
+    "q08_salted_agg",
+    "q09_pandas_udf_scalar",
+    "q13_semi_join",
+    "q14_anti_join",
+    "q15_outer_join_coalesce",
+    "q16_theta_self_join",
+    "q17_full_outer_join",
+    "q18_join_hints",
+    "q19_pandas_udaf_weighted",
+    "q20_window_rank",
+    "q21_window_running_sum",
+    "q22_lead_lag",
+    "q23_ntile_first_last",
+    "q24_range_frame_window",
+    "q30_topk_orders",
+    "q31_set_ops",
+    "q32_distribute_cluster_by",
+    "q33_set_ops_all",
+    "q40_string_funcs",
+    "q41_split_array_cast",
+    "q42_conditional",
+    "q43_math_funcs",
+    "q44_date_funcs",
+    "q45_field_function",
+    "q46_array_map_funcs",
+    "q47_json_tuple",
+    "q48_date_arithmetic",
+    "q49_string_padding",
+    "q50_explode_tokens",
+    "q51_scalar_subquery",
 )
 
 

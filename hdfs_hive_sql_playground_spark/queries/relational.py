@@ -901,6 +901,35 @@ def q06_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q06b_hll_exact_check",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS hll_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="q06's hash-checkable companion: exact per-group distinct counts "
+    "PLUS an in-plan accuracy assertion on the HyperLogLog++ estimate. The "
+    "oracle pins hll_within_5pct to literal TRUE, so the value-hash match "
+    "fails if Spark's rsd=0.02 sketch ever strays past 5% relative error — "
+    "the approximate path is driver-gated without requiring engines to "
+    "agree on estimates (they can't; HLL is implementation-specific).",
+)
+def q06b_hll_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey").cast("bigint")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    return o.groupBy("o_orderpriority").agg(
+        exact.alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.abs(approx.cast("double") - exact.cast("double"))
+         <= 0.05 * exact.cast("double")).alias("hll_within_5pct"),
+    )
+
+
+@register(
     "q07_exact_percentiles",
     oracle="""
     SELECT
