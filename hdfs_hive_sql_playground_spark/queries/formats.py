@@ -41,6 +41,22 @@ def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
 
 
+def _source_fingerprint(src_path: str) -> str:
+    """size:mtime_ns fingerprint of a parquet file (or every file under a
+    parquet directory), so derived-layout caches invalidate when the source
+    is regenerated in place under the same path."""
+    parts = []
+    if os.path.isdir(src_path):
+        for root, _dirs, files in os.walk(src_path):
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src_path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def _agg(df: DataFrame) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -153,25 +169,37 @@ def q110_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    # The rewritten layout is a pure function of sf_dir, so key the path by
-    # the input and guard with a completeness marker: repeated invocations
-    # (the registry-wide plan sweep calls every query several times) reuse
-    # the layout instead of re-running the overwrite, and two concurrent
-    # sessions on the same repo no longer race mid-write — the layout is
-    # built in a per-process staging dir and atomically renamed into place.
+    # The rewritten layout is a pure function of the source events table,
+    # so key the path by sf_dir and guard with a completeness marker that
+    # records a CONTENT FINGERPRINT (size+mtime of every source file):
+    # repeated invocations (the registry-wide plan sweep calls every query
+    # several times) reuse the layout, but a regenerated /root/testdata —
+    # which keeps the same sf_dir name across rounds — invalidates the
+    # cache instead of serving a layout built from old data.  Two
+    # concurrent sessions on the same repo don't race mid-write: the
+    # layout is built in a per-process staging dir and atomically renamed.
     tag = os.path.basename(sf_dir.rstrip("/"))
+    fingerprint = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
     path = os.path.join(DEFAULT_WAREHOUSE, f"events_range_layout_{tag}")
     marker = os.path.join(path, "_LAYOUT_COMPLETE")
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != fingerprint:
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         staging = f"{path}.staging.{os.getpid()}"
         write_range_layout(src, staging, "event_type", ["user_id"])
         with open(os.path.join(staging, "_LAYOUT_COMPLETE"), "w") as f:
-            f.write(tag + "\n")
+            f.write(fingerprint + "\n")
         try:
             os.rename(staging, path)
         except OSError:
             # Another session won the rename race; its completed layout is
-            # equivalent (same sf_dir) — drop ours.
+            # equivalent (same source fingerprint) — drop ours.
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)

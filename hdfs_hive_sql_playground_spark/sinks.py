@@ -38,11 +38,18 @@ def ctas_text(
 ) -> str:
     """Materialize ``df`` as a comma-delimited TEXTFILE table (A17).
 
-    Serialization matches Hive's LazySimpleSerDe exactly: cells joined
-    with ``sep`` unquoted, NULL written as ``\\N`` — delimiter collisions
-    inside values are the caller's responsibility, same as the reference's
-    text tables. (This is also ~25% faster than the quoting CSV writer:
-    a codegen ``concat_ws`` projection into the raw text sink.)
+    Serialization matches Hive's LazySimpleSerDe for the ``\\N`` NULL
+    token: cells joined with ``sep`` unquoted, NULL written as ``\\N`` —
+    delimiter collisions inside values are the caller's responsibility,
+    same as the reference's text tables. (This is also ~25% faster than
+    the quoting CSV writer: a codegen ``concat_ws`` projection into the
+    raw text sink.)
+
+    Known divergence from LazySimpleSerDe: an EMPTY STRING cell is
+    written as a bare empty field and Spark's CSV reader returns it as
+    NULL (unquoted empties are always null on read, SPARK-25241), where
+    Hive would return ``''``. Pinned by
+    ``test_ctas_text_empty_string_reads_back_null``.
 
     Returns the table location. Overwrites any previous materialization of
     the same table (idempotent re-runs, like DROP TABLE + CTAS).

@@ -71,10 +71,14 @@ def read_jdbc(
 
 def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
     """True iff ``table`` exists on the JDBC target, probed with a
-    zero-row ``SELECT 1 FROM <table> WHERE 1=0``.  Used to distinguish
-    "table not created yet" from genuine failures (connection drop, lock
-    timeout, permissions) so callers don't have to blanket-catch around
-    statements that must not fail silently."""
+    zero-row ``SELECT 1 FROM <table> WHERE 1=0``.  Only a
+    missing-object error maps to False — SQLState class 42 with an
+    object-not-found code (Derby/MSSQL 42X05, the SQL-standard 42S02
+    family, Postgres 42P01) — so a transient probe failure (lock timeout,
+    dropped connection, permissions) RAISES instead of masquerading as
+    "table missing" and letting a streaming-sink replay skip its
+    deduplicating DELETE."""
+    _MISSING_SQLSTATES = ("42X05", "42S02", "42P01", "42S01", "S0002")
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -82,8 +86,14 @@ def jdbc_table_exists(spark: SparkSession, url: str, table: str) -> bool:
         try:
             stmt.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            state = None
+            java_exc = getattr(exc, "java_exception", None)
+            if java_exc is not None and hasattr(java_exc, "getSQLState"):
+                state = java_exc.getSQLState()
+            if state in _MISSING_SQLSTATES:
+                return False
+            raise
         finally:
             stmt.close()
     finally:

@@ -45,6 +45,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The naive-timestamp contract above depends on the session timezone
+    # being UTC; our own sessions pin it, but a foreign driver session
+    # inherits the host JVM zone — set it here so correctness never rides
+    # on the host being UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     # (PARQUET_TYPE_ILLEGAL). The session sets

@@ -34,6 +34,28 @@ def test_ctas_text_hive_serde_null_roundtrip(spark, tmp_path):
     assert "2,\\N,\\N" in raw, raw
 
 
+def test_ctas_text_empty_string_reads_back_null(spark, tmp_path):
+    """Documented LazySimpleSerDe divergence: an empty-string cell is
+    written as a bare empty field and READS BACK AS NULL (Spark's CSV
+    reader nulls unquoted empties, SPARK-25241); only the \\N token is
+    Hive-exact. This test pins the behavior so a writer/reader change
+    that silently alters it is caught."""
+    from hdfs_hive_sql_playground_spark.sinks import ctas_text, read_text_table
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "id bigint, name string"
+    )
+    ctas_text(df, "empty_rt", warehouse_dir=str(tmp_path))
+    back = read_text_table(spark, "empty_rt", "id bigint, name string", str(tmp_path))
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (1, None),  # '' became NULL — the documented divergence
+        (2, None),
+        (3, "x"),
+    ]
+    raw = {r.value for r in spark.read.text(str(tmp_path / "empty_rt")).collect()}
+    assert "1," in raw and "2,\\N" in raw
+
+
 def test_m33_raw_header_skip_and_counts(spark):
     raw = m33_raw(spark)
     assert raw.count() == ROWS_PER_FILE * N_FILES  # 3 header lines/file dropped

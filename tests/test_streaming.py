@@ -271,6 +271,11 @@ def test_streaming_jdbc_sink_delete_failure_propagates(spark, sf_dir):
     jdbc_ddl(spark, url, "CREATE TABLE nostamp (user_id BIGINT, n_events BIGINT)")
     assert jdbc_table_exists(spark, url, "nostamp")
     assert not jdbc_table_exists(spark, url, "never_created")
+    # A probe failure that is NOT "missing object" (here: SQL syntax error,
+    # standing in for lock timeouts / dropped connections) must RAISE, not
+    # report "missing" — else the sink would skip the replay DELETE.
+    with pytest.raises(Exception):
+        jdbc_table_exists(spark, url, "nostamp WHERE")
     batch = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
