@@ -34,21 +34,30 @@ class Engine:
     master: str | None = None
     warehouse_dir: str = DEFAULT_WAREHOUSE
     conf: dict[str, str] = dc_field(default_factory=dict)
+    # Thrift topology (static, build-time): True = every wire client shares
+    # THIS engine session (the reference's one-engine hs-node layout);
+    # False = each wire connection is its own isolated session with private
+    # temp views, like a stock multi-client HiveServer2 deployment.
+    thrift_single_session: bool = True
     _spark: SparkSession | None = None
 
     # -- lifecycle (A27-A29) -------------------------------------------------
 
     def start(self) -> "Engine":
-        from hdfs_hive_sql_playground_spark.thrift import SINGLE_SESSION_CONF
+        from hdfs_hive_sql_playground_spark.thrift import (
+            MULTI_SESSION_CONF,
+            SINGLE_SESSION_CONF,
+        )
 
         # singleSession is static (build-time): harmless when no Thrift
-        # server is started, required for wire clients to share the
-        # engine's session when one is (serve_thrift).
+        # server is started, decides wire-client session topology when one
+        # is (serve_thrift).
+        topo = SINGLE_SESSION_CONF if self.thrift_single_session else MULTI_SESSION_CONF
         self._spark = get_spark(
             app_name=self.app_name,
             master=self.master,
             warehouse_dir=self.warehouse_dir,
-            conf={**SINGLE_SESSION_CONF, **self.conf},
+            conf={**topo, **self.conf},
         )
         return self
 

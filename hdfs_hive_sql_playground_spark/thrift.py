@@ -40,6 +40,15 @@ from pyspark.sql import SparkSession
 
 SINGLE_SESSION_CONF = {"spark.sql.hive.thriftServer.singleSession": "true"}
 
+# The reference's HiveServer2 serves CONCURRENT INDEPENDENT sessions (every
+# beeline connection gets its own session state; only the metastore is
+# shared). Build the engine with this conf (Engine(thrift_single_session=
+# False)) to match: each wire connection (one WireClient) becomes its own
+# Spark session — private temp views / SET state, shared catalog tables.
+# The two confs are build-time alternatives (the conf is static): one
+# engine topology per JVM, exactly like a real HS2 deployment choice.
+MULTI_SESSION_CONF = {"spark.sql.hive.thriftServer.singleSession": "false"}
+
 
 def _free_port(host: str) -> int:
     with socket.socket() as s:
@@ -100,16 +109,27 @@ def start_thrift_server(
     raise TimeoutError(f"thrift server did not listen on {host}:{port} within {timeout_s}s")
 
 
-def wire_sql(
-    spark: SparkSession, url: str, sql: str, user: str = "anon"
-) -> list[tuple]:
-    """Execute ``sql`` over the wire as a JDBC client (beeline analog) and
-    fetch all rows as Python tuples. Uses the in-JVM hive-jdbc driver —
-    a real localhost Thrift round-trip."""
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url, user, "")
-    try:
-        st = conn.createStatement()
+class WireClient:
+    """A PERSISTENT HiveServer2 JDBC connection — one wire *session* that
+    survives across statements (what a beeline prompt is). Context-manager
+    friendly.
+
+    Under the default single-session topology every connection shares the
+    engine's session, so connection lifetime is invisible; under
+    :data:`MULTI_SESSION_CONF` each WireClient is an isolated Spark
+    session — temp views and ``SET`` state created through it are private
+    to it, while catalog (persistent) tables stay shared — the reference
+    HS2's concurrent-client behavior (``playground.py:672-677``; any
+    number of ``bee.sh`` clients at once). :func:`wire_sql` opens a fresh
+    connection per call and therefore cannot express "same session across
+    statements"; this can."""
+
+    def __init__(self, spark: SparkSession, url: str, user: str = "anon"):
+        self._conn = spark._jvm.java.sql.DriverManager.getConnection(url, user, "")
+
+    def sql(self, sql: str) -> list[tuple]:
+        """Execute one statement on this wire session; fetch all rows."""
+        st = self._conn.createStatement()
         try:
             has_rs = st.execute(sql)
             if not has_rs:
@@ -124,8 +144,25 @@ def wire_sql(
             return out
         finally:
             st.close()
-    finally:
-        conn.close()
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def __enter__(self) -> "WireClient":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+def wire_sql(
+    spark: SparkSession, url: str, sql: str, user: str = "anon"
+) -> list[tuple]:
+    """Execute ``sql`` over the wire as a one-shot JDBC client (beeline -e
+    analog) and fetch all rows as Python tuples. Uses the in-JVM hive-jdbc
+    driver — a real localhost Thrift round-trip."""
+    with WireClient(spark, url, user) as client:
+        return client.sql(sql)
 
 
 def wire_tables(spark: SparkSession, url: str, user: str = "anon") -> list[str]:

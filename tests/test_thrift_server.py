@@ -18,6 +18,30 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_thrift_multi_session_two_clients():
+    """Multi-session topology (Engine(thrift_single_session=False)): two
+    concurrent wire clients get isolated temp views + shared catalog —
+    the reference HS2's stock concurrent-beeline behavior. Subprocess for
+    the same static-conf reason as the single-session test."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "run_thrift_multisession.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    out = proc.stdout
+    for marker in (
+        "THRIFT_OK same-session-persistent",
+        "THRIFT_OK temp-view-isolated-across-clients",
+        "THRIFT_OK temp-view-isolated-from-engine",
+        "THRIFT_OK catalog-shared-across-sessions",
+        "THRIFT_OK concurrent-clients",
+    ):
+        assert marker in out, out[-2000:] + proc.stderr[-2000:]
+    assert proc.returncode == 0
+
+
 def test_thrift_wire_boundary_end_to_end():
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     proc = subprocess.run(
