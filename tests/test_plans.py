@@ -329,3 +329,21 @@ def test_q94_quota_rank_bucketed_and_prefiltered(spark, sf_dir):
     assert "SinglePartition" not in p
     plans.assert_no_cartesian(df)
     _assert_stratum_windows_bucketed(df, "lang")
+
+
+def test_q116_single_component_window_exchange(spark, sf_dir):
+    """Canonical-doc selection: on top of q87's (checkpointed) component
+    assignment, the keep-longest decision adds exactly ONE window exchange
+    partitioned on component — safe because component sizes are bounded by
+    q87's shingle-DF cap — carrying only ids and one token count, never
+    text."""
+    df = SPECS["q116_canonical_per_cluster"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    comp_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "component#" in ln
+    ]
+    assert len(comp_ex) == 1, p
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q116_canonical_per_cluster", p)
