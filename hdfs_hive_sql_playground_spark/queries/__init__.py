@@ -67,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q99_curation_pipeline",
     "q112_sequence_packing",
     "q115_domain_mix_sample",
-    # (c) new this round: hash-checkable HLL companion
+    # (c) new this round: hash-checkable HLL companion (q117-q119 at tail)
     "q06b_hll_exact_check",
     # backfill: stalest round-3-vintage greens
     "q07_exact_percentiles",
@@ -98,9 +98,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q46_array_map_funcs",
     "q47_json_tuple",
     "q48_date_arithmetic",
-    "q49_string_padding",
-    "q50_explode_tokens",
-    "q51_scalar_subquery",
+    # new this round (never driver-checked): novelty, length trim, split
+    "q117_ngram_novelty",
+    "q118_length_trim",
+    "q119_hash_split",
 )
 
 

@@ -697,3 +697,79 @@ def q105_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.desc("n_docs"), "gram")
         .limit(SPAN_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 per-document n-gram novelty (memorization / contamination estimate)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+@register(
+    "q117_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[t.i : t.i + {NOVELTY_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - {NOVELTY_N} + 2)) AS t(i)
+      WHERE len(ws) >= {NOVELTY_N}
+    ),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc=f"Per-document {NOVELTY_N}-gram novelty: the fraction of a doc's "
+    "DISTINCT n-grams whose corpus-wide first occurrence (min doc_id, i.e. "
+    "earliest in ingestion order) is this doc — the standard cheap estimate "
+    "of how much of a document is recycled from earlier crawl content "
+    "(near-zero novelty = boilerplate/mirror; used to prioritize what enters "
+    "a training mix). Distinctness is map-side (array_distinct BEFORE "
+    "explode, no pre-shuffle), the shuffle key is xxhash64(gram) — the full "
+    "gram string never enters an Exchange. At test scale AQE broadcasts the "
+    "first-occurrence table so the corpus side joins map-side with zero "
+    "shuffle; past the broadcast threshold it degrades to a sort-merge join "
+    "on gh that hash-partitions the probe on the SAME key as the aggregate "
+    "(one reusable gram-hash exchange). Final per-doc agg is one bounded "
+    "doc_id shuffle. No stage holds more than one doc's grams in memory.",
+)
+def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(w) - NOVELTY_N + 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(NOVELTY_N)]
+        ),
+    )
+    g = (
+        d.filter(F.size(w) >= NOVELTY_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
+    first = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_grams")
+        )
+    )

@@ -915,3 +915,146 @@ def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# q118 per-source length-window trimming (histogram-CDF exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_length_trim",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    hist AS (
+      SELECT source, n_tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY source, n_tok
+    ),
+    cum AS (
+      SELECT source, n_tok,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok)
+                  AS BIGINT) AS c,
+             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist
+    ),
+    th AS (
+      SELECT source,
+             min(CASE WHEN c >= (n + 19) // 20 THEN n_tok END) AS lo,
+             min(CASE WHEN c >= (19 * n + 19) // 20 THEN n_tok END) AS hi
+      FROM cum GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tok, th.lo, th.hi,
+           CAST(CASE WHEN t.n_tok BETWEEN th.lo AND th.hi
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM tok t JOIN th USING (source)
+    """,
+    doc="Per-source length-window trimming: drop documents outside the "
+    "[p5, p95] token-length band of their source — the standard "
+    "too-short/too-long curation filter, with EXACT rank-based percentiles "
+    "(threshold = smallest length whose cumulative count reaches "
+    "ceil(n/20) / ceil(19n/20); pure integer arithmetic, so the oracle is "
+    "bit-identical — no interpolated-quantile float drift). Scale design: "
+    "the corpus is reduced FIRST to a (source, n_tok) histogram — one "
+    "shuffle whose output is bounded by |sources| x |distinct lengths|, "
+    "thousands of rows however big the corpus — and the CDF windows run on "
+    "that tiny aggregated table only (the same bounded-table-window pattern "
+    "as _bucketed_running_sum's offset stage; never a window over corpus "
+    "rows). Thresholds broadcast back; the corpus itself sees one "
+    "broadcast-join pass, no window, no sort.",
+)
+def q118_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(_words(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    hist = tok.groupBy("source", "n_tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cum = hist.withColumn(
+        "c",
+        F.sum("cnt").over(
+            Window.partitionBy("source")
+            .orderBy("n_tok")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "n",
+        F.sum("cnt").over(Window.partitionBy("source")),
+    )
+    th = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("c") >= F.expr("(n + 19) div 20"), F.col("n_tok"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(19 * n + 19) div 20"), F.col("n_tok"))
+        ).alias("hi"),
+    )
+    return tok.join(F.broadcast(th), "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "lo",
+        "hi",
+        F.when(F.col("n_tok").between(F.col("lo"), F.col("hi")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+
+def _q119_oracle() -> str:
+    from hdfs_hive_sql_playground_spark.queries.dedup import _shingle_hash48_sql
+
+    h = _shingle_hash48_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, CAST(({h}) % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@register(
+    "q119_hash_split",
+    oracle=_q119_oracle(),
+    doc="Deterministic 98/1/1 train/val/test split assignment: bucket = "
+    "portable-md5-48bit(doc_id) mod 100, so membership is a pure projection "
+    "— stable under reruns, re-partitioning, and incremental ingest (a doc "
+    "keeps its split forever; no sampling state, no RNG seed to version). "
+    "Zero shuffles: the split column is computed map-side and any "
+    "downstream per-split materialization is a partitioned write, not a "
+    "repartition. The md5-nibble construction (q81's portable hash) exists "
+    "for oracle parity; production swaps xxhash64 with the same one-"
+    "projection plan.",
+)
+def q119_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.queries.dedup import _shingle_hash48
+
+    d = load(spark, sf_dir, "documents")
+    bucket = (_shingle_hash48(F.col("doc_id").cast("string")) % 100).alias(
+        "bucket"
+    )
+    return d.select("doc_id", "lang", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 98, "train")
+        .when(F.col("bucket") == 98, "val")
+        .otherwise("test"),
+    )

@@ -347,3 +347,65 @@ def test_q116_single_component_window_exchange(spark, sf_dir):
     assert len(comp_ex) == 1, p
     plans.assert_no_cartesian(df)
     _assert_no_full_text_in_exchange("q116_canonical_per_cluster", p)
+
+
+def test_q117_novelty_reuses_gram_hash_exchange(spark, sf_dir):
+    """n-gram novelty: distinctness is map-side (array_distinct before
+    explode — no pre-shuffle), the shuffle key is xxhash64(gram) so no
+    gram string or document text enters an Exchange, and the
+    first-occurrence aggregate + join probe hash-partition on the same
+    key so Catalyst plans ONE gram-hash exchange and reuses it."""
+    df = SPECS["q117_ngram_novelty"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q117_ngram_novelty", p)
+    # no gram STRING ever enters an exchange — only its 64-bit hash
+    assert not any(
+        "gram#" in ln for ln in p.splitlines() if "Exchange" in ln
+    ), p
+    # the join key is the gram hash; at this scale AQE broadcasts the
+    # first-occurrence table (so the corpus side never shuffles at all —
+    # at 100 TB it degrades gracefully to a same-key SMJ that reuses the
+    # aggregate's gh exchange), and the only hash exchanges are the
+    # first-occurrence agg (gh) and the final per-doc agg (doc_id)
+    assert plans.count_broadcast_joins(df) >= 1, p
+    assert plans.count_exchanges(df) <= 3, p
+    assert any(
+        "Exchange hashpartitioning(gh#" in ln for ln in p.splitlines()
+    ), p
+
+
+def test_q118_length_trim_windows_only_on_histogram(spark, sf_dir):
+    """Length trimming: the CDF windows run over the (source, n_tok)
+    HISTOGRAM — bounded by |sources| x |distinct lengths| — never over
+    corpus rows, and the thresholds broadcast back onto the corpus. The
+    corpus itself is shuffled exactly once (the histogram aggregation);
+    sort orders inside window stages touch only the tiny table."""
+    df = SPECS["q118_length_trim"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q118_length_trim", p)
+    assert plans.count_broadcast_joins(df) >= 1
+    # exactly two hash exchanges (plus the threshold broadcast): the corpus
+    # histogram aggregation on (source, n_tok) and the tiny
+    # post-aggregation shuffle on source that feeds the CDF windows; the
+    # corpus itself is never window-sorted
+    hash_ex = [
+        ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 2, p
+    assert any(
+        "Exchange hashpartitioning(source#" in ln and "n_tok#" in ln
+        for ln in p.splitlines()
+    ), p
+    # every window aggregates histogram COUNTS (sum(cnt#...)), proving the
+    # window input is the bounded (source, n_tok) table, not corpus rows
+    win_lines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines and all("sum(cnt#" in ln for ln in win_lines), p
+
+
+def test_q119_hash_split_zero_shuffle(spark, sf_dir):
+    """Split assignment is a pure projection: membership derives from a
+    deterministic doc_id hash, so the plan has no exchange at all."""
+    df = SPECS["q119_hash_split"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
