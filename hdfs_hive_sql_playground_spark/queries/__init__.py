@@ -96,12 +96,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q44_date_funcs",
     "q45_field_function",
     "q46_array_map_funcs",
-    "q47_json_tuple",
     "q48_date_arithmetic",
-    # new this round (never driver-checked): novelty, length trim, split
+    # new this round (never driver-checked): novelty, trim, split, budget
     "q117_ngram_novelty",
     "q118_length_trim",
     "q119_hash_split",
+    "q120_budget_select",
 )
 
 

@@ -1058,3 +1058,87 @@ def q119_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") == 98, "val")
         .otherwise("test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 global priority-ordered token-budget selection
+# ---------------------------------------------------------------------------
+
+SELECT_TOKEN_BUDGET = 10_000
+
+
+@register(
+    "q120_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
+             CAST((len(list_filter(string_split(lower(trim(text)), ' '),
+                                   w -> list_contains({list(STOPWORDS)!r}, w)))
+                   * 10000)
+                  // len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS q_e4
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, q_e4, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY q_e4 DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_tok
+      FROM t
+    )
+    SELECT doc_id, q_e4, n_tok, cum_tok,
+           CAST(CASE WHEN cum_tok <= {SELECT_TOKEN_BUDGET}
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM c
+    """,
+    doc="Global priority-ordered budget selection: keep the highest-quality "
+    "documents (integer e4 stopword-ratio score, q91's prose signal) until "
+    "a corpus-wide token budget is exhausted — the final cut every "
+    "training-mix build makes. The naive plan is a GLOBAL ORDER BY with a "
+    "running sum (one executor sorts the corpus); this one never sorts "
+    "globally: the score q_e4 is an integer in [0, 10000], so it IS the "
+    "coarse bucket — the within-score running sum reuses the bucketed "
+    "two-pass prefix scan (_bucketed_running_sum, skew-safe even if one "
+    "score value holds half the corpus), the cross-score offsets come from "
+    "a <= 10001-row per-score totals table windowed in one tiny partition, "
+    "and global cum_tok = broadcast score offset + within-score cumsum — "
+    "bit-identical to the single ORDER BY window the oracle runs.",
+)
+def q120_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t_ = F.lower(F.trim(F.col("text")))
+    toks = F.split(t_, " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(list(STOPWORDS))))
+    # integer `div`, not float-divide-then-cast: same rationale as q115's
+    # quota arithmetic (truncate vs round drift cross-engine)
+    t = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.cast("bigint").alias("n_stop"),
+    ).selectExpr("doc_id", "n_tok", "(n_stop * 10000L) div n_tok AS q_e4")
+    cum_in = _bucketed_running_sum(t, "q_e4", "doc_id", "n_tok", "cum_in")
+    tot = t.groupBy("q_e4").agg(F.sum("n_tok").cast("bigint").alias("tot"))
+    w_off = Window.orderBy(F.desc("q_e4")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = tot.select(
+        "q_e4",
+        F.coalesce(F.sum("tot").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    return cum_in.join(F.broadcast(offs), "q_e4").select(
+        "doc_id",
+        "q_e4",
+        "n_tok",
+        (F.col("off") + F.col("cum_in")).cast("bigint").alias("cum_tok"),
+        F.when(
+            (F.col("off") + F.col("cum_in")) <= SELECT_TOKEN_BUDGET, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )

@@ -75,3 +75,14 @@ def test_running_sum_helper_spans_buckets(spark, sf_dir, monkeypatch):
     for r in rows:
         running += r["v"]
         assert r["cum"] == running
+
+
+@pytest.mark.parametrize("width", [37, 128])
+def test_q120_multibucket_exact(spark, sf_dir, width, monkeypatch):
+    """Budget selection composes the within-score bucketed cumsum with
+    cross-score broadcast offsets; shrinking the width must leave the
+    global cum_tok bit-identical to the oracle's single ORDER BY window."""
+    monkeypatch.setattr(text_mod, "CUMSUM_BUCKET_WIDTH", width)
+    spec = SPECS["q120_budget_select"]
+    result = compare("q120_mb", spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+    assert result.ok, result.report()

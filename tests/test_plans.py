@@ -409,3 +409,28 @@ def test_q119_hash_split_zero_shuffle(spark, sf_dir):
     deterministic doc_id hash, so the plan has no exchange at all."""
     df = SPECS["q119_hash_split"].fn(spark, sf_dir)
     assert plans.count_exchanges(df) == 0
+
+
+def test_q120_budget_select_no_global_sort(spark, sf_dir):
+    """Global budget selection must NOT plan a global ORDER BY over corpus
+    rows: the only single-partition stage is the <= 10001-row per-score
+    offsets window, every corpus window partitions on the composite
+    (q_e4, __bucket) key, and the offsets join back is a broadcast."""
+    df = SPECS["q120_budget_select"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q120_budget_select", p)
+    assert plans.count_broadcast_joins(df) >= 2  # bucket offsets + score offsets
+    # every window touching q_e4 is either (a) a corpus/bucket-offsets
+    # window involving the __bucket split, or (b) the <= 10001-row
+    # cross-score offsets window, recognizable as ORDER BY q_e4 DESC over
+    # the per-score totals — never a bare PARTITION BY q_e4 over corpus
+    # rows, and never a corpus-wide ORDER BY
+    specs_ = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    q_specs = [s for s in specs_ if "q_e4#" in s]
+    assert q_specs, "no window on q_e4 found"
+    for s in q_specs:
+        assert "__bucket" in s or "DESC" in s, f"bare-stratum window: {s}"
+    # the tiny global offsets window is allowed exactly one single
+    # partition; a corpus-wide global sort would add rangepartitioning
+    assert "rangepartitioning" not in p, p
