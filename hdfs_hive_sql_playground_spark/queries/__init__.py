@@ -93,15 +93,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q41_split_array_cast",
     "q42_conditional",
     "q43_math_funcs",
-    "q44_date_funcs",
-    "q45_field_function",
-    "q46_array_map_funcs",
     "q48_date_arithmetic",
-    # new this round (never driver-checked): novelty, trim, split, budget
+    # new this round (never driver-checked): the q117-q123 additions all
+    # debut with a driver row; the r3-vintage greens displaced by them
+    # (q44-q47, q49-q51) are exactly 2 rounds old and lead round 6's
+    # rotation
     "q117_ngram_novelty",
     "q118_length_trim",
     "q119_hash_split",
     "q120_budget_select",
+    "q121_pack_stats",
+    "q122_unigram_surprisal",
+    "q123_source_overlap",
 )
 
 

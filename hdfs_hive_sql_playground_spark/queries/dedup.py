@@ -773,3 +773,70 @@ def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.col("n_novel").cast("double") / F.col("n_grams")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 cross-source duplicated-span overlap matrix (mixture diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_source_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(ws[t.i : t.i + {SPAN_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - {SPAN_N} + 2)) AS t(i)
+      WHERE len(ws) >= {SPAN_N}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc=f"Cross-source content-overlap matrix: for every pair of source "
+    f"domains, how many distinct {SPAN_N}-word spans they share — the "
+    "mixture diagnostic that tells you two 'independent' sources are "
+    "mirrors of each other BEFORE you assign them separate sampling "
+    "weights (double-counted content silently doubles its effective "
+    "epoch count). Scale shape: the corpus reduces to DISTINCT (source, "
+    "gram-hash) pairs first — per-gram fan-out is bounded by |sources|, "
+    "so the self-join on gram hash can't quadratically explode however "
+    "many documents share a span — both join sides hash-partition on the "
+    "same gram-hash key (one reusable exchange), and the final pair "
+    "aggregation is |sources|^2-bounded. Only 48-bit hashes shuffle, "
+    "never text. The md5-nibble hash (q81's) keeps the oracle "
+    "value-checkable; production swaps xxhash64.",
+)
+def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(w) - SPAN_N + 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(SPAN_N)]
+        ),
+    )
+    g = (
+        d.filter(F.size(w) >= SPAN_N)
+        .select("source", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("source", F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+    )

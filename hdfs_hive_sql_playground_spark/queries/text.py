@@ -1142,3 +1142,92 @@ def q120_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 per-pack statistics (padding-waste measurement for sequence packing)
+# ---------------------------------------------------------------------------
+
+
+def _q121_oracle() -> str:
+    from hdfs_hive_sql_playground_spark.queries import REGISTRY
+
+    return f"""
+    WITH pack AS ({REGISTRY["q112_sequence_packing"].oracle})
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           CAST({PACK_BUDGET} - sum(n_tok) AS BIGINT) AS slack_tokens
+    FROM pack GROUP BY lang, pack_id
+    """
+
+
+@register(
+    "q121_pack_stats",
+    oracle=_q121_oracle(),
+    doc=f"Per-pack statistics over q112's greedy packing: documents per "
+    f"pack, token fill, and slack against the {PACK_BUDGET}-token budget "
+    "(negative slack marks boundary-crossing docs) — the padding-waste "
+    "report every packed-batch pipeline watches, since slack tokens are "
+    "paid-for-but-untrained compute. Pure composition: q112's bucketed "
+    "prefix-scan plan plus ONE (lang, pack_id) aggregation; pack_id is "
+    "derived from the same composite-key windows, so the skew-safety "
+    "story is inherited unchanged.",
+)
+def q121_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = q112_sequence_packing(spark, sf_dir)
+    return p.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        (F.lit(PACK_BUDGET) - F.sum("n_tok")).cast("bigint").alias("slack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 unigram corpus-frequency scoring (count-based perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.w AS token
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+            FROM documents), UNNEST(ws) AS u(w)
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(c) AS BIGINT) AS freq_mass,
+           CAST(sum(c) // count(*) AS BIGINT) AS mean_freq
+    FROM tok t JOIN cnt USING (token)
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram corpus-frequency scoring: each document's mean corpus "
+    "frequency over its tokens — the integer-exact proxy for the n-gram-LM "
+    "perplexity filter (KenLM-style) curation pipelines run; documents "
+    "with very LOW mean frequency are gibberish/rare-token noise, very "
+    "HIGH are boilerplate. Two shuffles, both on single tokens (never "
+    "documents): the vocabulary count aggregates on token, and the "
+    "token-count join probe hash-partitions on the SAME key — Catalyst "
+    "reuses the exchange (or broadcasts the vocab when it fits); the "
+    "per-doc rollup is one bounded doc_id aggregation. All arithmetic "
+    "int64 (`div`), bit-identical cross-engine.",
+)
+def q122_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        tok.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("c").cast("bigint").alias("freq_mass"),
+            F.expr("sum(c) div count(*)").cast("bigint").alias("mean_freq"),
+        )
+    )

@@ -434,3 +434,42 @@ def test_q120_budget_select_no_global_sort(spark, sf_dir):
     # the tiny global offsets window is allowed exactly one single
     # partition; a corpus-wide global sort would add rangepartitioning
     assert "rangepartitioning" not in p, p
+
+
+def test_q121_pack_stats_inherits_bucketed_windows(spark, sf_dir):
+    """Per-pack stats compose q112's plan with one (lang, pack_id)
+    aggregation: the running-sum windows must still partition on the
+    composite bucket key, and nothing new shuffles text."""
+    df = SPECS["q121_pack_stats"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q121_pack_stats", p)
+    _assert_stratum_windows_bucketed(df, "lang")
+
+
+def test_q122_unigram_join_is_token_keyed(spark, sf_dir):
+    """Unigram scoring: the vocab count and the token join key on the
+    same single-token column (never documents) — no nested-loop, no
+    cartesian, and only token/doc_id exchanges."""
+    df = SPECS["q122_unigram_surprisal"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoop" not in p
+    _assert_no_full_text_in_exchange("q122_unigram_surprisal", p)
+    hash_ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all(("token#" in ln) or ("doc_id#" in ln) for ln in hash_ex), p
+
+
+def test_q123_source_overlap_hash_keyed_no_explosion(spark, sf_dir):
+    """Source-overlap: candidate pairing must be an equi-join on the
+    48-bit gram hash over DISTINCT (source, hash) rows — per-gram fan-out
+    bounded by |sources| — with the inequality as a post-filter, never a
+    nested-loop/cartesian; gram strings and text stay out of exchanges."""
+    df = SPECS["q123_source_overlap"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoop" not in p
+    _assert_no_full_text_in_exchange("q123_source_overlap", p)
+    assert not any(
+        "gram#" in ln for ln in p.splitlines() if "Exchange" in ln
+    ), p
