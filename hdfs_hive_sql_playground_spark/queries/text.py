@@ -1212,8 +1212,14 @@ def q121_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents): the vocabulary count aggregates on token, and the "
     "token-count join probe hash-partitions on the SAME key — Catalyst "
     "reuses the exchange (or broadcasts the vocab when it fits); the "
-    "per-doc rollup is one bounded doc_id aggregation. All arithmetic "
-    "int64 (`div`), bit-identical cross-engine.",
+    "per-doc rollup is one bounded doc_id aggregation. Token keys are "
+    "Zipfian — the probe partition holding 'the' is the hot spot — which "
+    "is exactly what AQE's skew-join split handles (session pins "
+    "spark.sql.adaptive.skewJoin.enabled, session.py:54: the oversized "
+    "probe partition splits, the one-row build side replicates); the "
+    "degenerate-free alternative at extreme scale is q104's sketch: "
+    "broadcast the top-K counts and shuffle-join only the long tail. All "
+    "arithmetic int64 (`div`), bit-identical cross-engine.",
 )
 def q122_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
