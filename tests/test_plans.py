@@ -473,3 +473,13 @@ def test_q123_source_overlap_hash_keyed_no_explosion(spark, sf_dir):
     assert not any(
         "gram#" in ln for ln in p.splitlines() if "Exchange" in ln
     ), p
+
+
+def test_q10_preaggregates_lineitem_no_distinct_expand(spark, sf_dir):
+    """q10 must aggregate lineitem per order key BEFORE joining — the
+    COUNT(DISTINCT) formulation would plan an Expand over the join output
+    and shuffle the fact twice."""
+    df = SPECS["q10_join_chain_revenue"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Expand" not in p, p
+    plans.assert_no_cartesian(df)
