@@ -243,7 +243,7 @@ def _ensure_doc_trend(spark, sf_dir: str) -> str:
     from hdfs_hive_sql_playground_spark.tables import load
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}_v2")
+    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}_v3")
     marker = os.path.join(trend_dir, ".complete")
     if not os.path.exists(marker):
         for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
@@ -259,7 +259,10 @@ def _ensure_doc_trend(spark, sf_dir: str) -> str:
                 .withColumn(id_col, F.col(id_col) + F.col("_r") * n)
                 .drop("_r")
             )
-            big.write.mode("overwrite").parquet(
+            # 32 files, not 1: a single ~1 MB parquet file gives every
+            # trend query a ONE-TASK scan stage, understating x8
+            # parallelism (and it's nothing like a real corpus layout)
+            big.repartition(32).write.mode("overwrite").parquet(
                 os.path.join(trend_dir, f"{table}.parquet")
             )
         with open(marker, "w") as f:
@@ -307,7 +310,7 @@ def _ensure_doc_skew_trend(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     trend_dir = os.path.join(
-        REPO, ".bench_data", f"docs_skew_x{DOC_TREND_SCALE}_{tag}_v1"
+        REPO, ".bench_data", f"docs_skew_x{DOC_TREND_SCALE}_{tag}_v2"
     )
     marker = os.path.join(trend_dir, ".complete")
     if not os.path.exists(marker):
@@ -327,7 +330,7 @@ def _ensure_doc_skew_trend(spark, sf_dir: str) -> str:
         skewed = big.withColumn(
             "lang", F.when(hot, F.lit("en")).otherwise(F.col("lang"))
         ).withColumn("source", F.when(hot, F.lit("src0")).otherwise(F.col("source")))
-        skewed.write.mode("overwrite").parquet(
+        skewed.repartition(32).write.mode("overwrite").parquet(
             os.path.join(trend_dir, "documents.parquet")
         )
         with open(marker, "w") as f:
