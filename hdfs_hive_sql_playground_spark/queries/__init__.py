@@ -93,11 +93,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q41_split_array_cast",
     "q42_conditional",
     "q43_math_funcs",
-    "q48_date_arithmetic",
-    # new this round (never driver-checked): the q117-q123 additions all
+    # new this round (never driver-checked): the q117-q124 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q44-q47, q49-q51) are exactly 2 rounds old and lead round 6's
-    # rotation
+    # (q44-q47, q48_date_arithmetic, q49-q51) are exactly 2 rounds old and
+    # lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
     "q119_hash_split",
@@ -105,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q121_pack_stats",
     "q122_unigram_surprisal",
     "q123_source_overlap",
+    "q124_semdedup_prune",
 )
 
 

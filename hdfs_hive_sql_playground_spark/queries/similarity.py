@@ -517,3 +517,97 @@ def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", cos_r6.alias("cos_r6")).filter(
         F.col("cos_r6") >= NEARDUP_COS
     )
+
+
+# -- SemDeDup: semantic dedup by cluster-local centroid-rank pruning --------
+
+SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
+
+
+@register(
+    "q124_semdedup_prune",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS ccos
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, v, cid AS cell, ccos FROM (
+        SELECT vec_id, v, cid, ccos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    removed AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell
+       AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+      WHERE {_sql_cos('a.v', 'b.v')} >= {SEMDEDUP_COS}
+    )
+    SELECT a.vec_id, a.cell, ROUND(a.ccos, 6) AS centroid_cos_r6,
+           (r.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "deduplication by cluster-then-prune. Vectors are assigned to their "
+    "nearest coarse centroid (broadcast map-side join); within each cell a "
+    "vector is REMOVED when a strictly centroid-closer cell-mate (ties "
+    "broken by vec_id, so exactly one survivor per duplicate group's "
+    "frontier) sits within SEMDEDUP_COS cosine. Dominance compares raw "
+    "fold-computed cosines, which are bit-identical across Spark and "
+    "DuckDB (module header), so keep/remove decisions are engine-"
+    "independent. At 100 TB: centroids come from an offline k-means with "
+    "~sqrt(N) cells; cost is one tiny broadcast, one cell-keyed exchange "
+    "whose per-key work is bounded by cell size (sum cell^2, tunable via "
+    "N_CELLS), and one vec_id-keyed exchange for the removed-set distinct "
+    "+ flag join. Only ids and embeddings shuffle, never text.",
+)
+def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    e = _embeddings(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"), "ccos")
+        # 3 consumers (dominance left/right + the final flag join): score
+        # each vector against the centroids once, not three times
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        "cell",
+        F.col("ccos").alias("b_ccos"),
+    )
+    dominated = (
+        assign.join(b, "cell")
+        .filter(
+            (F.col("b_ccos") > F.col("ccos"))
+            | ((F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id")))
+        )
+        .filter(_cos(F.col("v"), F.col("bv")) >= SEMDEDUP_COS)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assign.join(dominated.withColumn("rm", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.round("ccos", 6).alias("centroid_cos_r6"),
+            F.col("rm").isNull().alias("kept"),
+        )
+    )

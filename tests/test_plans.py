@@ -483,3 +483,27 @@ def test_q10_preaggregates_lineitem_no_distinct_expand(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "Expand" not in p, p
     plans.assert_no_cartesian(df)
+
+
+def test_q124_semdedup_cell_bounded_no_allpairs(spark, sf_dir):
+    """SemDeDup prunes within IVF cells only: centroid assignment is a
+    broadcast join, the dominance self-join exchanges on the cell key, and
+    no unbucketed all-pairs stage exists anywhere."""
+    df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    # centroid scoring happens ONCE: the assignment is cached and every
+    # consumer reads the InMemory relation.  The plan string re-renders
+    # that one cached plan under each scan (and twice per scan when the
+    # cache pre-exists), so we assert shape, not occurrence counts: three
+    # consumers, and EVERY nested-loop rendering is the broadcast-centroid
+    # cross (build side = N_CELLS rows), never an unbroadcast all-pairs.
+    assert p.count("InMemoryTableScan") >= 3, p
+    assert p.count("BroadcastNestedLoopJoin") == p.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ), p
+    # the dominance self-join is key-equi on the cell id, never all-pairs
+    # (strategy varies with cache statistics: SMJ cold, BHJ once the cached
+    # assignment's true size is known — both are cell-keyed equi joins)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p), p
+    _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
