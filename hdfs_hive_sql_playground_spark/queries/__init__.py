@@ -90,12 +90,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q32_distribute_cluster_by",
     "q33_set_ops_all",
     "q40_string_funcs",
-    "q41_split_array_cast",
-    "q42_conditional",
-    "q43_math_funcs",
-    # new this round (never driver-checked): the q117-q124 additions all
+    # new this round (never driver-checked): the q117-q127 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q44-q47, q48_date_arithmetic, q49-q51) are exactly 2 rounds old and
+    # (q41-q47, q48_date_arithmetic, q49-q51) are exactly 2 rounds old and
     # lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
@@ -105,6 +102,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q122_unigram_surprisal",
     "q123_source_overlap",
     "q124_semdedup_prune",
+    "q125_url_funcs",
+    "q126_fuzzy_string_funcs",
+    "q127_xpath_funcs",
 )
 
 

@@ -1258,3 +1258,119 @@ def q33_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = a.intersectAll(b).select(F.lit("inter").alias("tag"), "v")
     exc = a.exceptAll(b).select(F.lit("exc").alias("tag"), "v")
     return inter.unionByName(exc)
+
+
+# -- Hive URL / fuzzy-string / xpath UDF parity -----------------------------
+
+
+@register(
+    "q125_url_funcs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS query_lang
+    FROM d
+    """,
+    doc="Hive parse_url surface (PROTOCOL/HOST/PATH/QUERY and the keyed "
+    "QUERY:<param> form — Hive's parse_url / parse_url_tuple UDFs) over "
+    "URLs synthesized deterministically from the documents table, so the "
+    "regexp-based oracle is exact by construction. Pure zero-shuffle "
+    "projection; the Java URI parser runs JVM-side inside codegen, the "
+    "standard plan for log-URL feature extraction at any scale.",
+)
+def q125_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&ref=r"), (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("query_lang"),
+    )
+
+
+@register(
+    "q126_fuzzy_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev_name_seg,
+           CASE c_mktsegment
+             WHEN 'BUILDING'   THEN 'B435'
+             WHEN 'AUTOMOBILE' THEN 'A351'
+             WHEN 'MACHINERY'  THEN 'M256'
+             WHEN 'HOUSEHOLD'  THEN 'H243'
+             WHEN 'FURNITURE'  THEN 'F653'
+           END AS seg_soundex,
+           array_to_string(
+             list_transform(str_split(lower(c_name), ' '),
+                            w -> upper(w[1:1]) || w[2:]),
+             ' ') AS name_initcap,
+           format('{:,}', c_custkey * 12345) AS key_fmt
+    FROM customer
+    """,
+    doc="Hive fuzzy/format string UDFs: levenshtein (edit distance — both "
+    "engines implement the classic Wagner-Fischer definition, asserted "
+    "equal), soundex (the oracle pins the standard algorithm's codes for "
+    "the five TPC-H segments — an unexpected segment yields NULL and a "
+    "hash mismatch, so the mapping is load-bearing), initcap (oracle "
+    "emulates via per-word case split), and format_number with thousands "
+    "separators — exercised on BIGINT only, because grouped float "
+    "formatting is rounding-mode quicksand cross-engine (Spark "
+    "DecimalFormat HALF_EVEN on shortest-repr vs binary-value rounding). "
+    "Zero-shuffle projection.",
+)
+def q126_fuzzy_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.col("c_mktsegment")).alias("lev_name_seg"),
+        F.soundex(F.col("c_mktsegment")).alias("seg_soundex"),
+        F.initcap(F.lower(F.col("c_name"))).alias("name_initcap"),
+        F.format_number(F.col("c_custkey") * 12345, 0).alias("key_fmt"),
+    )
+
+
+@register(
+    "q127_xpath_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey AS INTEGER) AS xkey,
+           p_brand AS xbrand,
+           CAST(3 AS INTEGER) AS n_leaves
+    FROM part
+    """,
+    doc="Hive xpath UDF family (xpath_int / xpath_string / xpath) over XML "
+    "synthesized from the part table, so the oracle is the identity by "
+    "construction — what is verified is that Spark's XPath evaluation "
+    "round-trips the values exactly (types included: xpath_int yields "
+    "INTEGER) and that the node-set form counts leaves correctly. "
+    "Zero-shuffle projection; the XML never leaves the map side.",
+)
+def q127_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit("<part><key>"), F.col("p_partkey").cast("string"),
+        F.lit("</key><size>"), F.col("p_size").cast("string"),
+        F.lit("</size><brand>"), F.col("p_brand"), F.lit("</brand></part>"),
+    )
+    return p.select(
+        "p_partkey",
+        F.xpath_int(xml, F.lit("part/key")).alias("xkey"),
+        F.xpath_string(xml, F.lit("part/brand")).alias("xbrand"),
+        F.size(F.xpath(xml, F.lit("part/*/text()"))).alias("n_leaves"),
+    )

@@ -507,3 +507,11 @@ def test_q124_semdedup_cell_bounded_no_allpairs(spark, sf_dir):
     # assignment's true size is known — both are cell-keyed equi joins)
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p), p
     _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+
+
+def test_q125_q126_q127_scalar_udf_parity_zero_shuffle(spark, sf_dir):
+    """The Hive UDF-parity projections (parse_url, levenshtein/soundex/
+    initcap/format_number, xpath) are pure map-side work: no exchange."""
+    for name in ("q125_url_funcs", "q126_fuzzy_string_funcs", "q127_xpath_funcs"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert plans.count_exchanges(df) == 0, name
