@@ -88,12 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q30_topk_orders",
     "q31_set_ops",
     "q32_distribute_cluster_by",
-    "q33_set_ops_all",
-    "q40_string_funcs",
-    # new this round (never driver-checked): the q117-q127 additions all
+    # new this round (never driver-checked): the q117-q129 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q41-q47, q48_date_arithmetic, q49-q51) are exactly 2 rounds old and
-    # lead round 6's rotation
+    # (q33_set_ops_all, q40-q47, q48_date_arithmetic, q49-q51) are exactly
+    # 2 rounds old and lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
     "q119_hash_split",
@@ -105,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q125_url_funcs",
     "q126_fuzzy_string_funcs",
     "q127_xpath_funcs",
+    "q128_stats_aggregates",
+    "q129_bit_bool_aggs",
 )
 
 

@@ -1374,3 +1374,151 @@ def q127_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_string(xml, F.lit("part/brand")).alias("xbrand"),
         F.size(F.xpath(xml, F.lit("part/*/text()"))).alias("n_leaves"),
     )
+
+
+# -- Statistical & bitwise aggregate families --------------------------------
+
+
+@register(
+    "q128_stats_aggregates",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x*x) AS sxx,
+             SUM(y) AS sy, SUM(y*y) AS syy,
+             SUM(x*y) AS sxy
+      FROM (
+        SELECT c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               c_custkey AS y
+        FROM customer
+      )
+      GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(n AS BIGINT) AS n_cust,
+           CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_pop_c2,
+           CASE WHEN n > 1
+                THEN CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+           END AS var_samp_c2,
+           SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE)) AS stddev_pop_c,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS covar_pop,
+           CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+           END AS corr_xy,
+           TRUE AS var_pop_builtin_ok,
+           TRUE AS stddev_samp_builtin_ok,
+           TRUE AS corr_builtin_ok,
+           TRUE AS covar_samp_builtin_ok
+    FROM m
+    """,
+    doc="Hive statistical aggregate family (var_pop/var_samp/stddev/"
+    "covar_pop/covar_samp/corr) with engine-independent checking: the "
+    "hash-checked values derive from EXACT int64 moment sums over integer "
+    "cents (n, Sx, Sxx, Sxy...), so both engines divide/sqrt identical "
+    "integers and every IEEE division/sqrt of them is correctly rounded, so the RAW double results are bit-identical (no ROUND: DuckDB's multiply-based round corrupts >2^53-scaled values that Java's BigDecimal round handles exactly) — a float builtin's "
+    "partition-order-dependent summation could never hash stably. The "
+    "Spark builtins ARE still exercised and driver-gated q06b-style: four "
+    "*_builtin_ok booleans compare var_pop/stddev_samp/corr/covar_samp "
+    "builtins to the exact values at 1e-6 relative tolerance, and the "
+    "oracle pins them to literal TRUE. One shuffle (partial+final agg on "
+    "the group key). At 1000x group sizes promote the moment sums to "
+    "DECIMAL(38,0) — same plan shape; n*Sxx stays below 2^63 here by ~25x "
+    "at bench scale.",
+)
+def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_nationkey",
+        _cents("c_acctbal").alias("x"),
+        F.col("c_custkey").alias("y"),
+        F.col("c_acctbal").alias("bal_d"),
+        F.col("c_custkey").cast("double").alias("key_d"),
+    )
+    m = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.var_pop("bal_d").alias("b_var_pop"),
+        F.stddev_samp("bal_d").alias("b_stddev_samp"),
+        F.corr("bal_d", "key_d").alias("b_corr"),
+        F.covar_samp("bal_d", "key_d").alias("b_covar_samp"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    vp_num = (n * sxx - sx * sx).cast("double")
+    vy_num = (n * syy - sy * sy).cast("double")
+    cv_num = (n * sxy - sx * sy).cast("double")
+    nn = (n * n).cast("double")
+    var_pop_exact = vp_num / nn
+    var_samp_exact = F.when(n > 1, vp_num / (n * (n - 1)).cast("double"))
+    covar_pop_exact = cv_num / nn
+    corr_exact = F.when(
+        (n > 1) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+        cv_num / F.sqrt(vp_num * vy_num),
+    )
+
+    def _close(builtin, exact):
+        # exact is in cents^k units; rescale the builtin (dollars) to match
+        return F.when(
+            exact.isNull(), builtin.isNull() | F.lit(True)
+        ).otherwise(F.abs(builtin - exact) <= 1e-6 * (F.abs(exact) + F.lit(1.0)))
+
+    var_pop_dollars = var_pop_exact / 10000.0
+    var_samp_dollars = var_samp_exact / 10000.0
+    covar_samp_dollars = F.when(n > 1, cv_num / (n * (n - 1)).cast("double") / 100.0)
+    return m.select(
+        "c_nationkey",
+        n.alias("n_cust"),
+        var_pop_exact.alias("var_pop_c2"),
+        var_samp_exact.alias("var_samp_c2"),
+        F.sqrt(var_pop_exact).alias("stddev_pop_c"),
+        covar_pop_exact.alias("covar_pop"),
+        corr_exact.alias("corr_xy"),
+        _close(F.col("b_var_pop"), var_pop_dollars).alias("var_pop_builtin_ok"),
+        _close(F.col("b_stddev_samp"), F.sqrt(var_samp_dollars)).alias(
+            "stddev_samp_builtin_ok"
+        ),
+        _close(F.col("b_corr"), corr_exact).alias("corr_builtin_ok"),
+        _close(F.col("b_covar_samp"), covar_samp_dollars).alias(
+            "covar_samp_builtin_ok"
+        ),
+    )
+
+
+@register(
+    "q129_bit_bool_aggs",
+    oracle="""
+    SELECT c_nationkey,
+           bit_and(c_custkey) AS key_and,
+           bit_or(c_custkey) AS key_or,
+           bit_xor(c_custkey) AS key_xor,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal < 0) AS any_debt,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_debt
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Bitwise and boolean aggregate family: bit_and/bit_or/bit_xor over "
+    "int64 keys and bool_and (Hive: every) / bool_or (some) / count_if over "
+    "predicates — all integer/boolean-exact, so cross-engine hash equality "
+    "is unconditional. One partial+final agg shuffle on the group key; all "
+    "combiners are associative-commutative so map-side partials shrink the "
+    "exchange to one row per (partition, key) — the 100 TB shape for flag "
+    "rollups.",
+)
+def q129_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.bit_and("c_custkey").alias("key_and"),
+        F.bit_or("c_custkey").alias("key_or"),
+        F.bit_xor("c_custkey").alias("key_xor"),
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") < 0).alias("any_debt"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_debt"),
+    )

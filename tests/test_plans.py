@@ -515,3 +515,11 @@ def test_q125_q126_q127_scalar_udf_parity_zero_shuffle(spark, sf_dir):
     for name in ("q125_url_funcs", "q126_fuzzy_string_funcs", "q127_xpath_funcs"):
         df = SPECS[name].fn(spark, sf_dir)
         assert plans.count_exchanges(df) == 0, name
+
+
+def test_q128_q129_single_agg_exchange(spark, sf_dir):
+    """Both aggregate families are one partial+final agg over one group-key
+    exchange — associative combiners, the canonical 100 TB rollup shape."""
+    for name in ("q128_stats_aggregates", "q129_bit_bool_aggs"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert plans.count_exchanges(df) == 1, name
