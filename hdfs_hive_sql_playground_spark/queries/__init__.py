@@ -86,11 +86,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q23_ntile_first_last",
     "q24_range_frame_window",
     "q30_topk_orders",
-    "q31_set_ops",
-    "q32_distribute_cluster_by",
-    # new this round (never driver-checked): the q117-q129 additions all
+    # new this round (never driver-checked): the q117-q131 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q33_set_ops_all, q40-q47, q48_date_arithmetic, q49-q51) are exactly
+    # (q31-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
     # 2 rounds old and lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
@@ -105,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q127_xpath_funcs",
     "q128_stats_aggregates",
     "q129_bit_bool_aggs",
+    "q130_bpe_pair_counts",
+    "q131_width_bucket_histogram",
 )
 
 

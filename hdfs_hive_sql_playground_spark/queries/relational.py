@@ -1522,3 +1522,58 @@ def q129_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("c_acctbal") < 0).alias("any_debt"),
         F.count_if(F.col("c_acctbal") < 0).alias("n_debt"),
     )
+
+
+@register(
+    "q131_width_bucket_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_c
+      FROM customer
+    ),
+    b AS (
+      SELECT CASE WHEN x_c < -100000 THEN 0
+                  WHEN x_c >= 1000000 THEN 11
+                  ELSE CAST((x_c + 100000) // 110000 AS BIGINT) + 1 END AS bucket
+      FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_in_bucket,
+           TRUE AS hn_mass_ok
+    FROM b GROUP BY bucket
+    """,
+    doc="Fixed-width histogram via Hive/Spark width_bucket over the full "
+    "TPC-H acctbal domain [-1000, 10000) in cents — bucket boundaries are "
+    "exact multiples of the integer width 110000, so the builtin's double "
+    "floor agrees bit-for-bit with the oracle's integer div. Spark's "
+    "histogram_numeric UDAF (engine-specific adaptive bins — inherently "
+    "unhashable cross-engine) is still exercised and driver-gated "
+    "q06b-style: hn_mass_ok pins 'the sketch's bin masses sum to the row "
+    "count' to literal TRUE. Shape: one partial+final agg on the bucket "
+    "id (bounded cardinality 12) plus a 1-row broadcast for the sketch "
+    "check — the scalable form of any fixed-bin distribution profile.",
+)
+def q131_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        _cents("c_acctbal").cast("double").alias("x_d"),
+        F.col("c_acctbal").alias("bal_d"),
+    )
+    hist = (
+        base.select(
+            F.width_bucket(F.col("x_d"), F.lit(-100000.0), F.lit(1000000.0), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    hn_check = base.agg(
+        F.expr(
+            "abs(aggregate(histogram_numeric(bal_d, 10), cast(0 as double),"
+            " (s, b) -> s + b.y) - count(*)) < 1e-6"
+        ).alias("hn_mass_ok")
+    )
+    return hist.crossJoin(F.broadcast(hn_check)).select(
+        "bucket", "n_in_bucket", "hn_mass_ok"
+    )

@@ -1237,3 +1237,48 @@ def q122_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(c) div count(*)").cast("bigint").alias("mean_freq"),
         )
     )
+
+
+TOPK_BPE_PAIRS = 60
+
+
+@register(
+    "q130_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(lower(trim(text)), ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {TOPK_BPE_PAIRS}
+    """,
+    doc="BPE tokenizer training, first merge iteration: corpus-frequency "
+    "counts of adjacent character pairs within words (Sennrich et al. 2016)"
+    " — the top pair IS the first merge rule, and iterating this query "
+    "with a symbol-remap between rounds is exactly the BPE training loop. "
+    "Complements q100 (word-level bigrams): this one is sub-word. Scale "
+    "shape: per-word pair explode is map-side; the only exchange "
+    "aggregates 2-char keys (bounded alphabet^2 cardinality, so the final "
+    "agg is tiny no matter the corpus size); top-k via TakeOrdered with a "
+    "pair tie-break, never a global sort. At 100 TB the pair-count table "
+    "fits in one executor by construction.",
+)
+def q130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(_words(F.col("text"))).alias("w"))
+    pairs = w.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(TOPK_BPE_PAIRS)
+    )

@@ -523,3 +523,21 @@ def test_q128_q129_single_agg_exchange(spark, sf_dir):
     for name in ("q128_stats_aggregates", "q129_bit_bool_aggs"):
         df = SPECS[name].fn(spark, sf_dir)
         assert plans.count_exchanges(df) == 1, name
+
+
+def test_q130_bpe_pairs_takeordered_single_exchange(spark, sf_dir):
+    """Char-pair counting: map-side explode, ONE pair-key agg exchange,
+    top-k via TakeOrdered — never a global sort of the pair table."""
+    df = SPECS["q130_bpe_pair_counts"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert plans.count_exchanges(df) == 1
+
+
+def test_q131_histogram_agg_plus_one_row_broadcast(spark, sf_dir):
+    """Fixed-width histogram: one bucket-key agg exchange; the
+    histogram_numeric mass check joins as a 1-row broadcast."""
+    df = SPECS["q131_width_bucket_histogram"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row sketch-check join
+    plans.assert_no_cartesian(df)
