@@ -85,10 +85,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q22_lead_lag",
     "q23_ntile_first_last",
     "q24_range_frame_window",
-    "q30_topk_orders",
-    # new this round (never driver-checked): the q117-q131 additions all
+    # new this round (never driver-checked): the q117-q132 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q31-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
+    # (q30-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
     # 2 rounds old and lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
@@ -105,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q129_bit_bool_aggs",
     "q130_bpe_pair_counts",
     "q131_width_bucket_histogram",
+    "q132_gopher_rules",
 )
 
 

@@ -1282,3 +1282,78 @@ def q130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(TOPK_BPE_PAIRS)
     )
+
+
+@register(
+    "q132_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(lower(trim(text))) AS n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN TRUE ELSE FALSE END
+               AS ok_word_count,
+             CASE WHEN (n_chars - len(ws) + 1) * 10 BETWEEN 30 * len(ws)
+                                                       AND 100 * len(ws)
+                  THEN TRUE ELSE FALSE END AS ok_mean_word_len,
+             CASE WHEN len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                       * 10 >= 8 * len(ws)
+                  THEN TRUE ELSE FALSE END AS ok_alpha_words,
+             CASE WHEN len(list_filter({list(STOPWORDS)!r}::VARCHAR[],
+                                       s -> list_contains(ws, s))) >= 2
+                  THEN TRUE ELSE FALSE END AS ok_stopwords
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           ok_word_count, ok_mean_word_len, ok_alpha_words, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_alpha_words
+            AND ok_stopwords) AS keep
+    FROM r
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, §A1.1), the named rule "
+    "bundle most curation stacks start from — per-rule diagnostic booleans "
+    "plus the conjunctive keep gate: word count in [10, 1e5] (lower bound "
+    "adapted to the synthetic corpus' doc lengths), mean word length in "
+    "[3, 10] (computed integer-exact: total-word-chars*10 vs 30n..100n, no "
+    "float division anywhere), >=80% of words contain an alphabetic "
+    "character, and >=2 distinct required stopwords present. The "
+    "line-level Gopher rules (bullet/ellipsis line fractions) are omitted "
+    "honestly: the synthetic corpus is single-line, so they would be "
+    "vacuously true and untested. Zero-shuffle pure projection; at 100 TB "
+    "this runs entirely map-side in one scan, the cheapest filter stage "
+    "in any pipeline.",
+)
+def q132_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    ws = F.split(t, " ")
+    n_words = F.size(ws)
+    n_chars = F.length(t)
+    # total characters across words = n_chars - (n_words - 1) separators
+    word_chars = n_chars - n_words + 1
+    n_alpha_words = F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+    n_stop_present = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    )
+    ok_wc = (n_words >= 10) & (n_words <= 100000)
+    ok_mwl = (word_chars * 10 >= 30 * n_words) & (word_chars * 10 <= 100 * n_words)
+    ok_alpha = n_alpha_words * 10 >= 8 * n_words
+    ok_stop = n_stop_present >= 2
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -541,3 +541,10 @@ def test_q131_histogram_agg_plus_one_row_broadcast(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "BroadcastNestedLoopJoin" in p  # the 1-row sketch-check join
     plans.assert_no_cartesian(df)
+
+
+def test_q132_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The Gopher rule bundle is a pure map-side projection — no exchange,
+    and the document text never leaves the scan."""
+    df = SPECS["q132_gopher_rules"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
