@@ -1577,3 +1577,125 @@ def q131_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.crossJoin(F.broadcast(hn_check)).select(
         "bucket", "n_in_bucket", "hn_mass_ok"
     )
+
+
+@register(
+    "q133_array_hof_funcs",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(w), ' ') AS sorted_words,
+           array_to_string(flatten([w, w]), ' ') AS doubled,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_intersect(w, ['red', 'green', 'blue']))),
+             ' '), '') AS primary_colors,
+           len(list_filter(w, x -> length(x) > 5)) > 0 AS has_long_word,
+           len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0
+             AS all_alpha,
+           list_aggregate(w, 'max') AS max_word,
+           array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i] || '-' || w[len(w) + 1 - i]),
+             ' ') AS zip_rev,
+           array_to_string(w, ' ') AS sentence_words
+    FROM b
+    """,
+    doc="Spark higher-order array functions over Hive's split output: "
+    "array_sort, flatten, array_intersect/array_distinct, exists, forall, "
+    "array_max, zip_with (paired with the reversed array), and the Hive "
+    "sentences() UDF (BreakIterator tokenization — on the punctuation-free "
+    "p_name values it must agree exactly with whitespace split, which is "
+    "what the oracle pins; array outputs are serialized with array_join "
+    "so the hash compares strings, not nested types). Zero-shuffle "
+    "projection; every lambda runs inside codegen, no Python.",
+)
+def q133_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = F.split(F.col("p_name"), " ")
+    colors = F.array(F.lit("red"), F.lit("green"), F.lit("blue"))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(w), " ").alias("sorted_words"),
+        F.array_join(F.flatten(F.array(w, w)), " ").alias("doubled"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(w, colors))), " "
+        ).alias("primary_colors"),
+        F.exists(w, lambda x: F.length(x) > 5).alias("has_long_word"),
+        F.forall(w, lambda x: x.rlike("^[a-z]+$")).alias("all_alpha"),
+        F.array_max(w).alias("max_word"),
+        F.array_join(
+            F.zip_with(w, F.reverse(w), lambda a, b: F.concat(a, F.lit("-"), b)), " "
+        ).alias("zip_rev"),
+        F.array_join(F.flatten(F.sentences(F.col("p_name"))), " ").alias(
+            "sentence_words"
+        ),
+    )
+
+
+@register(
+    "q134_explode_outer_map_hofs",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN []::VARCHAR[]
+                  ELSE [c_mktsegment, upper(c_name)] END AS arr,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    exploded AS (
+      SELECT c_custkey, bal_c,
+             CAST(UNNEST(range(1, len(arr) + 1)) AS INTEGER) - 1 AS pos,
+             arr
+      FROM b WHERE len(arr) > 0
+    )
+    SELECT c_custkey, pos, arr[pos + 1] AS val,
+           'bal=' || CAST(bal_c * 2 AS VARCHAR) || ',key=' || CAST(c_custkey * 2 AS VARCHAR)
+             AS doubled_map,
+           CASE WHEN bal_c > 0 THEN 'bal=' || CAST(bal_c AS VARCHAR) ELSE '' END
+             AS positive_entries
+    FROM exploded
+    UNION ALL
+    SELECT c_custkey, NULL, NULL,
+           'bal=' || CAST(bal_c * 2 AS VARCHAR) || ',key=' || CAST(c_custkey * 2 AS VARCHAR),
+           CASE WHEN bal_c > 0 THEN 'bal=' || CAST(bal_c AS VARCHAR) ELSE '' END
+    FROM b WHERE len(arr) = 0
+    """,
+    doc="posexplode_outer (NULL row preserved for empty arrays — the "
+    "LATERAL VIEW OUTER semantics Hive users rely on to keep unmatched "
+    "parents) plus the map higher-order functions transform_values and "
+    "map_filter, checked by serializing the maps to deterministic "
+    "'k=v' strings via sorted map_entries (DuckDB's MAP type hashes "
+    "differently, strings don't). Every third customer gets an empty "
+    "array, so the outer-NULL branch is exercised on real rows. "
+    "Zero-shuffle projection.",
+)
+def q134_explode_outer_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    arr = F.when(
+        F.col("c_custkey") % 3 == 0, F.array().cast("array<string>")
+    ).otherwise(F.array(F.col("c_mktsegment"), F.upper(F.col("c_name"))))
+    bal_c = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    m = F.create_map(
+        F.lit("bal"), bal_c, F.lit("key"), F.col("c_custkey")
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    positive = F.map_filter(m, lambda k, v: (k == F.lit("bal")) & (v > 0))
+
+    def _ser(mp):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mp),
+                    lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    return c.select(
+        "c_custkey",
+        F.posexplode_outer(arr).alias("pos", "val"),
+        _ser(doubled).alias("doubled_map"),
+        _ser(positive).alias("positive_entries"),
+    )

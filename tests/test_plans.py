@@ -548,3 +548,11 @@ def test_q132_gopher_rules_zero_shuffle(spark, sf_dir):
     and the document text never leaves the scan."""
     df = SPECS["q132_gopher_rules"].fn(spark, sf_dir)
     assert plans.count_exchanges(df) == 0
+
+
+def test_q133_q134_hof_zero_shuffle(spark, sf_dir):
+    """Array/map higher-order functions and posexplode_outer are pure
+    map-side generators/projections — no exchange anywhere."""
+    for name in ("q133_array_hof_funcs", "q134_explode_outer_map_hofs"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert plans.count_exchanges(df) == 0, name
