@@ -950,13 +950,19 @@ def q06b_hll_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
-      ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+      TRUE AS approx_p50_ok
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Exact interpolated percentiles (Spark percentile == DuckDB "
-    "quantile_cont: both linear-interpolate at p*(n-1)). At 100 TB swap to "
-    "approx_percentile with the same call shape.",
+    "quantile_cont: both linear-interpolate at p*(n-1)). The 100 TB path — "
+    "approx_percentile, a mergeable GK sketch whose result can vary with "
+    "partition merge order and so can never hash cross-engine — is "
+    "exercised and driver-gated q06b-style: approx_p50_ok pins 'the "
+    "accuracy-100 sketch's p50 lies between the exact p40 and p60 values' "
+    "(far looser than its 1%-rank guarantee, so TRUE under any merge "
+    "order) to literal TRUE in the oracle.",
 )
 def q07_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -964,6 +970,12 @@ def q07_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(100))
+        .between(
+            F.percentile("l_extendedprice", F.lit(0.4)),
+            F.percentile("l_extendedprice", F.lit(0.6)),
+        )
+        .alias("approx_p50_ok"),
     )
 
 
