@@ -564,6 +564,7 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "whose per-key work is bounded by cell size (sum cell^2, tunable via "
     "N_CELLS), and one vec_id-keyed exchange for the removed-set distinct "
     "+ flag join. Only ids and embeddings shuffle, never text.",
+    bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel

@@ -133,3 +133,52 @@ def test_sample_frames_matches_naive_reference(blobs):
             chunk = blob[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
             expect[(doc_id, fi)] = (len(chunk), sum(chunk))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q128's exact-moment statistics: the integer-moment formulas must agree
+# with the textbook float definitions for any integer inputs (the registry
+# fixture only covers one data distribution; this covers them all).
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=10**5),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_moment_formulas_match_textbook_definitions(pairs):
+    import math
+    import statistics
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    n = len(pairs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sy, syy = sum(ys), sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in pairs)
+
+    var_pop = (n * sxx - sx * sx) / (n * n)
+    assert math.isclose(var_pop, statistics.pvariance(xs), rel_tol=1e-9, abs_tol=1e-6)
+
+    var_samp = (n * sxx - sx * sx) / (n * (n - 1))
+    assert math.isclose(var_samp, statistics.variance(xs), rel_tol=1e-9, abs_tol=1e-6)
+
+    mx, my = sx / n, sy / n
+    cov_pop = (n * sxy - sx * sy) / (n * n)
+    cov_ref = sum((x - mx) * (y - my) for x, y in pairs) / n
+    assert math.isclose(cov_pop, cov_ref, rel_tol=1e-9, abs_tol=1e-6)
+
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx > 0 and vy > 0:
+        corr = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        corr_ref = cov_ref / math.sqrt(
+            statistics.pvariance(xs) * statistics.pvariance(ys)
+        )
+        assert math.isclose(corr, corr_ref, rel_tol=1e-9, abs_tol=1e-9)
+        assert -1.0000001 <= corr <= 1.0000001
