@@ -1476,10 +1476,12 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _close(builtin, exact):
-        # exact is in cents^k units; rescale the builtin (dollars) to match
-        return F.when(
-            exact.isNull(), builtin.isNull() | F.lit(True)
-        ).otherwise(F.abs(builtin - exact) <= 1e-6 * (F.abs(exact) + F.lit(1.0)))
+        # callers pass the exact cents-derived value already rescaled to
+        # the builtin's dollar units; an undefined exact value (n=1 /
+        # zero-variance guards) vacuously passes
+        return F.when(exact.isNull(), F.lit(True)).otherwise(
+            F.abs(builtin - exact) <= 1e-6 * (F.abs(exact) + F.lit(1.0))
+        )
 
     var_pop_dollars = var_pop_exact / 10000.0
     var_samp_dollars = var_samp_exact / 10000.0

@@ -64,7 +64,8 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cell): nearest-centroid assignment via broadcast join."""
+    """(vec_id, v, cell, ccos): nearest-centroid assignment via broadcast
+    join; ccos is the cosine to the winning centroid (q124's rank key)."""
     e = _embeddings(spark, sf_dir)
     cent = F.broadcast(
         e.filter(F.col("vec_id") < N_CELLS).select(
@@ -78,7 +79,7 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .select("vec_id", "v", F.col("cid").alias("cell"), "ccos")
     )
 
 
@@ -103,8 +104,8 @@ _SQL_ASSIGN = f"""
     FROM e CROSS JOIN cent
   ),
   assign AS (
-    SELECT vec_id, v, cid AS cell FROM (
-      SELECT vec_id, v, cid,
+    SELECT vec_id, v, cid AS cell, ccos FROM (
+      SELECT vec_id, v, cid, ccos,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
       FROM scored
     ) WHERE rn = 1
@@ -527,19 +528,7 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
 @register(
     "q124_semdedup_prune",
     oracle=f"""
-    WITH e AS ({_SQL_E}),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
-    scored AS (
-      SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS ccos
-      FROM e CROSS JOIN cent
-    ),
-    assign AS (
-      SELECT vec_id, v, cid AS cell, ccos FROM (
-        SELECT vec_id, v, cid, ccos,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-        FROM scored
-      ) WHERE rn = 1
-    ),
+    WITH {_SQL_ASSIGN},
     removed AS (
       SELECT DISTINCT a.vec_id
       FROM assign a JOIN assign b
@@ -569,24 +558,9 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    e = _embeddings(spark, sf_dir)
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-        )
-    )
-    scored = e.crossJoin(cent).select(
-        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"), "ccos")
-        # 3 consumers (dominance left/right + the final flag join): score
-        # each vector against the centroids once, not three times
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # 3 consumers (dominance left/right + the final flag join): score each
+    # vector against the centroids once, not three times
+    assign = _assignments(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     b = assign.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("bv"),
