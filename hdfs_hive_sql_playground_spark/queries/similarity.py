@@ -1,8 +1,8 @@
 """Similarity search / ANN over the ``embeddings`` table
 (``vec_id BIGINT, embedding ARRAY<FLOAT>, label INT``).
 
-Three operators, all JVM-side (no UDF of any kind — dot products are
-``zip_with`` + ``aggregate`` folds inside codegen):
+All operators are JVM-side except q97's deliberate Arrow/numpy variant —
+dot products are ``zip_with`` + ``aggregate`` folds inside codegen:
 
 - q84: near-duplicate pairs, bucketed by IVF cell assignment — the scale
   path for embedding dedup. No all-pairs stage: vectors are assigned to
@@ -16,6 +16,9 @@ Three operators, all JVM-side (no UDF of any kind — dot products are
   bounded by k after the filter — no global sort).
 - q86: IVF ANN — probe the 2 nearest cells per query, rank only
   candidates in probed cells. Recall vs q85 is asserted in tests.
+- q89: int8 scalar quantization; q97: Arrow/numpy mapInPandas top-k
+  (rank-identical to q85); q103: SRP-LSH cosine near-dup; q124: SemDeDup
+  cluster-then-prune semantic dedup over the q84 cell assignment.
 
 Cross-engine determinism: both Spark (``F.aggregate`` fold) and the
 DuckDB oracles (``list_sum(list_transform(...))``) evaluate the dot
