@@ -24,3 +24,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     result = compare(name, df, spec.oracle, sf_dir)
     assert result.ok, result.report()
+
+
+def test_driver_window_composition():
+    """The driver gate consumes the first 50 registry entries: the window
+    must be exactly 50 unique registered names (a typo here silently
+    shrinks the gate to whatever subset resolves)."""
+    from hdfs_hive_sql_playground_spark.queries import DRIVER_PRIORITY
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    unknown = [n for n in DRIVER_PRIORITY if n not in SPECS]
+    assert unknown == [], unknown
