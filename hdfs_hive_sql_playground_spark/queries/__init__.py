@@ -82,10 +82,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q19_pandas_udaf_weighted",
     "q20_window_rank",
     "q21_window_running_sum",
-    "q22_lead_lag",
-    # new this round (never driver-checked): the q117-q134 additions all
+    # new this round (never driver-checked): the q117-q135 additions all
     # debut with a driver row; the r3-vintage greens displaced by them
-    # (q23_ntile_first_last, q24_range_frame_window, q30-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
+    # (q22_lead_lag, q23_ntile_first_last, q24_range_frame_window, q30-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
     # 2 rounds old and lead round 6's rotation
     "q117_ngram_novelty",
     "q118_length_trim",
@@ -105,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q132_gopher_rules",
     "q133_array_hof_funcs",
     "q134_explode_outer_map_hofs",
+    "q135_recursive_hierarchy",
 )
 
 

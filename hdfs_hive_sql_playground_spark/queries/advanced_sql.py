@@ -526,3 +526,48 @@ def q39_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("null_order", F.lit("nulls_last"))
     )
     return first.unionAll(last)
+
+
+@register(
+    "q135_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(orig, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+      UNION ALL
+      SELECT orig, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT orig AS c_custkey,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS chain_len,
+           CAST(SUM(cur) AS BIGINT) AS ancestor_key_sum
+    FROM walk GROUP BY orig
+    """,
+    doc="Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x; the "
+    "same construct q87's oracle uses on the DuckDB side) walking the "
+    "implicit binary hierarchy parent(k) = k div 2 from each customer key "
+    "to the root: per-key depth, chain length, and the ancestor-key path "
+    "sum — a path aggregate no window function can express. Integer "
+    "division on both engines (Spark DIV, DuckDB //), so every step is "
+    "int64-exact. Scale shape: Spark executes the recursion as an "
+    "iterative union — the stage count is the recursion depth (log2 of "
+    "the max key, ~8 here, bounded by the seed filter) and each iteration "
+    "carries only the surviving frontier rows; at 100 TB the plan is "
+    "depth x one bounded shuffle, the same discipline as q87's label "
+    "propagation.",
+)
+def q135_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(orig, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM _rec_customer WHERE c_custkey <= 200
+          UNION ALL
+          SELECT orig, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT orig AS c_custkey,
+               CAST(MAX(depth) AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS chain_len,
+               CAST(SUM(cur) AS BIGINT) AS ancestor_key_sum
+        FROM walk GROUP BY orig
+        """
+    )

@@ -556,3 +556,15 @@ def test_q133_q134_hof_zero_shuffle(spark, sf_dir):
     for name in ("q133_array_hof_funcs", "q134_explode_outer_map_hofs"):
         df = SPECS[name].fn(spark, sf_dir)
         assert plans.count_exchanges(df) == 0, name
+
+
+def test_q135_recursion_is_bounded_union_loop(spark, sf_dir):
+    """The recursive CTE must plan Spark's iterative union (UnionLoop),
+    seeded by a pushed-down key filter — never a cartesian expansion."""
+    df = SPECS["q135_recursive_hierarchy"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "UnionLoop" in p or "Recursion" in p or "recursive" in p.lower(), p
+    plans.assert_no_cartesian(df)
+    # the anchor scan lives inside the loop node, out of reach of the
+    # pushed-filter helper; the seed bound is asserted by the oracle match
+    # (201+ rows would change every aggregate)
