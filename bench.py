@@ -46,9 +46,9 @@ def _ensure_m33_full() -> None:
 def _drop_derby_memory(spark, name: str) -> None:
     """Drop an in-memory Derby database so its pages leave the driver heap
     before the next timed section — an undropped 2.8 M-row x1 export DB
-    measurably inflates the x4 export trend (GC pressure, not sink cost).
-    Derby signals a successful drop by THROWING 08006, hence the blanket
-    except."""
+    measurably inflates the (x2-capped) export trend (GC pressure, not
+    sink cost). Derby signals a successful drop by THROWING 08006, hence
+    the blanket except."""
     try:
         spark._jvm.java.sql.DriverManager.getConnection(
             f"jdbc:derby:memory:{name};drop=true"
@@ -276,7 +276,9 @@ def _ensure_doc_trend(spark, sf_dir: str) -> str:
 
 
 def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
     from hdfs_hive_sql_playground_spark.queries import all_queries
+    from hdfs_hive_sql_playground_spark.queries import similarity as sim_mod
 
     trend_dir = _ensure_doc_trend(spark, sf_dir)
     specs = all_queries()
@@ -285,12 +287,39 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
         t0 = time.perf_counter()
         specs[name].fn(spark, trend_dir).write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 4)
+        release_tracked_caches()
         timings[f"trend_{name}_x{DOC_TREND_SCALE}"] = wall
         base = timings.get(name)
         if base:
             timings[f"trend_{name}_x{DOC_TREND_SCALE}_over_x1_ratio"] = round(
                 wall / base, 3
             )
+
+    # q124 in the PRODUCTION regime: the fixed-cells leg above documents
+    # the sum-cell^2 law (cells pack 8x fuller -> ~64x pair work); real
+    # deployments retrain the codebook as the corpus grows, keeping cell
+    # occupancy constant. Re-run the x8 corpus with N_CELLS scaled by the
+    # same 8x (identical occupancy to the x1 leg) — total pair work is then
+    # linear in rows and the wall ratio should sit near the other linear
+    # operators', not the fixed-cells blow-up.
+    saved_cells = sim_mod.N_CELLS
+    sim_mod.N_CELLS = saved_cells * DOC_TREND_SCALE
+    try:
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        specs["q124_semdedup_prune"].fn(spark, trend_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = round(time.perf_counter() - t0, 4)
+    finally:
+        sim_mod.N_CELLS = saved_cells
+        release_tracked_caches()
+    timings[f"trend_q124_cells_scaled_x{DOC_TREND_SCALE}"] = wall
+    base = timings.get("q124_semdedup_prune")
+    if base:
+        timings[f"trend_q124_cells_scaled_x{DOC_TREND_SCALE}_over_x1_ratio"] = round(
+            wall / base, 3
+        )
 
 
 # Skew-stress trend: the bucketed two-pass prefix-sum rewrite of the
@@ -440,17 +469,25 @@ def main() -> None:
     # inherited the x1 leg's compile for free, understating the slope.
     warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_sf):
+        from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+
         for spec in specs.values():
             spec.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+        release_tracked_caches()
 
     # Drain warm-up + m33 garbage so the first timed queries don't absorb
     # the export's GC debt.
     _quiesce(spark)
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # untimed: drop any multi-consumer caches (q99/q103/q124) so later
+        # queries aren't squeezed by another query's resident blocks
+        release_tracked_caches()
 
     # Scale-trend sections last: they are slope evidence, excluded from the
     # wall-clock total, and may leave the heap loaded.

@@ -94,6 +94,47 @@ def main() -> int:
             assert not errors, errors
             print("THRIFT_OK concurrent-clients")
 
+            # Concurrent DDL against the SHARED metastore: each client
+            # races CREATE TABLE AS / verify / DROP cycles on its OWN
+            # tables while the other does the same — the reference HS2
+            # serves several beeline sessions issuing DDL at once
+            # (playground.py:672-677); the shared catalog must serialize
+            # them without cross-talk or lost tables.
+            ddl_errors: list[str] = []
+
+            def ddl_race(client: WireClient, who: str) -> None:
+                try:
+                    for i in range(5):
+                        t = f"race_{who}_{i}"
+                        client.sql(f"DROP TABLE IF EXISTS {t}")
+                        client.sql(
+                            f"CREATE TABLE {t} AS "
+                            f"SELECT id + {i} AS v FROM range(4)"
+                        )
+                        got = sorted(
+                            int(r[0]) for r in client.sql(f"SELECT v FROM {t}")
+                        )
+                        if got != [i, i + 1, i + 2, i + 3]:
+                            ddl_errors.append(f"{t}: {got}")
+                        client.sql(f"DROP TABLE {t}")
+                except Exception as exc:  # pragma: no cover - failure path
+                    ddl_errors.append(f"{who}: {exc!r}")
+
+            ta = threading.Thread(target=ddl_race, args=(ca, "a"))
+            tb = threading.Thread(target=ddl_race, args=(cb, "b"))
+            ta.start(), tb.start()
+            ta.join(), tb.join()
+            assert not ddl_errors, ddl_errors
+            # neither client's tables survived, and the race left no
+            # stray catalog entries behind
+            left = [
+                r
+                for r in ca.sql("SHOW TABLES")
+                if str(r[1]).startswith("race_")
+            ]
+            assert not left, left
+            print("THRIFT_OK concurrent-ddl-shared-metastore")
+
         server.stop()
         return 0
     finally:

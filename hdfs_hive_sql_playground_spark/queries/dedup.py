@@ -807,9 +807,12 @@ def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the self-join on gram hash can't quadratically explode however "
     "many documents share a span — both join sides hash-partition on the "
     "same gram-hash key (one reusable exchange), and the final pair "
-    "aggregation is |sources|^2-bounded. Only 48-bit hashes shuffle, "
-    "never text. The md5-nibble hash (q81's) keeps the oracle "
-    "value-checkable; production swaps xxhash64.",
+    "aggregation is |sources|^2-bounded. Only 64-bit xxhash64 gram keys "
+    "shuffle, never text. The oracle joins the raw gram strings, so the "
+    "comparison is collision-sensitive in principle: an xxhash64 collision "
+    "between distinct grams would over-count one shared pair relative to "
+    "the oracle (P ~ n_grams^2 / 2^64 — negligible at test scale, and at "
+    "100 TB the overlap matrix is a diagnostic, not an exact contract).",
 )
 def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

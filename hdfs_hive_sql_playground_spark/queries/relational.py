@@ -1436,12 +1436,26 @@ def q127_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "*_builtin_ok booleans compare var_pop/stddev_samp/corr/covar_samp "
     "builtins to the exact values at 1e-6 relative tolerance, and the "
     "oracle pins them to literal TRUE. One shuffle (partial+final agg on "
-    "the group key). At 1000x group sizes promote the moment sums to "
-    "DECIMAL(38,0) — same plan shape; n*Sxx stays below 2^63 here by ~25x "
-    "at bench scale.",
+    "the group key). The moment sums run in DECIMAL(38,0) — int64 wraps "
+    "silently around sf1000 group sizes; decimal is exact to 1e38 and an "
+    "in-plan assert_true turns any overflow past that into a loud failure "
+    "instead of a wrapped answer (tested with 1e16-cent balances whose "
+    "squares exceed 2^63).",
 )
 def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
+    # Moment sums run in DECIMAL(38,0), not int64: per-row squares of
+    # integer cents reach 1e32 once balances hit 1e14 cents, and the
+    # n*Sxx - Sx^2 combination squares the group size on top — int64 wraps
+    # SILENTLY (non-ANSI) somewhere around sf1000 group sizes, which is
+    # exactly the 100 TB regime this engine targets. Decimal keeps every
+    # intermediate exact to 1e38; past THAT, Spark's decimal arithmetic
+    # yields NULL (never a wrapped value), and the assert_true guard below
+    # turns the null into a loud per-row failure instead of a wrong answer.
+    # The exact doubles derive by correctly-rounded decimal->double casts,
+    # so at oracle scale they are bit-identical to the old int64 path.
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
     base = c.select(
         "c_nationkey",
         _cents("c_acctbal").alias("x"),
@@ -1451,11 +1465,11 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = base.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
         F.var_pop("bal_d").alias("b_var_pop"),
         F.stddev_samp("bal_d").alias("b_stddev_samp"),
         F.corr("bal_d", "key_d").alias("b_corr"),
@@ -1463,15 +1477,30 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    vp_num = (n * sxx - sx * sx).cast("double")
-    vy_num = (n * syy - sy * sy).cast("double")
-    cv_num = (n * sxy - sx * sy).cast("double")
-    nn = (n * n).cast("double")
+    nd = n.cast("decimal(18,0)")
+    vp_dec = nd * sxx - sx * sx
+    vy_dec = nd * syy - sy * sy
+    cv_dec = nd * sxy - sx * sy
+    nn_dec = nd * nd
+    nn1_dec = nd * (nd - 1)
+    m = m.filter(
+        F.assert_true(
+            vp_dec.isNotNull() & vy_dec.isNotNull() & cv_dec.isNotNull(),
+            F.lit(
+                "q128: a moment combination overflowed DECIMAL(38,0) — "
+                "group size x value bounds exceed the engine contract"
+            ),
+        ).isNull()
+    )
+    vp_num = vp_dec.cast("double")
+    vy_num = vy_dec.cast("double")
+    cv_num = cv_dec.cast("double")
+    nn = nn_dec.cast("double")
     var_pop_exact = vp_num / nn
-    var_samp_exact = F.when(n > 1, vp_num / (n * (n - 1)).cast("double"))
+    var_samp_exact = F.when(n > 1, vp_num / nn1_dec.cast("double"))
     covar_pop_exact = cv_num / nn
     corr_exact = F.when(
-        (n > 1) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+        (n > 1) & (vp_dec > 0) & (vy_dec > 0),
         cv_num / F.sqrt(vp_num * vy_num),
     )
 
@@ -1485,7 +1514,7 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     var_pop_dollars = var_pop_exact / 10000.0
     var_samp_dollars = var_samp_exact / 10000.0
-    covar_samp_dollars = F.when(n > 1, cv_num / (n * (n - 1)).cast("double") / 100.0)
+    covar_samp_dollars = F.when(n > 1, cv_num / nn1_dec.cast("double") / 100.0)
     return m.select(
         "c_nationkey",
         n.alias("n_cust"),

@@ -32,18 +32,35 @@ k-means centroids computed offline; the query shape is identical).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hdfs_hive_sql_playground_spark.caching import track_persist
 from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.tables import load
 
-N_CELLS = 8
+# Coarse-quantizer cell count. Env-tunable because cell count is THE
+# scale knob for every cell-bucketed stage (q84 near-dup, q86 IVF probe,
+# q124 SemDeDup): within-cell pair work is sum(cell^2) ~ n^2 / N_CELLS,
+# so production keeps cell OCCUPANCY constant by growing the (offline
+# k-means) codebook linearly with the corpus. The oracle SQL fragments
+# below bake the same value at import, so the cross-engine check holds at
+# any setting. The bench's cells-scaled trend leg monkeypatches this at
+# runtime (no oracle involved there).
+N_CELLS = int(os.environ.get("SPARK_GRAFT_IVF_N_CELLS", "8"))
 N_QUERIES = 5
 TOP_K = 5
 PROBE_CELLS = 2
 NEARDUP_COS = 0.4  # tuned to the synthetic corpus; ~0.95+ in production
+
+# q124: cells holding more than this many vectors are split into
+# ceil(n_cell / cap) hash-shards before the dominance self-join, so one
+# hot cell can never serialize into a single straggler task. Exact: see
+# q124's docstring for the replicate-one-side construction.
+SEMDEDUP_CELL_CAP = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_CELL_CAP", "4096"))
 
 
 # -- Spark-side vector algebra (pure column expressions) --------------------
@@ -476,13 +493,10 @@ def _srp_band_sql() -> str:
     "width), the standard cosine-LSH operating point.",
 )
 def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    e = (
+    e = track_persist(  # 3 consumers: bands + 2 verify sides
         _embeddings(spark, sf_dir)
         .filter(F.col("vec_id") < SRP_MAX_VEC)
         .select("vec_id", "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: bands + 2 verify sides
     )
 
     def dot(j: int) -> Column:
@@ -551,27 +565,58 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "frontier) sits within SEMDEDUP_COS cosine. Dominance compares raw "
     "fold-computed cosines, which are bit-identical across Spark and "
     "DuckDB (module header), so keep/remove decisions are engine-"
-    "independent. At 100 TB: centroids come from an offline k-means with "
-    "~sqrt(N) cells; cost is one tiny broadcast, one cell-keyed exchange "
-    "whose per-key work is bounded by cell size (sum cell^2, tunable via "
-    "N_CELLS), and one vec_id-keyed exchange for the removed-set distinct "
-    "+ flag join. Only ids and embeddings shuffle, never text.",
+    "independent. At 100 TB: centroids come from an offline k-means whose "
+    "codebook grows linearly with the corpus (constant cell occupancy -> "
+    "linear total pair work, N_CELLS env-tunable; the bench's cells-"
+    "scaled x8 trend measures exactly this regime), and HOT cells are "
+    "defused in-plan: cells above SEMDEDUP_CELL_CAP are split into "
+    "ceil(n_cell/cap) hash-shards — the probe side keeps its one salted "
+    "shard, the candidate side is replicated to every shard of its cell — "
+    "so every (a,b) cell-mate pair still meets EXACTLY once (at a's "
+    "shard) and per-task work is capped at ~cap * n_cell regardless of "
+    "skew; semantics are bit-identical to the unsharded join (asserted in "
+    "tests at a forced 1-row cap). Cost: one tiny broadcast, one "
+    "(cell, shard)-keyed exchange, one vec_id-keyed exchange for the "
+    "removed-set distinct + flag join. Only ids and embeddings shuffle, "
+    "never text.",
     bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    # 3 consumers (dominance left/right + the final flag join): score each
-    # vector against the centroids once, not three times
-    assign = _assignments(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    b = assign.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        "cell",
-        F.col("ccos").alias("b_ccos"),
+    # 4 consumers (cell sizes + dominance left/right + the final flag
+    # join): score each vector against the centroids once, not four times.
+    # Tracked persist: bench/tests release it after materialization.
+    assign = track_persist(_assignments(spark, sf_dir))
+    # Per-cell shard counts: N_CELLS rows, broadcast to both join sides.
+    shards = F.broadcast(
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n_cell"))
+        .select(
+            "cell",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__n_cell") / F.lit(SEMDEDUP_CELL_CAP)),
+            )
+            .cast("int")
+            .alias("__n_shards"),
+        )
+    )
+    a = assign.join(shards, "cell").withColumn(
+        "__shard", F.pmod(F.xxhash64("vec_id"), F.col("__n_shards")).cast("int")
+    )
+    b = (
+        assign.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("bv"),
+            "cell",
+            F.col("ccos").alias("b_ccos"),
+        )
+        .join(shards, "cell")
+        .withColumn(
+            "__shard", F.explode(F.sequence(F.lit(0), F.col("__n_shards") - 1))
+        )
     )
     dominated = (
-        assign.join(b, "cell")
+        a.join(b, ["cell", "__shard"])
         .filter(
             (F.col("b_ccos") > F.col("ccos"))
             | ((F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id")))

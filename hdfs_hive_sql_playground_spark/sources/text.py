@@ -27,6 +27,8 @@ Design for scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,19 @@ FILE_COL = "input_file"
 # constraint Hive's split-0-only header skip imposes, made explicit.
 MAX_WHOLETEXT_FILE_BYTES = 256 * 1024 * 1024
 
+# The guard walks the directory ONCE per (path, limit) and caches the
+# verdict for the session: external-table ingest directories are immutable
+# between catalog operations (the same assumption behind Hive's metastore
+# partition statistics), so re-walking on EVERY query — five times in a
+# row for an interactive LIMIT-fetch loop — is pure listing overhead on
+# top of the listing the scan itself repeats. Set
+# SPARK_GRAFT_WHOLETEXT_GUARD_CACHE=0 for mutable-directory workflows
+# (each query then re-validates, the pre-round-6 behavior).
+_GUARD_CACHE_ENABLED = (
+    os.environ.get("SPARK_GRAFT_WHOLETEXT_GUARD_CACHE", "1") != "0"
+)
+_guard_ok: set[tuple[str, int]] = set()
+
 
 def _check_wholetext_sizes(spark: SparkSession, path: str, limit: int) -> None:
     """Driver-side size guard for the wholetext path, via the Hadoop
@@ -47,6 +62,8 @@ def _check_wholetext_sizes(spark: SparkSession, path: str, limit: int) -> None:
     listStatus — the same listing the scan itself performs, so the cost is
     already paid at 100 TB. Hidden files (``_``/``.`` prefixes) are skipped
     exactly as FileInputFormat skips them."""
+    if _GUARD_CACHE_ENABLED and (path, limit) in _guard_ok:
+        return
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -71,6 +88,7 @@ def _check_wholetext_sizes(spark: SparkSession, path: str, limit: int) -> None:
                 "Split the file upstream or read it without "
                 "skip_header_lines."
             )
+    _guard_ok.add((path, limit))
 
 
 def read_text_files(
@@ -139,8 +157,6 @@ def discover_partitions(base_dir: str) -> dict[str, str]:
     subdirectory of ``base_dir`` becomes a partition (value = dir name).
     Driver-side directory listing only — same metadata cost as Hive's
     partition discovery."""
-    import os
-
     return {
         d: os.path.join(base_dir, d)
         for d in sorted(os.listdir(base_dir))

@@ -31,6 +31,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .getOrCreate()
     )
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
     from hdfs_hive_sql_playground_spark.oracle import compare
     from hdfs_hive_sql_playground_spark.queries import all_queries
 
@@ -38,6 +39,7 @@ def main() -> int:
     fails: list[tuple[str, str]] = []
     for name in list(specs)[:n]:
         spec = specs[name]
+        release_tracked_caches()
         try:
             if spec.oracle is None:
                 rows = spec.fn(spark, sf_dir).count()

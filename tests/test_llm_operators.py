@@ -54,6 +54,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_semdedup_hot_cell_sharding_is_exact(spark, sf_dir):
+    """q124's hot-cell defusing (cells > SEMDEDUP_CELL_CAP split into
+    hash-shards, candidate side replicated per shard) must be bit-identical
+    to the unsharded dominance join. Force the most extreme sharding —
+    cap=1, i.e. every cell splits into n_cell shards — and compare."""
+    import hdfs_hive_sql_playground_spark.queries.similarity as sim
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+
+    fn = SPECS["q124_semdedup_prune"].fn
+    base = fn(spark, sf_dir).orderBy("vec_id").collect()
+    saved = sim.SEMDEDUP_CELL_CAP
+    sim.SEMDEDUP_CELL_CAP = 1
+    try:
+        sharded = fn(spark, sf_dir).orderBy("vec_id").collect()
+    finally:
+        sim.SEMDEDUP_CELL_CAP = saved
+        release_tracked_caches()
+    assert base == sharded
+    assert len(base) > 0 and any(not r.kept for r in base)
+
+
 def test_exact_dedup_no_text_in_shuffle(spark, sf_dir):
     """The exact-dedup aggregate must group on the 128-bit hash, not text."""
     plan = _physical_plan(SPECS["q80_exact_dedup"].fn(spark, sf_dir))

@@ -255,13 +255,15 @@ def test_q99_composed_pipeline_bounded_exchanges(spark, sf_dir):
     no stage multiplies shuffles, the lexicon joins broadcast, nothing
     plans nested-loop/cartesian, and the final quota stage windows on the
     bucketed composite key (the bare pred_lang running rank was the last
-    low-cardinality scale-killer).  The static plan shows the quota
-    counts branch re-deriving its upstream (14 exchanges); at runtime
-    ReusedExchange collapses the expensive dedup-window exchange, leaving
-    7 executed shuffles, all key-narrow."""
+    low-cardinality scale-killer).  The static plan still renders the
+    quota counts branch's upstream in full (14 exchanges), but both quota
+    consumers now read the persisted narrow (doc_id, pred_lang)
+    projection (two InMemoryTableScans) — at runtime the expensive
+    quality->dedup->LID prefix executes ONCE."""
     df = SPECS["q99_curation_pipeline"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
     assert plans.count_exchanges(df) <= 14
+    assert p.count("InMemoryTableScan") >= 2, p
     assert "BroadcastNestedLoop" not in p
     plans.assert_no_cartesian(df)
     _assert_no_full_text_in_exchange("q99_curation_pipeline", p)
@@ -502,10 +504,19 @@ def test_q124_semdedup_cell_bounded_no_allpairs(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") == p.count(
         "BroadcastNestedLoopJoin BuildRight, Cross"
     ), p
-    # the dominance self-join is key-equi on the cell id, never all-pairs
-    # (strategy varies with cache statistics: SMJ cold, BHJ once the cached
-    # assignment's true size is known — both are cell-keyed equi joins)
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p), p
+    # the dominance self-join is key-equi on the COMPOSITE (cell, shard)
+    # key, never all-pairs and never the bare cell id — the shard column is
+    # what keeps a hot cell from serializing into one task (strategy varies
+    # with cache statistics: SMJ cold, BHJ once the cached assignment's
+    # true size is known — both are (cell, shard)-keyed equi joins)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+L?, __shard#",
+        p,
+    ), p
+    # the per-cell shard-count side is a broadcast (N_CELLS rows), and the
+    # candidate side is replicated per shard via an explode, visible as a
+    # Generate over the sequence(0, n_shards-1)
+    assert "Generate explode" in p, p
     _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
 
 

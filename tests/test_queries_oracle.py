@@ -13,17 +13,24 @@ SPECS = all_queries()
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, sf_dir, name):
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+
     spec = SPECS[name]
-    df = spec.fn(spark, sf_dir)
-    assert df is not None
-    if spec.oracle is None:
-        # Rows-only check (non-SQL-expressible operator): must run and
-        # produce a stable schema.
-        n = df.count()
-        assert n >= 0
-        return
-    result = compare(name, df, spec.oracle, sf_dir)
-    assert result.ok, result.report()
+    try:
+        df = spec.fn(spark, sf_dir)
+        assert df is not None
+        if spec.oracle is None:
+            # Rows-only check (non-SQL-expressible operator): must run and
+            # produce a stable schema.
+            n = df.count()
+            assert n >= 0
+            return
+        result = compare(name, df, spec.oracle, sf_dir)
+        assert result.ok, result.report()
+    finally:
+        # multi-consumer queries persist intermediates; don't let 134
+        # parametrized runs accumulate them in one session
+        release_tracked_caches()
 
 
 def test_driver_window_composition():

@@ -151,3 +151,60 @@ def test_range_layout_bounds_file_count(spark, sf_dir, tmp_path):
     # range partitioning leads with the directory key: total files stay at
     # ~n_output_files, not tasks × partitions
     assert 1 <= n_files <= 12
+
+
+def test_q128_moment_sums_survive_int64_overflow(spark, tmp_path):
+    """q128's DECIMAL(38,0) moment path must return EXACT statistics on
+    balances whose per-row squares (1e32) dwarf int64 — the regime where
+    the old BIGINT sums wrapped silently. Two customers at 1e14 and 0
+    dollars: var_pop over cents is (2*1e32 - 1e32)/4 = 2.5e31, computed
+    here with Python bigints as the ground truth."""
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    big = spark.createDataFrame(
+        [(1, 7, 1e14), (2, 7, 0.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    big.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    row = all_queries()["q128_stats_aggregates"].fn(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    x1, x2 = 10**16, 0  # exact cents
+    n, sx, sxx = 2, x1 + x2, x1 * x1 + x2 * x2
+    expected_var_pop = float(n * sxx - sx * sx) / float(n * n)
+    assert expected_var_pop > 2**63  # the case int64 could not represent
+    assert abs(r.var_pop_c2 - expected_var_pop) <= 1e-12 * expected_var_pop
+    # the double-based builtins must agree with the exact decimal path
+    assert r.var_pop_builtin_ok and r.stddev_samp_builtin_ok
+    assert r.covar_samp_builtin_ok
+
+
+def test_wholetext_size_guard_caches_per_path_and_limit(spark, tmp_path):
+    """The guard walks a (path, limit) once per session and caches the OK
+    verdict — interactive fetch loops must not re-list the tree on every
+    query (the ingest-directory-immutability assumption, documented at
+    the cache). Distinct limits stay distinct cache keys, and clearing
+    the cache re-validates."""
+    from hdfs_hive_sql_playground_spark.sources import text as text_src
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("h\nrow\n")
+    uri = f"file://{d}"
+    read_text_files = text_src.read_text_files
+
+    read_text_files(spark, uri, skip_header_lines=1, max_file_bytes=1024)
+    assert (uri, 1024) in text_src._guard_ok
+
+    # A file appearing AFTER the verdict is not re-checked on the cached
+    # (path, limit) — the documented immutable-ingest trade...
+    (d / "big.txt").write_text("h\n" + "x" * 4096 + "\n")
+    read_text_files(spark, uri, skip_header_lines=1, max_file_bytes=1024)
+
+    # ...but an uncached limit re-walks and refuses, and so does the same
+    # limit once the cache entry is dropped.
+    with pytest.raises(ValueError, match="big.txt"):
+        read_text_files(spark, uri, skip_header_lines=1, max_file_bytes=512)
+    text_src._guard_ok.discard((uri, 1024))
+    with pytest.raises(ValueError, match="big.txt"):
+        read_text_files(spark, uri, skip_header_lines=1, max_file_bytes=1024)

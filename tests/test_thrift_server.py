@@ -37,6 +37,7 @@ def test_thrift_multi_session_two_clients():
         "THRIFT_OK temp-view-isolated-from-engine",
         "THRIFT_OK catalog-shared-across-sessions",
         "THRIFT_OK concurrent-clients",
+        "THRIFT_OK concurrent-ddl-shared-metastore",
     ):
         assert marker in out, out[-2000:] + proc.stderr[-2000:]
     assert proc.returncode == 0
