@@ -35,76 +35,79 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  After round 4 every registry query has a cumulative
-# driver-green row except q06 (rows-only by design).  This round-5 window
-# front-loads (a) the 14 queries whose only green is round-2 vintage —
-# code paths around them (session defaults, tables.load) changed since —
-# (b) the four queries whose implementation changed this round (the
-# bucketed-prefix-scan rewrite of the stratum windows), and (c) the new
-# q06b companion, then backfills with the stalest round-3-vintage greens.
+# insertion order.  This round-6 window front-loads (a) every round-3-
+# vintage green — 3 rounds old now, the stalest hash-checked rows in the
+# registry (all 35 oracle-eligible ones; q06_approx_distinct stays out:
+# its driver row is rows-only by design and q06b hash-pins the estimate)
+# — then (b) the three queries whose implementation changed this round
+# (q124's hot-cell sharding, q128's DECIMAL moment sums, q99's persisted
+# quota input), and (c) round-4-vintage greens whose surrounding code
+# changed since r4 (the m33 family over the rewritten wholetext guard;
+# formats/sinks/jdbc round-trips; exact dedup next to this round's dedup
+# docstring edits) plus the stalest warehouse row.
 #
 # Rotation discipline for future rounds: replace the window with whichever
 # queries still lack a fresh driver row, backfilling with the stalest
-# previously-proven greens; no green should be older than 2 rounds.
+# previously-proven greens; registry (134) > 2x window, so the cycle is
+# ~2.7 rounds — report vintage honestly, keep the local oracle gate (all
+# 134, every round) green regardless.  The 47 r5-vintage greens rotate
+# back in next round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-2-vintage greens, last proven 2 rounds ago
-    "q17_custdist",
-    "q18_top_volume_orders",
-    "q48_hash_funcs",
-    "q49_map_bitwise",
-    "q59_values_inline",
-    "q60_json_extract",
-    "q61_tumbling_window",
-    "q62_sessionize",
-    "q63_pivot",
-    "q64_session_window",
-    "q65_asof_join",
-    "q66_range_join_bucketed",
-    "q67_multires_rollup",
-    "q68_keep_latest_per_key",
-    # (b) implementation changed this round: bucketed prefix scans
-    "q94_stratified_quota",
-    "q99_curation_pipeline",
-    "q112_sequence_packing",
-    "q115_domain_mix_sample",
-    # (c) new this round: hash-checkable HLL companion (q117-q119 at tail)
-    "q06b_hll_exact_check",
-    # backfill: stalest round-3-vintage greens
-    "q07_exact_percentiles",
-    "q08_salted_agg",
-    "q09_pandas_udf_scalar",
-    "q13_semi_join",
-    "q14_anti_join",
-    "q15_outer_join_coalesce",
-    "q16_theta_self_join",
-    "q17_full_outer_join",
-    "q18_join_hints",
-    "q19_pandas_udaf_weighted",
-    "q20_window_rank",
-    "q21_window_running_sum",
-    # new this round (never driver-checked): the q117-q135 additions all
-    # debut with a driver row; the r3-vintage greens displaced by them
-    # (q22_lead_lag, q23_ntile_first_last, q24_range_frame_window, q30-q33, q40-q47, q48_date_arithmetic, q49-q51) are exactly
-    # 2 rounds old and lead round 6's rotation
-    "q117_ngram_novelty",
-    "q118_length_trim",
-    "q119_hash_split",
-    "q120_budget_select",
-    "q121_pack_stats",
-    "q122_unigram_surprisal",
-    "q123_source_overlap",
+    # (a) round-3-vintage greens: windows/sort/set-ops/scalar funcs...
+    "q22_lead_lag",
+    "q23_ntile_first_last",
+    "q24_range_frame_window",
+    "q30_topk_orders",
+    "q31_set_ops",
+    "q32_distribute_cluster_by",
+    "q33_set_ops_all",
+    "q40_string_funcs",
+    "q41_split_array_cast",
+    "q42_conditional",
+    "q43_math_funcs",
+    "q44_date_funcs",
+    "q45_field_function",
+    "q46_array_map_funcs",
+    "q47_json_tuple",
+    "q48_date_arithmetic",
+    "q49_string_padding",
+    "q50_explode_tokens",
+    "q51_scalar_subquery",
+    "q52_correlated_exists",
+    "q53_in_subquery",
+    # ...ANN/similarity (q84/q86 also sit on this round's N_CELLS knob)...
+    "q84_embedding_neardup_cells",
+    "q85_ann_bruteforce_topk",
+    "q86_ivf_ann_topk",
+    "q87_neardup_components",
+    "q89_embedding_quantize",
+    "q97_ann_pandas_topk",
+    "q98_simhash_banded_neardup",
+    # ...and text analysis
+    "q88_tfidf_top_terms",
+    "q90_language_id",
+    "q91_quality_score",
+    "q92_token_count",
+    "q93_fingerprint",
+    "q95_multimodal_features",
+    "q100_bigram_topk",
+    # (b) implementation changed this round
     "q124_semdedup_prune",
-    "q125_url_funcs",
-    "q126_fuzzy_string_funcs",
-    "q127_xpath_funcs",
     "q128_stats_aggregates",
-    "q129_bit_bool_aggs",
-    "q130_bpe_pair_counts",
-    "q131_width_bucket_histogram",
-    "q132_gopher_rules",
-    "q133_array_hof_funcs",
-    "q134_explode_outer_map_hofs",
-    "q135_recursive_hierarchy",
+    "q99_curation_pipeline",
+    # (c) r4-vintage greens whose surrounding code changed since
+    "q70_m33_schem_view",
+    "q71_m33_schem_agg",
+    "q72_m33_limit_fetch",
+    "q73_m33_ctas_roundtrip",
+    "q74_m33_jdbc_export_roundtrip",
+    "q75_orc_roundtrip",
+    "q76_json_roundtrip",
+    "q77_csv_roundtrip",
+    "q78_bucketed_join",
+    "q110_range_layout_scan",
+    "q80_exact_dedup",
+    "q101_merge_upsert",
 )
 
 
