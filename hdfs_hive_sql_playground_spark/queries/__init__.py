@@ -50,8 +50,9 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # queries still lack a fresh driver row, backfilling with the stalest
 # previously-proven greens; registry (134) > 2x window, so the cycle is
 # ~2.7 rounds — report vintage honestly, keep the local oracle gate (all
-# 134, every round) green regardless.  The 47 r5-vintage greens rotate
-# back in next round.
+# 134, every round) green regardless.  Round 7 must lead with the 36
+# round-4-vintage greens this window could not fit (they turn 3 rounds
+# old at r7), then backfill with the stalest of the 47 r5-vintage rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-3-vintage greens: windows/sort/set-ops/scalar funcs...
     "q22_lead_lag",

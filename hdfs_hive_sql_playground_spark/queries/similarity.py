@@ -568,17 +568,21 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "independent. At 100 TB: centroids come from an offline k-means whose "
     "codebook grows linearly with the corpus (constant cell occupancy -> "
     "linear total pair work, N_CELLS env-tunable; the bench's cells-"
-    "scaled x8 trend measures exactly this regime), and HOT cells are "
-    "defused in-plan: cells above SEMDEDUP_CELL_CAP are split into "
-    "ceil(n_cell/cap) hash-shards — the probe side keeps its one salted "
-    "shard, the candidate side is replicated to every shard of its cell — "
-    "so every (a,b) cell-mate pair still meets EXACTLY once (at a's "
-    "shard) and per-task work is capped at ~cap * n_cell regardless of "
-    "skew; semantics are bit-identical to the unsharded join (asserted in "
-    "tests at a forced 1-row cap). Cost: one tiny broadcast, one "
-    "(cell, shard)-keyed exchange, one vec_id-keyed exchange for the "
-    "removed-set distinct + flag join. Only ids and embeddings shuffle, "
-    "never text.",
+    "scaled x8 trend measures exactly this regime). The physical strategy "
+    "is picked by one O(#cells) driver-side statistic: cells all within "
+    "SEMDEDUP_CELL_CAP -> plain cell-keyed self-join (broadcast-hash "
+    "while the candidate side fits, cell-keyed shuffle beyond); any hot "
+    "cell -> a 2-D blocked self-join splitting it into ceil(n_cell/cap) "
+    "hash-shards per side, so each cell-mate pair meets EXACTLY once at "
+    "(cell, hash(a)%S, hash(b)%S), per-key pair work is capped at ~cap^2 "
+    "however skewed the assignment, and an explicit numbered repartition "
+    "keeps AQE from coalescing the compute-bound pair stage below "
+    "cluster parallelism. Both branches are bit-identical (asserted in "
+    "tests at a forced 1-row cap) and pre-compute per-row vector norms "
+    "so the hot stage folds ONE 64-dim dot per pair, not three. Cost: "
+    "one tiny broadcast, one cell- or (cell, shard)-keyed exchange, one "
+    "vec_id-keyed exchange for the removed-set distinct + flag join. "
+    "Only ids and embeddings shuffle, never text.",
     bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,45 +590,108 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join): score each vector against the centroids once, not four times.
     # Tracked persist: bench/tests release it after materialization.
     assign = track_persist(_assignments(spark, sf_dir))
-    # Per-cell shard counts: N_CELLS rows, broadcast to both join sides.
-    shards = F.broadcast(
-        assign.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("__n_cell"))
-        .select(
-            "cell",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("__n_cell") / F.lit(SEMDEDUP_CELL_CAP)),
-            )
-            .cast("int")
-            .alias("__n_shards"),
-        )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("__n_cell"))
+    # One O(#cells) driver-side statistic picks the physical strategy —
+    # the explicit analog of the runtime stats AQE itself plans with. A
+    # well-occupied codebook (every cell <= cap, the production operating
+    # point and every test/bench x1 leg) takes the plain cell-keyed
+    # self-join, which Spark executes as a broadcast hash join while the
+    # candidate side fits (measured 3.6x faster per pair than any
+    # shuffled strategy) and as a cell-keyed SMJ beyond that. Only when
+    # some cell blows past the cap does the 2-D sharded join below kick
+    # in — paying the shuffled-join toll exactly when hot cells make the
+    # unsharded plan a straggler machine.
+    max_cell = sizes.agg(F.max("__n_cell")).first()[0] or 0
+
+    # Per-pair cosine with PRE-computed per-row norms: cos(a,b) =
+    # dot(a,b) / (|a| * |b|). The norms are evaluated once per ROW before
+    # the join instead of twice per PAIR inside it (the naive _cos form
+    # folds three 64-dim aggregates per candidate pair — 3x the hot-stage
+    # arithmetic). sqrt/multiply/divide order is identical to _cos, so
+    # the value — and the oracle hash — is bit-identical.
+    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
+    pair_cos = _dot(F.col("v"), F.col("bv")) / (F.col("__nv") * F.col("__nb"))
+    dominates = (F.col("b_ccos") > F.col("ccos")) | (
+        (F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id"))
     )
-    a = assign.join(shards, "cell").withColumn(
-        "__shard", F.pmod(F.xxhash64("vec_id"), F.col("__n_shards")).cast("int")
-    )
-    b = (
-        assign.select(
+
+    if max_cell <= SEMDEDUP_CELL_CAP:
+        a = assign.withColumn("__nv", norm(F.col("v")))
+        b = assign.select(
             F.col("vec_id").alias("b_id"),
             F.col("v").alias("bv"),
             "cell",
             F.col("ccos").alias("b_ccos"),
+            norm(F.col("v")).alias("__nb"),
         )
-        .join(shards, "cell")
-        .withColumn(
-            "__shard", F.explode(F.sequence(F.lit(0), F.col("__n_shards") - 1))
+        dominated = (
+            a.join(b, "cell")
+            .filter(dominates)
+            .filter(pair_cos >= SEMDEDUP_COS)
+            .select("vec_id")
+            .distinct()
         )
-    )
-    dominated = (
-        a.join(b, ["cell", "__shard"])
-        .filter(
-            (F.col("b_ccos") > F.col("ccos"))
-            | ((F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id")))
+    else:
+        # 2-D blocked self-join for hot cells: side A keeps its hashed
+        # shard __sa and replicates across candidate shards __sb; side B
+        # keeps its hashed __sb and replicates across __sa. Pair (a, b)
+        # meets EXACTLY once, at (cell, hash(a) % S, hash(b) % S);
+        # per-key pair work is capped at ~cap^2 (not cap * n_cell, which
+        # a one-sided salt would give), and both sides pay the same
+        # S-fold replication.
+        shards = F.broadcast(
+            sizes.select(
+                "cell",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__n_cell") / F.lit(SEMDEDUP_CELL_CAP)),
+                )
+                .cast("int")
+                .alias("__n_shards"),
+            )
         )
-        .filter(_cos(F.col("v"), F.col("bv")) >= SEMDEDUP_COS)
-        .select("vec_id")
-        .distinct()
-    )
+        all_shards = F.explode(F.sequence(F.lit(0), F.col("__n_shards") - 1))
+        a = (
+            assign.withColumn("__nv", norm(F.col("v")))
+            .join(shards, "cell")
+            .withColumn(
+                "__sa", F.pmod(F.xxhash64("vec_id"), F.col("__n_shards")).cast("int")
+            )
+            .withColumn("__sb", all_shards)
+        )
+        b = (
+            assign.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("v").alias("bv"),
+                "cell",
+                F.col("ccos").alias("b_ccos"),
+                norm(F.col("v")).alias("__nb"),
+            )
+            .join(shards, "cell")
+            .withColumn(
+                "__sb", F.pmod(F.xxhash64("b_id"), F.col("__n_shards")).cast("int")
+            )
+            .withColumn("__sa", all_shards)
+        )
+        # Pin the pair-stage parallelism: the shuffled INPUT is narrow-row
+        # tiny relative to the O(cap^2 per key) join OUTPUT, so AQE's
+        # size-based coalescing would legally fold the whole dominance
+        # stage onto a handful of tasks (measured: 4 tasks / 5x wall at
+        # the x8 fixed-cells fixture). An explicit numbered repartition on
+        # the composite key is exempt from coalescing; at cluster scale
+        # defaultParallelism = total cores, the right floor for a
+        # compute-bound stage whose key count (sum S_cell^2) exceeds it.
+        # The shuffle_hash hint skips SMJ's sort + per-key group
+        # buffering — hash-probe enumeration, like the broadcast path.
+        par = spark.sparkContext.defaultParallelism
+        a = a.repartition(par, "cell", "__sa", "__sb")
+        dominated = (
+            a.join(b.hint("shuffle_hash"), ["cell", "__sa", "__sb"])
+            .filter(dominates)
+            .filter(pair_cos >= SEMDEDUP_COS)
+            .select("vec_id")
+            .distinct()
+        )
     return (
         assign.join(dominated.withColumn("rm", F.lit(True)), "vec_id", "left")
         .select(

@@ -504,19 +504,35 @@ def test_q124_semdedup_cell_bounded_no_allpairs(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") == p.count(
         "BroadcastNestedLoopJoin BuildRight, Cross"
     ), p
-    # the dominance self-join is key-equi on the COMPOSITE (cell, shard)
-    # key, never all-pairs and never the bare cell id — the shard column is
-    # what keeps a hot cell from serializing into one task (strategy varies
+    # with every cell under the cap (this SF), the dominance self-join is
+    # the plain cell-keyed equi join, never all-pairs (strategy varies
     # with cache statistics: SMJ cold, BHJ once the cached assignment's
-    # true size is known — both are (cell, shard)-keyed equi joins)
+    # true size is known — both are cell-keyed equi joins)
     assert re.search(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+L?, __shard#",
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p
+    ), p
+    _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+
+
+def test_q124_hot_cell_plan_is_2d_sharded(spark, sf_dir, monkeypatch):
+    """Force every cell over the cap: the dominance join must switch to
+    the 2-D blocked shape — key-equi on (cell, __sa, __sb), candidate
+    replication via a sequence explode, and the pair stage pinned to an
+    AQE-exempt numbered repartition so tiny shuffled inputs can't
+    coalesce the compute-bound stage onto a handful of tasks."""
+    import hdfs_hive_sql_playground_spark.queries.similarity as sim
+
+    monkeypatch.setattr(sim, "SEMDEDUP_CELL_CAP", 1)
+    df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) "
+        r"\[cell#\d+L?, __sa#\d+, __sb#",
         p,
     ), p
-    # the per-cell shard-count side is a broadcast (N_CELLS rows), and the
-    # candidate side is replicated per shard via an explode, visible as a
-    # Generate over the sequence(0, n_shards-1)
-    assert "Generate explode" in p, p
+    assert "Generate explode(sequence" in p, p
+    assert "REPARTITION_BY_NUM" in p, p
     _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
 
 
