@@ -85,16 +85,26 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cell, ccos): nearest-centroid assignment via broadcast
-    join; ccos is the cosine to the winning centroid (q124's rank key)."""
-    e = _embeddings(spark, sf_dir)
+    join; ccos is the cosine to the winning centroid (q124's rank key).
+
+    Norms are pre-computed once per vector and once per centroid, so the
+    scoring stage folds ONE 64-dim dot per (vector, centroid) instead of
+    three — the stage cost scales with N_CELLS, so this matters exactly
+    when the codebook is grown with the corpus. sqrt/multiply/divide
+    order matches ``_cos``, so ccos is bit-identical to the oracle's
+    three-fold form."""
+    e = _embeddings(spark, sf_dir).withColumn(
+        "__nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     cent = F.broadcast(
         e.filter(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("__nv").alias("__ncv"),
         )
     )
-    scored = e.crossJoin(cent).select(
-        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__ncv"))
+    scored = e.crossJoin(cent).select("vec_id", "v", "cid", ccos.alias("ccos"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -514,9 +514,9 @@ CURATION_QUOTA = 15
     "exchanges (content-hash window, per-doc token agg, per-doc argmax "
     "window, doc_id equi-join, stratum window) — every shuffle carries "
     "keys and small payloads, never widened rows; the lexicon join is a "
-    "broadcast; the narrow curated (doc_id, lang) projection is persisted "
-    "once so the quota stage's two consumers never re-execute the "
-    "upstream stages.",
+    "broadcast; the quota stage's two consumers share the upstream work "
+    "through runtime exchange reuse (a persist was A/B-measured slower — "
+    "see the in-function comment).",
 )
 def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -552,20 +552,16 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
-    # The quota stage consumes its input TWICE (per-row ranks + per-bucket
-    # counts), and here that input is the entire upstream pipeline
-    # (quality gate -> dedup window -> LID join/argmax) — without a cache
-    # the counts branch re-executes all of it. Persist the narrow
-    # (doc_id, pred_lang) projection: ~10 bytes/row, so at 100 TB corpus
-    # scale the post-curation survivor set is a few GB per executor at
-    # MEMORY_AND_DISK — the standard materialize-between-stages point.
-    # Tracked: bench/tests release it after materialization.
-    from hdfs_hive_sql_playground_spark.caching import track_persist
-
-    langed = track_persist(
-        canon.join(best, "doc_id", "left").select(
-            "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang")
-        )
+    # The quota stage consumes its input twice (per-row ranks + per-bucket
+    # counts), and here that input is the entire upstream pipeline — but
+    # do NOT persist it: at runtime ReusedExchange already collapses the
+    # duplicated upstream (both branches shuffle on the same keys), so a
+    # MEMORY_AND_DISK cache of the narrow (doc_id, pred_lang) projection
+    # only adds columnar encode/decode on top (measured at sf0.1: ~1.10 s
+    # uncached vs ~1.48 s cached, 3-run A/B). The round-6 directive to
+    # try the persist was executed and rejected on measurement.
+    langed = canon.join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang")
     )
     ranked = _bucketed_hash_order_rank(
         langed, "pred_lang", "doc_id", "rn", keep_at_most=CURATION_QUOTA
