@@ -24,6 +24,10 @@ Cross-engine determinism: both Spark (``F.aggregate`` fold) and the
 DuckDB oracles (``list_sum(list_transform(...))``) evaluate the dot
 product as a sequential left fold over float32 values exactly cast to
 double, so cosines are bit-identical and rank order is engine-independent.
+Every hot scoring stage pre-computes per-ROW norms so it folds one dot
+per candidate pair instead of three; because the sqrt/multiply/divide
+order matches ``_cos`` exactly, the values (and the oracle hashes) are
+unchanged.
 
 Centroid "training" is deterministic: the first N_CELLS vectors serve as
 the coarse quantizer (a fixed seed sample — at scale, replace with
@@ -157,17 +161,28 @@ _SQL_ASSIGN = f"""
     "all-pairs stage exists; within-cell self-join + threshold.",
 )
 def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = _assignments(spark, sf_dir)
-    b = (
-        a.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("cell")
-        )
+    # per-row norms once, one fold per candidate pair (order-identical to
+    # _cos, so cos_r6 hashes bit-identically against the oracle)
+    a = _assignments(spark, sf_dir).withColumn(
+        "__n", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
+    b = a.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("cell"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     pairs = (
-        a.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cell")
+        a.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            "cell",
+            F.col("__n").alias("__na"),
+        )
         .join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", _cos(F.col("va"), F.col("vb")).alias("cos"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
     )
     return pairs.filter(F.col("cos") >= NEARDUP_COS).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cos_r6")
@@ -196,10 +211,16 @@ def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q85_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embeddings(spark, sf_dir)
+    # fact-side norms once per row, query norms once per broadcast row:
+    # the scoring stage folds one dot per (query, vector), not three
+    e = _embeddings(spark, sf_dir).withColumn(
+        "__nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("__nv").alias("__nq"),
         )
     )
     scored = (
@@ -208,7 +229,9 @@ def q85_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("qv"), F.col("v")).alias("cos"),
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -259,20 +282,42 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("__nq"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
     qcells = (
         q.crossJoin(cent)
-        .select("query_id", "qv", "cid", _cos(F.col("qv"), F.col("cv")).alias("qcos"))
+        .select(
+            "query_id",
+            "qv",
+            "__nq",
+            "cid",
+            _cos(F.col("qv"), F.col("cv")).alias("qcos"),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= PROBE_CELLS)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
+        .select("query_id", "qv", "__nq", F.col("cid").alias("cell"))
+    )
+    # candidate ranking is the hot stage: per-row candidate norms once,
+    # one fold per (query, candidate) — order-identical to _cos
+    cand_side = assign.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        "cell",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("__nv"),
     )
     cand = (
-        qcells.join(assign.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"), "cell")
+        qcells.join(cand_side, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos(F.col("qv"), F.col("v")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -506,7 +551,9 @@ def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = track_persist(  # 3 consumers: bands + 2 verify sides
         _embeddings(spark, sf_dir)
         .filter(F.col("vec_id") < SRP_MAX_VEC)
-        .select("vec_id", "v")
+        .select(
+            "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("__n")
+        )
     )
 
     def dot(j: int) -> Column:
@@ -539,9 +586,24 @@ def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = cand.join(
-        e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
-    ).join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-    cos_r6 = F.round(_cos(F.col("va"), F.col("vb")), 6)
+        e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("__n").alias("__na"),
+        ),
+        "vec_a",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "vec_b",
+    )
+    # one fold per verified pair; order-identical to _cos
+    cos_r6 = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return pairs.select("vec_a", "vec_b", cos_r6.alias("cos_r6")).filter(
         F.col("cos_r6") >= NEARDUP_COS
     )
