@@ -544,6 +544,19 @@ def test_q125_q126_q127_scalar_udf_parity_zero_shuffle(spark, sf_dir):
         assert plans.count_exchanges(df) == 0, name
 
 
+def test_q06b_distinct_agg_two_narrow_exchanges(spark, sf_dir):
+    """The exact-distinct + HLL-pin companion plans as Spark's two-level
+    distinct aggregate: partial agg keyed (group, custkey) -> exchange ->
+    dedup -> exchange on the group key -> final. Both exchanges carry
+    pre-aggregated narrow rows (no Expand — a single distinct column
+    needs no grouping-id expansion), so shuffle volume is bounded by
+    |group x custkey| pairs, not input rows."""
+    df = SPECS["q06b_hll_exact_check"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 2
+    assert "Expand" not in plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+
+
 def test_q128_q129_single_agg_exchange(spark, sf_dir):
     """Both aggregate families are one partial+final agg over one group-key
     exchange — associative combiners, the canonical 100 TB rollup shape."""
