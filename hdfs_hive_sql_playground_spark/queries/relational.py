@@ -1440,7 +1440,10 @@ def q127_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "silently around sf1000 group sizes; decimal is exact to 1e38 and an "
     "in-plan assert_true turns any overflow past that into a loud failure "
     "instead of a wrapped answer (tested with 1e16-cent balances whose "
-    "squares exceed 2^63).",
+    "squares exceed 2^63). The guard also pins count(x)==count(*) per "
+    "group, so a per-row input cast gone NULL (|balance| >= ~1e16 "
+    "dollars overflows the decimal(18,2) cents cast) fails loudly too "
+    "instead of being silently dropped by the SUMs.",
 )
 def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -1465,6 +1468,13 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = base.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
+        # Per-row cast overflow (|balance| >= ~1e16 dollars NULLs the
+        # decimal(18,2) cast inside _cents) would be silently DROPPED by
+        # the moment SUMs while n still counts the row — count the non-null
+        # inputs so the loud-failure guard below covers the input casts,
+        # not just the combination stage.
+        F.count(xd).alias("n_x"),
+        F.count(yd).alias("n_y"),
         F.sum(xd).alias("sx"),
         F.sum(xd * xd).alias("sxx"),
         F.sum(yd).alias("sy"),
@@ -1485,10 +1495,15 @@ def q128_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn1_dec = nd * (nd - 1)
     m = m.filter(
         F.assert_true(
-            vp_dec.isNotNull() & vy_dec.isNotNull() & cv_dec.isNotNull(),
+            vp_dec.isNotNull()
+            & vy_dec.isNotNull()
+            & cv_dec.isNotNull()
+            & (n == F.col("n_x"))
+            & (n == F.col("n_y")),
             F.lit(
-                "q128: a moment combination overflowed DECIMAL(38,0) — "
-                "group size x value bounds exceed the engine contract"
+                "q128: a moment sum overflowed (DECIMAL(38,0) combination "
+                "or a per-row input cast went NULL) — group size x value "
+                "bounds exceed the engine contract"
             ),
         ).isNull()
     )

@@ -88,8 +88,13 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cell, ccos): nearest-centroid assignment via broadcast
-    join; ccos is the cosine to the winning centroid (q124's rank key).
+    """(vec_id, v, cell, ccos, __nv): nearest-centroid assignment via
+    broadcast join; ccos is the cosine to the winning centroid (q124's
+    rank key), __nv the vector's own norm, carried through so downstream
+    pair stages (q84's within-cell join, q86's candidate ranking, q124's
+    dominance join) reuse it instead of re-folding sqrt(dot(v, v)) per
+    consumer — one extra double per row, cached for free under q124's
+    tracked persist.
 
     Norms are pre-computed once per vector and once per centroid, so the
     scoring stage folds ONE 64-dim dot per (vector, centroid) instead of
@@ -108,12 +113,14 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ccos = _dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__ncv"))
-    scored = e.crossJoin(cent).select("vec_id", "v", "cid", ccos.alias("ccos"))
+    scored = e.crossJoin(cent).select(
+        "vec_id", "v", "__nv", "cid", ccos.alias("ccos")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"), "ccos")
+        .select("vec_id", "v", F.col("cid").alias("cell"), "ccos", "__nv")
     )
 
 
@@ -161,16 +168,15 @@ _SQL_ASSIGN = f"""
     "all-pairs stage exists; within-cell self-join + threshold.",
 )
 def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row norms once, one fold per candidate pair (order-identical to
-    # _cos, so cos_r6 hashes bit-identically against the oracle)
-    a = _assignments(spark, sf_dir).withColumn(
-        "__n", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    # per-row norms once (carried on the assignment), one fold per
+    # candidate pair (order-identical to _cos, so cos_r6 hashes
+    # bit-identically against the oracle)
+    a = _assignments(spark, sf_dir)
     b = a.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("cell"),
-        F.col("__n").alias("__nb"),
+        F.col("__nv").alias("__nb"),
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     pairs = (
@@ -178,7 +184,7 @@ def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("vec_a"),
             F.col("v").alias("va"),
             "cell",
-            F.col("__n").alias("__na"),
+            F.col("__nv").alias("__na"),
         )
         .join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -300,13 +306,11 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PROBE_CELLS)
         .select("query_id", "qv", "__nq", F.col("cid").alias("cell"))
     )
-    # candidate ranking is the hot stage: per-row candidate norms once,
-    # one fold per (query, candidate) — order-identical to _cos
+    # candidate ranking is the hot stage: per-row candidate norms come
+    # precomputed on the assignment, one fold per (query, candidate) —
+    # order-identical to _cos
     cand_side = assign.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "v",
-        "cell",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("__nv"),
+        F.col("vec_id").alias("neighbor_id"), "v", "cell", "__nv"
     )
     cand = (
         qcells.join(cand_side, "cell")
@@ -676,25 +680,25 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_cell = sizes.agg(F.max("__n_cell")).first()[0] or 0
 
     # Per-pair cosine with PRE-computed per-row norms: cos(a,b) =
-    # dot(a,b) / (|a| * |b|). The norms are evaluated once per ROW before
-    # the join instead of twice per PAIR inside it (the naive _cos form
-    # folds three 64-dim aggregates per candidate pair — 3x the hot-stage
-    # arithmetic). sqrt/multiply/divide order is identical to _cos, so
-    # the value — and the oracle hash — is bit-identical.
-    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
+    # dot(a,b) / (|a| * |b|). The norms ride on the cached assignment
+    # (computed once per ROW upstream) instead of being folded twice per
+    # PAIR inside the join (the naive _cos form folds three 64-dim
+    # aggregates per candidate pair — 3x the hot-stage arithmetic).
+    # sqrt/multiply/divide order is identical to _cos, so the value —
+    # and the oracle hash — is bit-identical.
     pair_cos = _dot(F.col("v"), F.col("bv")) / (F.col("__nv") * F.col("__nb"))
     dominates = (F.col("b_ccos") > F.col("ccos")) | (
         (F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id"))
     )
 
     if max_cell <= SEMDEDUP_CELL_CAP:
-        a = assign.withColumn("__nv", norm(F.col("v")))
+        a = assign
         b = assign.select(
             F.col("vec_id").alias("b_id"),
             F.col("v").alias("bv"),
             "cell",
             F.col("ccos").alias("b_ccos"),
-            norm(F.col("v")).alias("__nb"),
+            F.col("__nv").alias("__nb"),
         )
         dominated = (
             a.join(b, "cell")
@@ -724,8 +728,7 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         all_shards = F.explode(F.sequence(F.lit(0), F.col("__n_shards") - 1))
         a = (
-            assign.withColumn("__nv", norm(F.col("v")))
-            .join(shards, "cell")
+            assign.join(shards, "cell")
             .withColumn(
                 "__sa", F.pmod(F.xxhash64("vec_id"), F.col("__n_shards")).cast("int")
             )
@@ -737,7 +740,7 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("bv"),
                 "cell",
                 F.col("ccos").alias("b_ccos"),
-                norm(F.col("v")).alias("__nb"),
+                F.col("__nv").alias("__nb"),
             )
             .join(shards, "cell")
             .withColumn(

@@ -88,7 +88,8 @@ def _check_wholetext_sizes(spark: SparkSession, path: str, limit: int) -> None:
                 "Split the file upstream or read it without "
                 "skip_header_lines."
             )
-    _guard_ok.add((path, limit))
+    if _GUARD_CACHE_ENABLED:
+        _guard_ok.add((path, limit))
 
 
 def read_text_files(

@@ -491,27 +491,34 @@ def test_q124_semdedup_cell_bounded_no_allpairs(spark, sf_dir):
     """SemDeDup prunes within IVF cells only: centroid assignment is a
     broadcast join, the dominance self-join exchanges on the cell key, and
     no unbucketed all-pairs stage exists anywhere."""
-    df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
-    p = plans.executed_plan(df)
-    plans.assert_no_cartesian(df)
-    # centroid scoring happens ONCE: the assignment is cached and every
-    # consumer reads the InMemory relation.  The plan string re-renders
-    # that one cached plan under each scan (and twice per scan when the
-    # cache pre-exists), so we assert shape, not occurrence counts: three
-    # consumers, and EVERY nested-loop rendering is the broadcast-centroid
-    # cross (build side = N_CELLS rows), never an unbroadcast all-pairs.
-    assert p.count("InMemoryTableScan") >= 3, p
-    assert p.count("BroadcastNestedLoopJoin") == p.count(
-        "BroadcastNestedLoopJoin BuildRight, Cross"
-    ), p
-    # with every cell under the cap (this SF), the dominance self-join is
-    # the plain cell-keyed equi join, never all-pairs (strategy varies
-    # with cache statistics: SMJ cold, BHJ once the cached assignment's
-    # true size is known — both are cell-keyed equi joins)
-    assert re.search(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p
-    ), p
-    _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+
+    try:
+        df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
+        p = plans.executed_plan(df)
+        plans.assert_no_cartesian(df)
+        # centroid scoring happens ONCE: the assignment is cached and every
+        # consumer reads the InMemory relation.  The plan string re-renders
+        # that one cached plan under each scan (and twice per scan when the
+        # cache pre-exists), so we assert shape, not occurrence counts: three
+        # consumers, and EVERY nested-loop rendering is the broadcast-centroid
+        # cross (build side = N_CELLS rows), never an unbroadcast all-pairs.
+        assert p.count("InMemoryTableScan") >= 3, p
+        assert p.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        ), p
+        # with every cell under the cap (this SF), the dominance self-join is
+        # the plain cell-keyed equi join, never all-pairs (strategy varies
+        # with cache statistics: SMJ cold, BHJ once the cached assignment's
+        # true size is known — both are cell-keyed equi joins)
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#", p
+        ), p
+        _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+    finally:
+        # q124 track_persists its assignment; leave no cache behind on the
+        # shared session (the exact leak caching.py exists to prevent)
+        release_tracked_caches()
 
 
 def test_q124_hot_cell_plan_is_2d_sharded(spark, sf_dir, monkeypatch):
@@ -521,19 +528,23 @@ def test_q124_hot_cell_plan_is_2d_sharded(spark, sf_dir, monkeypatch):
     AQE-exempt numbered repartition so tiny shuffled inputs can't
     coalesce the compute-bound stage onto a handful of tasks."""
     import hdfs_hive_sql_playground_spark.queries.similarity as sim
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
 
     monkeypatch.setattr(sim, "SEMDEDUP_CELL_CAP", 1)
-    df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
-    p = plans.executed_plan(df)
-    plans.assert_no_cartesian(df)
-    assert re.search(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) "
-        r"\[cell#\d+L?, __sa#\d+, __sb#",
-        p,
-    ), p
-    assert "Generate explode(sequence" in p, p
-    assert "REPARTITION_BY_NUM" in p, p
-    _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+    try:
+        df = SPECS["q124_semdedup_prune"].fn(spark, sf_dir)
+        p = plans.executed_plan(df)
+        plans.assert_no_cartesian(df)
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) "
+            r"\[cell#\d+L?, __sa#\d+, __sb#",
+            p,
+        ), p
+        assert "Generate explode(sequence" in p, p
+        assert "REPARTITION_BY_NUM" in p, p
+        _assert_no_full_text_in_exchange("q124_semdedup_prune", p)
+    finally:
+        release_tracked_caches()
 
 
 def test_q125_q126_q127_scalar_udf_parity_zero_shuffle(spark, sf_dir):

@@ -179,6 +179,31 @@ def test_q128_moment_sums_survive_int64_overflow(spark, tmp_path):
     assert r.covar_samp_builtin_ok
 
 
+def test_q128_per_row_cast_overflow_fails_loudly(spark, tmp_path):
+    """A balance past the decimal(18,2) cents cast (~1e16 dollars) must
+    fail loudly in BOTH cast modes, never skew the moments: under ANSI
+    (the session default) the cast itself throws; under non-ANSI the cast
+    NULLs per-row, the SUMs would silently drop the row while n counts
+    it — the count(x)==count(*) assert_true pin catches exactly that."""
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    big = spark.createDataFrame(
+        [(1, 7, 2e16), (2, 7, 1.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    big.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    q = all_queries()["q128_stats_aggregates"].fn
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        q(spark, str(tmp_path)).collect()
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="q128"):
+            q(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
 def test_wholetext_size_guard_caches_per_path_and_limit(spark, tmp_path):
     """The guard walks a (path, limit) once per session and caches the OK
     verdict — interactive fetch loops must not re-list the tree on every
