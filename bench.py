@@ -402,12 +402,20 @@ def _bench_doc_skew_trend(spark, sf_dir: str, timings: dict[str, float]) -> None
         for name in SKEW_TREND_QUERIES:
             walls = {}
             for label, d in (("balanced", balanced_dir), ("skew", skew_dir)):
-                _quiesce(spark)
-                t0 = time.perf_counter()
-                specs[name].fn(spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                walls[label] = round(time.perf_counter() - t0, 4)
+                # min-of-2: the skew/balanced ratio is the regression
+                # signal for the bucketed-window family, and a single
+                # sporadic box-load spike on ONE leg has been observed to
+                # fake a 5x ratio. Trend timings are excluded from the
+                # wall total, so the second pass costs nothing it reports.
+                best = float("inf")
+                for _ in range(2):
+                    _quiesce(spark)
+                    t0 = time.perf_counter()
+                    specs[name].fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                walls[label] = round(best, 4)
             timings[f"trend_{name}_x{DOC_TREND_SCALE}_skew"] = walls["skew"]
             timings[f"trend_{name}_skew_over_balanced_ratio"] = round(
                 walls["skew"] / walls["balanced"], 3
