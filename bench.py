@@ -283,11 +283,18 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
     trend_dir = _ensure_doc_trend(spark, sf_dir)
     specs = all_queries()
     for name in DOC_TREND_QUERIES:
-        _quiesce(spark)
-        t0 = time.perf_counter()
-        specs[name].fn(spark, trend_dir).write.format("noop").mode("overwrite").save()
-        wall = round(time.perf_counter() - t0, 4)
-        release_tracked_caches()
+        # min-of-2 (see the skew-trend note): one sporadic box-load spike
+        # on a single-shot leg fakes the x8/x1 slope; trends are excluded
+        # from the wall total, so the retry is free.
+        wall = float("inf")
+        for _ in range(2):
+            _quiesce(spark)
+            t0 = time.perf_counter()
+            specs[name].fn(spark, trend_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = min(wall, round(time.perf_counter() - t0, 4))
+            release_tracked_caches()
         timings[f"trend_{name}_x{DOC_TREND_SCALE}"] = wall
         base = timings.get(name)
         if base:
@@ -305,12 +312,15 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
     saved_cells = sim_mod.N_CELLS
     sim_mod.N_CELLS = saved_cells * DOC_TREND_SCALE
     try:
-        _quiesce(spark)
-        t0 = time.perf_counter()
-        specs["q124_semdedup_prune"].fn(spark, trend_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        wall = round(time.perf_counter() - t0, 4)
+        wall = float("inf")
+        for _ in range(2):
+            _quiesce(spark)
+            t0 = time.perf_counter()
+            specs["q124_semdedup_prune"].fn(spark, trend_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            wall = min(wall, round(time.perf_counter() - t0, 4))
+            release_tracked_caches()
     finally:
         sim_mod.N_CELLS = saved_cells
         release_tracked_caches()
