@@ -843,3 +843,114 @@ def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 cross-document segment dedup WITH text rewrite (RefinedWeb / Lee et
+# al. 2022 exact-substring REMOVAL — q105 flags duplicated spans, this one
+# actually rewrites the corpus)
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 8  # fixed-width word segments (the chunked exact-substring unit)
+
+
+@register(
+    "q136_segment_dedup_rewrite",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+             array_to_string(
+               ws[CAST(t.i AS INTEGER) * {SEG_WORDS} + 1 :
+                  CAST(t.i AS INTEGER) * {SEG_WORDS} + {SEG_WORDS}], ' ') AS seg
+      FROM d, UNNEST(range(0, (len(ws) + {SEG_WORDS} - 1) // {SEG_WORDS}))
+               AS t(i)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, {_shingle_hash48_sql('seg')} AS h FROM segs
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM hashed
+    ),
+    removals AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg
+      FROM segs s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM removals r
+        WHERE r.doc_id = s.doc_id AND r.pos = s.pos
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           CAST((len(d.ws) + {SEG_WORDS} - 1) // {SEG_WORDS} AS BIGINT)
+             AS n_segments,
+           CAST((len(d.ws) + {SEG_WORDS} - 1) // {SEG_WORDS}
+                - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM documents d0
+    JOIN d ON d.doc_id = d0.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d0.doc_id
+    """,
+    doc=f"Cross-document exact-substring dedup with corpus REWRITE "
+    f"(RefinedWeb / Lee et al. 2022 removal semantics, chunked): each "
+    f"document splits into fixed {SEG_WORDS}-word segments; a segment "
+    "whose content appeared earlier in the corpus (first occurrence = "
+    "lexicographic min (doc_id, pos) over the portable 48-bit md5 segment "
+    "hash, q81's construction, so the WHOLE pipeline value-hash-checks "
+    "against DuckDB) is REMOVED from the later document, and the "
+    "surviving segments are re-joined in order — q105 measures duplicated "
+    "spans, this operator actually edits the corpus the way production "
+    "exact-substring dedup does. Plan shape at 100 TB: segment text never "
+    "shuffles — segments hash map-side, the first-occurrence aggregation "
+    "exchanges (hash, doc_id, pos) rows, the removal list aggregates to "
+    "one (doc_id, sorted positions) row per AFFECTED document, and the "
+    "rewrite is a map-side broadcast join back to the documents scan "
+    "(array filter by position index, no second explode). The broadcast "
+    "is bounded by the duplicated-segment count; a corpus past that bound "
+    "swaps the broadcast for a doc_id equi-join whose one text exchange "
+    "is the same corpus-bytes cost Lee et al.'s rewrite pays.",
+)
+def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    nseg = F.expr(f"(size(split(text, ' ')) + {SEG_WORDS - 1}) div {SEG_WORDS}")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+    segs = d.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    hashed = segs.select(
+        "doc_id", "pos", _shingle_hash48(F.col("seg")).alias("h")
+    )
+    first = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    removals = (
+        hashed.join(first, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(rm, i))
+    return (
+        d.join(F.broadcast(removals), "doc_id", "left")
+        .select(
+            "doc_id",
+            nseg.cast("bigint").alias("n_segments"),
+            F.size(rm).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )

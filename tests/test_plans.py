@@ -609,6 +609,24 @@ def test_q133_q134_hof_zero_shuffle(spark, sf_dir):
         assert plans.count_exchanges(df) == 0, name
 
 
+def test_q136_rewrite_join_broadcasts_and_text_never_shuffles(spark, sf_dir):
+    """Segment-dedup rewrite: segments hash map-side (only (hash, doc_id,
+    pos) rows reach the first-occurrence exchange), the removal list
+    joins back to the documents scan as a doc_id broadcast, and the
+    document text never enters any Exchange."""
+    df = SPECS["q136_segment_dedup_rewrite"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    # the rewrite join against the full documents scan must be the
+    # broadcast (text side streamed, never exchanged)
+    assert re.search(r"BroadcastHashJoin \[doc_id#\d+L?\]", p), p
+    # first-occurrence resolution is key-equi on the 48-bit segment hash
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[h#", p
+    ), p
+    _assert_no_full_text_in_exchange("q136_segment_dedup_rewrite", p)
+
+
 def test_q135_recursion_is_bounded_union_loop(spark, sf_dir):
     """The recursive CTE must plan Spark's iterative union (UnionLoop),
     seeded by a pushed-down key filter — never a cartesian expansion."""
