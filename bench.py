@@ -234,6 +234,9 @@ DOC_TREND_QUERIES = (
     "q91_quality_score",
     "q104_heavy_hitters",
     "q86_ivf_ann_topk",
+    # segment explode -> hash agg -> per-doc removal list: every stage is
+    # linear in segments, so the x8 slope should track the linear group
+    "q136_segment_dedup_rewrite",
     # q124 keeps N_CELLS fixed while the x8 fixture packs each cell 8x
     # fuller, so the within-cell pair stage grows ~64x by construction —
     # the measured ratio documents the sum-cell^2 law the docstring claims;

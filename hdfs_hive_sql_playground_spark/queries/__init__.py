@@ -108,7 +108,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q78_bucketed_join",
     "q110_range_layout_scan",
     "q80_exact_dedup",
-    "q101_merge_upsert",
+    # (d) late-round debut: the segment-dedup rewrite gets its driver row
+    # immediately (rotation rule: every new operator takes a window slot;
+    # q101_merge_upsert ceded its — unchanged since r4, it leads r7's
+    # rotation with the other r4-vintage greens)
+    "q136_segment_dedup_rewrite",
 )
 
 

@@ -916,6 +916,7 @@ SEG_WORDS = 8  # fixed-width word segments (the chunked exact-substring unit)
     "is bounded by the duplicated-segment count; a corpus past that bound "
     "swaps the broadcast for a doc_id equi-join whose one text exchange "
     "is the same corpus-bytes cost Lee et al.'s rewrite pays.",
+    bench=True,
 )
 def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
