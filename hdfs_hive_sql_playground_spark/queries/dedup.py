@@ -317,13 +317,10 @@ SIMHASH_BITS = 32
 
 def _token_hash32(tok: Column) -> Column:
     """First 8 md5 nibbles of the token as a 32-bit int — portable to any
-    engine with md5 + substr + strpos (DuckDB oracle uses the same formula)."""
-    h = F.md5(tok)
-    out = F.lit(0).cast("bigint")
-    for k in range(8):
-        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, k + 1, 1)) - 1
-        out = out * 16 + nib.cast("bigint")
-    return out
+    engine with md5 + substr + strpos (DuckDB oracle uses the same
+    formula). Evaluated as one base-16 ``conv`` like
+    :func:`_shingle_hash48` (bit-identical; 32 bits can't wrap)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
 
 
 def _simhash_oracle_ctes(max_doc: int = 200) -> str:
