@@ -183,10 +183,17 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
     # Same steady-state protocol as the x1 headline (untimed full pass
     # first): the ratio must compare warm-to-warm, not cold-to-warm.
     m33_schem(spark, ctas_dir).count()
-    _quiesce(spark)
-    t0 = time.perf_counter()
-    ctas_text(m33_schem(spark, ctas_dir), "m33_bench_trend")
-    wall = round(time.perf_counter() - t0, 4)
+    # min-of-2 (same discipline as the doc/skew trend legs): this leg runs
+    # LAST in the session, where JIT/code-cache state is at the mercy of
+    # everything before it — a single-shot measure has been observed to
+    # report 2.5x the steady-state wall with zero plan change. Trends are
+    # excluded from the wall total, so the retry costs nothing reported.
+    wall = float("inf")
+    for _ in range(2):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        ctas_text(m33_schem(spark, ctas_dir), "m33_bench_trend")
+        wall = min(wall, round(time.perf_counter() - t0, 4))
     timings[f"trend_m33_ctas_x{CTAS_TREND_SCALE}"] = wall
     base = timings.get("m33_ctas_2800k")
     if base:
@@ -501,14 +508,23 @@ def main() -> None:
     _quiesce(spark)
     from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
 
+    # min-of-2 per query leg (the trend/skew legs' discipline): back-to-back
+    # same-plan executions on this box have been observed 5-7x apart with
+    # zero plan change (one-off load spikes, GC phase, code-cache sweeps) —
+    # e.g. q136 at 11.6 s in one full-bench run vs 2.3 s for its own x8 leg
+    # in the SAME session. The minimum is the steady-state wall; a single
+    # draw is a coin flip on outlier noise.
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # untimed: drop any multi-consumer caches (q99/q103/q124) so later
-        # queries aren't squeezed by another query's resident blocks
-        release_tracked_caches()
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = min(wall, round(time.perf_counter() - t0, 4))
+            # untimed: drop any multi-consumer caches (q99/q103/q124) so
+            # later runs aren't squeezed by another query's resident blocks
+            release_tracked_caches()
+        timings[name] = wall
 
     # Scale-trend sections last: they are slope evidence, excluded from the
     # wall-clock total, and may leave the heap loaded.
