@@ -50,9 +50,10 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # queries still lack a fresh driver row, backfilling with the stalest
 # previously-proven greens; registry (134) > 2x window, so the cycle is
 # ~2.7 rounds — report vintage honestly, keep the local oracle gate (all
-# 134, every round) green regardless.  Round 7 must lead with the 36
+# queries, every round) green regardless.  Round 7 must lead with the
 # round-4-vintage greens this window could not fit (they turn 3 rounds
-# old at r7), then backfill with the stalest of the 47 r5-vintage rows.
+# old at r7 — the 36 original ones plus q75_orc/q76_json, displaced below
+# by the q137/q138 debuts), then backfill with the stalest r5 rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-3-vintage greens: windows/sort/set-ops/scalar funcs...
     "q22_lead_lag",
@@ -102,17 +103,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q72_m33_limit_fetch",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
-    "q75_orc_roundtrip",
-    "q76_json_roundtrip",
     "q77_csv_roundtrip",
     "q78_bucketed_join",
     "q110_range_layout_scan",
     "q80_exact_dedup",
-    # (d) late-round debut: the segment-dedup rewrite gets its driver row
-    # immediately (rotation rule: every new operator takes a window slot;
-    # q101_merge_upsert ceded its — unchanged since r4, it leads r7's
-    # rotation with the other r4-vintage greens)
+    # (d) late-round debuts: every new operator takes a window slot
+    # immediately. q136 took q101_merge_upsert's (unchanged since r4);
+    # q137/q138 took q75_orc/q76_json's — the sink/format family keeps
+    # fresh coverage via q73 (text CTAS), q77 (CSV nulls) and q110 (range
+    # layout), while ORC/JSON round-trips are untouched-since-r4 paths
+    # that join q101 at the head of r7's rotation.
     "q136_segment_dedup_rewrite",
+    "q137_kmeans_refine",
+    "q138_weighted_sample",
 )
 
 

@@ -776,3 +776,102 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rm").isNull().alias("kept"),
         )
     )
+
+
+@register(
+    "q137_kmeans_refine",
+    oracle=f"""
+    WITH {_SQL_ASSIGN},
+    sums AS (
+      SELECT a.cell, t.i,
+             SUM(CAST(ROUND(a.v[t.i] * 1000000) AS BIGINT)) AS s
+      FROM assign a, UNNEST(range(1, len(a.v) + 1)) AS t(i)
+      GROUP BY a.cell, t.i
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+    cent1 AS (
+      SELECT s.cell, z.n,
+             list(CAST(s.s AS DOUBLE) / CAST(z.n * 1000000 AS DOUBLE)
+                  ORDER BY s.i) AS cv
+      FROM sums s JOIN sizes z ON s.cell = z.cell
+      GROUP BY s.cell, z.n
+    ),
+    rescored AS (
+      SELECT a.vec_id, a.cell AS cell0, c.cell AS cid,
+             {_sql_cos('a.v', 'c.cv')} AS rcos
+      FROM assign a CROSS JOIN cent1 c
+    ),
+    picked AS (
+      SELECT vec_id, cell0, cid AS cell, rcos FROM (
+        SELECT vec_id, cell0, cid, rcos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY rcos DESC, cid) AS rn
+        FROM rescored
+      ) WHERE rn = 1
+    )
+    SELECT cell, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(rcos * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_cos_e6,
+           CAST(SUM(CASE WHEN cell <> cell0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved
+    FROM picked GROUP BY cell
+    """,
+    doc="One deterministic spherical-k-means (Lloyd) refinement of the "
+    "coarse quantizer every cell-bucketed stage (q84/q86/q124) keys on: "
+    "re-centre each cell on the mean of its members, re-assign all vectors "
+    "by cosine, report per-cell size, cosine mass and migration count. "
+    "Cross-engine exactness: centroid updates run in QUANTIZED integer "
+    "space — per-element round(x*1e6) BIGINT sums are associative, so the "
+    "map-side-combined groupBy is order-free where a double sum would be "
+    "run-order-dependent; the refined centroid is the exact-int sum "
+    "divided by n*1e6 as one double division. 100 TB plan: the update "
+    "shuffle carries only (cell, dim) partial sums (<= N_CELLS x dim rows "
+    "after map-side combine, NOT corpus rows); re-assignment is the same "
+    "broadcast scan as _assignments. Contract: exact while per-cell "
+    "n * 1e6 < 2^53 per component (~9e9 rows/cell); shard the update agg "
+    "past that.",
+)
+def q137_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three consumers (update sums, sizes, re-assignment scan) -> tracked
+    # persist, same rule as q124's assignment (see caching.py).
+    a = track_persist(_assignments(spark, sf_dir))
+
+    sums = (
+        a.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum(F.round(F.col("x") * 1000000).cast("bigint")).alias("s"))
+    )
+    sizes = a.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    # collect_list order is run-dependent; array_sort on (pos, s) structs
+    # rebuilds the deterministic dimension order (pos is unique per cell).
+    cent1 = (
+        sums.join(sizes, "cell")
+        .groupBy("cell", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            F.col("cell").alias("cid"),
+            F.transform(
+                "ps",
+                lambda e: e["s"].cast("double")
+                / (F.col("n") * 1000000).cast("double"),
+            ).alias("cv"),
+        )
+    )
+    cent1 = F.broadcast(
+        cent1.withColumn("__ncv", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    rcos = _dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__ncv"))
+    scored = a.select(
+        "vec_id", "v", "__nv", F.col("cell").alias("cell0")
+    ).crossJoin(cent1).select("vec_id", "cell0", "cid", rcos.alias("rcos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("rcos"), F.asc("cid"))
+    picked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell0", F.col("cid").alias("cell"), "rcos")
+    )
+    return picked.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round(F.col("rcos") * 1000000).cast("bigint")).alias("sum_cos_e6"),
+        F.sum(F.when(F.col("cell") != F.col("cell0"), 1).otherwise(0)).alias("moved"),
+    )

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
-from hdfs_hive_sql_playground_spark.queries.dedup import _token_hash32, _words
+from hdfs_hive_sql_playground_spark.queries.dedup import (
+    _shingle_hash48_sql,
+    _token_hash32,
+    _words,
+)
 from hdfs_hive_sql_playground_spark.tables import load
 
 # Tiny per-language function-word lexicons (the standard n-gram/stopword
@@ -1366,4 +1370,133 @@ def q132_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha_words"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+# q138: weighted sample size per stratum, and the bucket width (in key
+# space) for the bucketed rank over the 48-bit sample key. 2^36 splits
+# the [0, 2^48) key range into 4096 order-preserving buckets, so even a
+# stratum holding half the corpus ranks in partitions of stratum_rows /
+# 4096 narrow rows (same contract as MD5_BUCKET_PREFIX above).
+WSAMPLE_K = int(os.environ.get("SPARK_GRAFT_WSAMPLE_K", 20))
+WSAMPLE_KEY_BUCKET_WIDTH = int(
+    os.environ.get("SPARK_GRAFT_WSAMPLE_KEY_BUCKET_WIDTH", 1 << 36)
+)
+_WSAMPLE_HASH_SQL = _shingle_hash48_sql(
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+)
+
+
+def _bucketed_key_order_rank(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    tiebreak: str,
+    alias: str,
+    keep_at_most: int | None = None,
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY key,
+    tiebreak)`` for a uniform non-negative integer ``key``, as a two-pass
+    bucketed prefix scan: ``key div WSAMPLE_KEY_BUCKET_WIDTH`` is
+    order-preserving for the key, so global rank = rows-in-lower-buckets
+    + local rank — the integer-key sibling of
+    :func:`_bucketed_hash_order_rank` (which buckets on an md5 prefix and
+    therefore re-hashes; here the key is ALREADY hash-uniform, and the
+    oracle orders by the key itself)."""
+    from pyspark.sql.window import Window
+
+    width = WSAMPLE_KEY_BUCKET_WIDTH
+    b = df.withColumn("__bucket", F.expr(f"{key} div {width}"))
+    local_w = Window.partitionBy(stratum, "__bucket").orderBy(key, tiebreak)
+    b = b.withColumn("__local", F.row_number().over(local_w))
+    counts = (
+        df.withColumn("__bucket", F.expr(f"{key} div {width}"))
+        .groupBy(stratum, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    off_w = (
+        Window.partitionBy(stratum)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stratum,
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0).cast("bigint")).alias("__off"),
+    )
+    if keep_at_most is not None:
+        b = b.filter(F.col("__local") <= keep_at_most)
+    return (
+        b.join(offsets, [stratum, "__bucket"])
+        .withColumn(alias, (F.col("__off") + F.col("__local")).cast("bigint"))
+        .drop("__bucket", "__local", "__off")
+    )
+
+
+@register(
+    "q138_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(1 + least(n_chars // 100, 7) AS BIGINT) AS wt
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, wt,
+             list_aggregate(
+               list_transform(range(1, wt + 1), r -> {_WSAMPLE_HASH_SQL}),
+               'min') AS skey
+      FROM d
+    )
+    SELECT doc_id, lang, wt, skey, CAST(rn AS BIGINT) AS rnk FROM (
+      SELECT doc_id, lang, wt, skey,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {WSAMPLE_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement, k docs per language, "
+    "P(i in sample) increasing in weight — the data-mixing primitive for "
+    "up-sampling high-quality strata. Exponential-race (Efraimidis-"
+    "Spirakis) selection with ZERO floating point: item i's race key is "
+    "min of wt_i iid uniforms, realized as the MIN of wt_i portable "
+    "48-bit hashes of (doc_id, replica) — min-of-w uniforms orders "
+    "identically to Exp(w) clocks (P(i beats j) = w_i/(w_i+w_j)), so "
+    "ordering BIGINTs replaces the u^(1/w) transcendental that no two "
+    "libms evaluate bit-identically. Per-row cost is a bounded (<= 8) "
+    "array fold, no explode; the per-stratum top-k is a two-pass bucketed "
+    "prefix scan over (lang, key-range bucket) with per-bucket top-k "
+    "pre-filtering, so no single-language window partition ever holds a "
+    "stratum (the q94/q112/q115 scale rule).",
+)
+def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (1 + F.least(F.expr("n_chars div 100"), F.lit(7))).cast("bigint").alias("wt"),
+    )
+    def replica_hash(r):
+        # per-replica portable 48-bit hash; mirrors dedup._shingle_hash48
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), r.cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    keyed = d.withColumn(
+        "skey",
+        F.array_min(F.transform(F.sequence(F.lit(1), F.col("wt")), replica_hash)),
+    )
+    ranked = _bucketed_key_order_rank(
+        keyed, "lang", "skey", "doc_id", "rnk", keep_at_most=WSAMPLE_K
+    )
+    return ranked.filter(F.col("rnk") <= WSAMPLE_K).select(
+        "doc_id", "lang", "wt", "skey", "rnk"
     )

@@ -637,3 +637,39 @@ def test_q135_recursion_is_bounded_union_loop(spark, sf_dir):
     # the anchor scan lives inside the loop node, out of reach of the
     # pushed-filter helper; the seed bound is asserted by the oracle match
     # (201+ rows would change every aggregate)
+
+
+def test_q137_kmeans_update_shuffles_partial_sums_not_vectors(spark, sf_dir):
+    """k-means refinement: the centroid update must partial-aggregate
+    map-side so its exchange carries (cell, pos) partial sums, never the
+    exploded per-element rows; the refined centroids broadcast back for
+    re-assignment; and no embedding array column enters any Exchange
+    (vectors only ever stream through scans and broadcast probes)."""
+    df = SPECS["q137_kmeans_refine"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    # map-side combine on the update agg: a partial HashAggregate keyed
+    # on (cell, pos) must appear below its exchange
+    assert re.search(r"partial_sum", p), p
+    # refined centroids (and the initial ones) reach scoring via broadcast
+    assert "BroadcastExchange" in p, p
+    # the embedding array never shuffles: every hashpartitioning exchange
+    # carries scalar keys only (v#N appears in scans/projects, not in
+    # Exchange input attribute lists)
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"\bv#\d+\b", ln), ln
+
+
+def test_q138_weighted_sample_rank_bucketed_and_prefiltered(spark, sf_dir):
+    """Weighted sampler: the per-stratum top-k rank windows on the
+    composite (lang, key-range __bucket) key — never bare lang — with the
+    per-bucket top-k prefilter and a broadcast offsets join; the race-key
+    construction is a per-row array fold (no explode, no extra
+    exchange)."""
+    df = SPECS["q138_weighted_sample"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_broadcast_joins(df) >= 1
+    assert "SinglePartition" not in p
+    plans.assert_no_cartesian(df)
+    assert "Generate" not in p  # no explode: sequence+transform fold only
+    _assert_stratum_windows_bucketed(df, "lang")
