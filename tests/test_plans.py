@@ -673,3 +673,26 @@ def test_q138_weighted_sample_rank_bucketed_and_prefiltered(spark, sf_dir):
     plans.assert_no_cartesian(df)
     assert "Generate" not in p  # no explode: sequence+transform fold only
     _assert_stratum_windows_bucketed(df, "lang")
+
+
+def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
+    """q85/q86/q97 per-query top-k: the row_number + rnk <= k filter must
+    plan a PARTIAL WindowGroupLimit below the exchange — each map task
+    pre-prunes to k rows per query, so the per-query window partition
+    receives <= k x #tasks rows instead of the query's whole candidate
+    set (the corpus, for q85). This is what makes the bare query_id
+    window scale-safe; an explicit two-stage shard was A/B-measured 2x
+    slower for zero added safety. If a refactor breaks the filter
+    pattern Catalyst matches on, this test catches the silent fallback
+    to a full per-query sort."""
+    for name in (
+        "q85_ann_bruteforce_topk",
+        "q86_ivf_ann_topk",
+        "q97_ann_pandas_topk",
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        p = plans.executed_plan(df)
+        assert re.search(r"WindowGroupLimit \[query_id#\d+L?\].*Partial", p), (
+            name,
+            p,
+        )
