@@ -86,3 +86,33 @@ def test_q120_multibucket_exact(spark, sf_dir, width, monkeypatch):
     spec = SPECS["q120_budget_select"]
     result = compare("q120_mb", spec.fn(spark, sf_dir), spec.oracle, sf_dir)
     assert result.ok, result.report()
+
+
+@pytest.mark.parametrize("width", [1 << 44, 1 << 46])
+def test_q138_multibucket_exact(spark, sf_dir, width, monkeypatch):
+    """Re-bucket the 48-bit key space at 2^44 (16 buckets) and 2^46
+    (4 buckets): different boundaries put different key runs in the same
+    bucket (partial and empty buckets included, since keys are
+    hash-uniform), and the two-pass rank must stay bit-identical to the
+    single-window oracle at every width."""
+    monkeypatch.setattr(text_mod, "WSAMPLE_KEY_BUCKET_WIDTH", width)
+    spec = SPECS["q138_weighted_sample"]
+    result = compare("q138_mb", spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+    assert result.ok, result.report()
+
+
+def test_q138_key_rank_helper_spans_buckets(spark, sf_dir):
+    """At the default 2^36 width the 48-bit hash keys spread over ~4096
+    buckets (the test corpus hits hundreds of distinct ones): prove the
+    rank path is genuinely multi-bucket, not vacuously single-bucket."""
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = (
+        SPECS["q138_weighted_sample"]
+        .fn(spark, sf_dir)
+        .select("lang", F.expr(f"skey div {text_mod.WSAMPLE_KEY_BUCKET_WIDTH}"))
+        .distinct()
+    )
+    assert keyed.count() > 20, "sample keys collapsed into too few buckets"
+    assert d.count() > 0
