@@ -252,13 +252,13 @@ DOC_TREND_QUERIES = (
 )
 
 
-def _ensure_doc_trend(spark, sf_dir: str) -> str:
+def _ensure_doc_trend(spark, sf_dir: str, scale: int = DOC_TREND_SCALE) -> str:
     from pyspark.sql import functions as F
 
     from hdfs_hive_sql_playground_spark.tables import load
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{DOC_TREND_SCALE}_{tag}_v3")
+    trend_dir = os.path.join(REPO, ".bench_data", f"docs_x{scale}_{tag}_v3")
     marker = os.path.join(trend_dir, ".complete")
     if not os.path.exists(marker):
         for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
@@ -267,7 +267,7 @@ def _ensure_doc_trend(spark, sf_dir: str) -> str:
             big = (
                 src.select(
                     F.explode(
-                        F.sequence(F.lit(0), F.lit(DOC_TREND_SCALE - 1))
+                        F.sequence(F.lit(0), F.lit(scale - 1))
                     ).alias("_r"),
                     "*",
                 )
@@ -291,8 +291,16 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
     from hdfs_hive_sql_playground_spark.queries import similarity as sim_mod
 
     trend_dir = _ensure_doc_trend(spark, sf_dir)
+    # Ratio base: an x1 fixture with the IDENTICAL 32-file layout, not the
+    # headline sf0.1 leg — the headline reads the single-file testdata
+    # parquet, so a one-task scan (plus fixed session overhead dominating
+    # a sub-second measure) made small-x1 ratios layout artifacts (the
+    # recurring q80 footnote: x8 absolute 0.9 s but "ratio 3-5x" against
+    # an 0.2 s one-file x1). Same generator, scale=1, min-of-2.
+    x1_dir = _ensure_doc_trend(spark, sf_dir, scale=1)
     specs = all_queries()
-    for name in DOC_TREND_QUERIES:
+
+    def _timed(name: str, data_dir: str) -> float:
         # min-of-2 (see the skew-trend note): one sporadic box-load spike
         # on a single-shot leg fakes the x8/x1 slope; trends are excluded
         # from the wall total, so the retry is free.
@@ -300,13 +308,18 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
         for _ in range(2):
             _quiesce(spark)
             t0 = time.perf_counter()
-            specs[name].fn(spark, trend_dir).write.format("noop").mode(
+            specs[name].fn(spark, data_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             wall = min(wall, round(time.perf_counter() - t0, 4))
             release_tracked_caches()
+        return wall
+
+    for name in DOC_TREND_QUERIES:
+        base = _timed(name, x1_dir)
+        wall = _timed(name, trend_dir)
+        timings[f"trend_{name}_x1"] = base
         timings[f"trend_{name}_x{DOC_TREND_SCALE}"] = wall
-        base = timings.get(name)
         if base:
             timings[f"trend_{name}_x{DOC_TREND_SCALE}_over_x1_ratio"] = round(
                 wall / base, 3
@@ -322,20 +335,15 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
     saved_cells = sim_mod.N_CELLS
     sim_mod.N_CELLS = saved_cells * DOC_TREND_SCALE
     try:
-        wall = float("inf")
-        for _ in range(2):
-            _quiesce(spark)
-            t0 = time.perf_counter()
-            specs["q124_semdedup_prune"].fn(spark, trend_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            wall = min(wall, round(time.perf_counter() - t0, 4))
-            release_tracked_caches()
+        wall = _timed("q124_semdedup_prune", trend_dir)
     finally:
         sim_mod.N_CELLS = saved_cells
         release_tracked_caches()
     timings[f"trend_q124_cells_scaled_x{DOC_TREND_SCALE}"] = wall
-    base = timings.get("q124_semdedup_prune")
+    # base: the x1-fixture measure at the DEFAULT N_CELLS — identical cell
+    # occupancy to this leg's x8 corpus at 8x cells, i.e. the production
+    # regime both legs model
+    base = timings.get("trend_q124_semdedup_prune_x1")
     if base:
         timings[f"trend_q124_cells_scaled_x{DOC_TREND_SCALE}_over_x1_ratio"] = round(
             wall / base, 3

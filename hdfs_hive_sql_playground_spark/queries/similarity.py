@@ -18,7 +18,10 @@ dot products are ``zip_with`` + ``aggregate`` folds inside codegen:
   candidates in probed cells. Recall vs q85 is asserted in tests.
 - q89: int8 scalar quantization; q97: Arrow/numpy mapInPandas top-k
   (rank-identical to q85); q103: SRP-LSH cosine near-dup; q124: SemDeDup
-  cluster-then-prune semantic dedup over the q84 cell assignment.
+  cluster-then-prune semantic dedup over the q84 cell assignment; q137:
+  one deterministic spherical-k-means refinement of the coarse quantizer
+  (integer-quantized centroid updates so the mean is order-free and
+  cross-engine exact).
 
 Cross-engine determinism: both Spark (``F.aggregate`` fold) and the
 DuckDB oracles (``list_sum(list_transform(...))``) evaluate the dot
