@@ -244,6 +244,12 @@ DOC_TREND_QUERIES = (
     # segment explode -> hash agg -> per-doc removal list: every stage is
     # linear in segments, so the x8 slope should track the linear group
     "q136_segment_dedup_rewrite",
+    # centroid update shuffles only (cell, dim) partial sums and the
+    # re-assignment is a zero-shuffle projection: linear by construction
+    "q137_kmeans_refine",
+    # race keys are a per-row bounded array fold; the bucketed top-k rank
+    # touches <= shards x k narrow rows per (lang, bucket): linear
+    "q138_weighted_sample",
     # q124 keeps N_CELLS fixed while the x8 fixture packs each cell 8x
     # fuller, so the within-cell pair stage grows ~64x by construction —
     # the measured ratio documents the sum-cell^2 law the docstring claims;

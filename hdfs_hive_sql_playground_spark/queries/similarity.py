@@ -863,6 +863,7 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast scan as _assignments. Contract: exact while per-cell "
     "n * 1e6 < 2^53 per component (~9e9 rows/cell); shard the update agg "
     "past that.",
+    bench=True,
 )
 def q137_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (update sums, sizes, re-assignment scan) -> tracked

@@ -1468,6 +1468,7 @@ def _bucketed_key_order_rank(
     "prefix scan over (lang, key-range bucket) with per-bucket top-k "
     "pre-filtering, so no single-language window partition ever holds a "
     "stratum (the q94/q112/q115 scale rule).",
+    bench=True,
 )
 def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
