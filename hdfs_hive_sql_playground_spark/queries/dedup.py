@@ -935,8 +935,16 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = hashed.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
+    # shuffle_hash, not the optimizer's broadcast: `first` has one row per
+    # DISTINCT segment hash — corpus-sized, not duplicated-segment-sized —
+    # so letting stats pick broadcast (they do at bench SF) rebuilds a
+    # ~1M-row driver HashedRelation per run (measured bimodal: 1.9 s warm
+    # but 9.5 s under driver-heap pressure) and would flip to SMJ at some
+    # corpus size anyway. The hinted hash join is stats-independent,
+    # key-equi on h with narrow rows on both sides, and A/B-equal warm
+    # (1.93 s vs 1.94 s at the x8 fixture).
     removals = (
-        hashed.join(first, "h")
+        hashed.join(first.hint("shuffle_hash"), "h")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
