@@ -83,10 +83,19 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
     # cold vs ~4 s steady), and the reference number is from a long-running
     # warmed Hive service.
     m33_schem(spark, M33_FULL_DIR).count()
-    _quiesce(spark)
-    t0 = time.perf_counter()
-    ctas_text(m33_schem(spark, M33_FULL_DIR), "m33_bench")
-    timings["m33_ctas_2800k"] = round(time.perf_counter() - t0, 4)
+    # min-of-2, like the limit100 legs' min-of-5 and every trend leg: the
+    # steady-state wall is the comparable number (the reference's 50.1 s
+    # came from a warmed long-running Hive service), and a single draw on
+    # this box has been observed 2x the steady state with no plan change.
+    # This leg is also the x10 trend's ratio base — a one-draw spike there
+    # would deflate the slope the same way the q80 layout artifact did.
+    wall = float("inf")
+    for _ in range(2):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        ctas_text(m33_schem(spark, M33_FULL_DIR), "m33_bench")
+        wall = min(wall, round(time.perf_counter() - t0, 4))
+    timings["m33_ctas_2800k"] = wall
 
     # Interactive fetch over the raw text view (baseline 1.387 s).
     # Steady-state measurement: the CTAS above has fully JIT-compiled the

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.queries.dedup import (
+    _shingle_hash48,
     _shingle_hash48_sql,
     _token_hash32,
     _words,
@@ -133,32 +134,29 @@ def _bucketed_running_sum(
     )
 
 
-def _bucketed_hash_order_rank(
+def _bucketed_rank(
     df: DataFrame,
     stratum: str,
-    key: str,
+    bucket_col,
+    order_cols,
     alias: str,
     keep_at_most: int | None = None,
 ) -> DataFrame:
-    """Exact ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(key),
-    key)`` via md5-prefix bucketing: the hex prefix is order-preserving for
-    the full hash string, so global rank = rows-in-earlier-buckets + local
-    rank.  With ``keep_at_most=N`` the per-row side is pre-filtered to the
-    per-bucket top-N before the offsets join (global rank <= N implies
-    local rank <= N), so the join output is bounded by N x #buckets per
-    stratum instead of the corpus."""
+    """Shared core of the two-pass bucketed ``ROW_NUMBER() OVER (PARTITION
+    BY stratum ORDER BY ...)``: ``bucket_col`` must be an order-preserving
+    prefix of the ``order_cols`` sort, so global rank = rows-in-earlier-
+    buckets + local rank.  With ``keep_at_most=N`` the per-row side is
+    pre-filtered to the per-bucket top-N before the offsets join (global
+    rank <= N implies local rank <= N), so the join output is bounded by
+    N x #buckets per stratum instead of the corpus."""
     from pyspark.sql.window import Window
 
-    md5 = F.md5(F.col(key).cast("string"))
-    b = df.withColumn("__bucket", F.substring(md5, 1, MD5_BUCKET_PREFIX))
-    local_w = (
-        Window.partitionBy(stratum, "__bucket")
-        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
-    )
+    b = df.withColumn("__bucket", bucket_col)
+    local_w = Window.partitionBy(stratum, "__bucket").orderBy(*order_cols)
     b = b.withColumn("__local", F.row_number().over(local_w))
     # counts from the input, not the window output — see _bucketed_running_sum
     counts = (
-        df.withColumn("__bucket", F.substring(md5, 1, MD5_BUCKET_PREFIX))
+        df.withColumn("__bucket", bucket_col)
         .groupBy(stratum, "__bucket")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
@@ -178,6 +176,26 @@ def _bucketed_hash_order_rank(
         b.join(offsets, [stratum, "__bucket"])
         .withColumn(alias, (F.col("__off") + F.col("__local")).cast("bigint"))
         .drop("__bucket", "__local", "__off")
+    )
+
+
+def _bucketed_hash_order_rank(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    alias: str,
+    keep_at_most: int | None = None,
+) -> DataFrame:
+    """Rank by ``ORDER BY md5(key), key`` via md5-prefix bucketing (the
+    hex prefix is order-preserving for the full hash string)."""
+    md5 = F.md5(F.col(key).cast("string"))
+    return _bucketed_rank(
+        df,
+        stratum,
+        F.substring(md5, 1, MD5_BUCKET_PREFIX),
+        [md5, F.col(key)],
+        alias,
+        keep_at_most,
     )
 
 
@@ -1395,41 +1413,18 @@ def _bucketed_key_order_rank(
     alias: str,
     keep_at_most: int | None = None,
 ) -> DataFrame:
-    """Exact ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY key,
-    tiebreak)`` for a uniform non-negative integer ``key``, as a two-pass
-    bucketed prefix scan: ``key div WSAMPLE_KEY_BUCKET_WIDTH`` is
-    order-preserving for the key, so global rank = rows-in-lower-buckets
-    + local rank — the integer-key sibling of
-    :func:`_bucketed_hash_order_rank` (which buckets on an md5 prefix and
-    therefore re-hashes; here the key is ALREADY hash-uniform, and the
-    oracle orders by the key itself)."""
-    from pyspark.sql.window import Window
-
-    width = WSAMPLE_KEY_BUCKET_WIDTH
-    b = df.withColumn("__bucket", F.expr(f"{key} div {width}"))
-    local_w = Window.partitionBy(stratum, "__bucket").orderBy(key, tiebreak)
-    b = b.withColumn("__local", F.row_number().over(local_w))
-    counts = (
-        df.withColumn("__bucket", F.expr(f"{key} div {width}"))
-        .groupBy(stratum, "__bucket")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    off_w = (
-        Window.partitionBy(stratum)
-        .orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
+    """Rank by ``ORDER BY key, tiebreak`` for a uniform non-negative
+    integer ``key``, bucketing on ``key div WSAMPLE_KEY_BUCKET_WIDTH`` —
+    the integer-key sibling of :func:`_bucketed_hash_order_rank` (which
+    buckets on an md5 prefix and therefore re-hashes; here the key is
+    ALREADY hash-uniform, and the oracle orders by the key itself)."""
+    return _bucketed_rank(
+        df,
         stratum,
-        "__bucket",
-        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0).cast("bigint")).alias("__off"),
-    )
-    if keep_at_most is not None:
-        b = b.filter(F.col("__local") <= keep_at_most)
-    return (
-        b.join(offsets, [stratum, "__bucket"])
-        .withColumn(alias, (F.col("__off") + F.col("__local")).cast("bigint"))
-        .drop("__bucket", "__local", "__off")
+        F.expr(f"{key} div {WSAMPLE_KEY_BUCKET_WIDTH}"),
+        [F.col(key), F.col(tiebreak)],
+        alias,
+        keep_at_most,
     )
 
 
@@ -1477,20 +1472,12 @@ def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.least(F.expr("n_chars div 100"), F.lit(7))).cast("bigint").alias("wt"),
     )
     def replica_hash(r):
-        # per-replica portable 48-bit hash; mirrors dedup._shingle_hash48
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(":"), r.cast("string")
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        # per-replica portable 48-bit hash — the SAME helper the oracle
+        # fragment derives its width from, so the nibble count can never
+        # drift between the Spark keys and the SQL keys
+        return _shingle_hash48(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), r.cast("string"))
+        )
     keyed = d.withColumn(
         "skey",
         F.array_min(F.transform(F.sequence(F.lit(1), F.col("wt")), replica_hash)),

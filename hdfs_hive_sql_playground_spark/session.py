@@ -57,16 +57,23 @@ def get_spark(
         # Local runs don't need the UI; harmless if overridden.
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        # JIT code cache: a long-lived session compiling 136 distinct
-        # codegen'd plans fills the JVM's default 240m ReservedCodeCache
-        # (measured: the profiled-nmethods heap sits at 79/122 MB after ONE
-        # sf0.001 pass of the registry); once a segment fills, the sweeper
-        # flushes hot compiled methods and later queries re-run partially
-        # interpreted — observed as a 2.5x wall regression on the LAST
-        # bench leg with no plan change. 480m keeps the whole registry's
-        # generated code resident. Same knob every production Spark
-        # deployment with many distinct queries tunes (SPARK-29512 family).
-        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=480m",
+        # JIT code cache: a long-lived session compiling the registry's
+        # 137 distinct codegen'd plans fills the JVM's default 240m
+        # ReservedCodeCache (measured: the profiled-nmethods heap sits at
+        # 79/122 MB after ONE sf0.001 pass); once a segment fills, the
+        # sweeper flushes hot compiled methods and later queries re-run
+        # partially interpreted — observed as a 2.5x wall regression on
+        # the LAST bench leg with no plan change. 480m keeps the whole
+        # registry's generated code resident. Same knob every production
+        # Spark deployment with many distinct queries tunes (SPARK-29512
+        # family). Env-tunable like the sibling knobs; a caller-supplied
+        # spark.driver.extraJavaOptions REPLACES this default wholesale
+        # (the conf loop overrides key-for-key), so append the flag when
+        # passing your own JVM options.
+        "spark.driver.extraJavaOptions": (
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "480m")
+        ),
         # Parquet scans: vectorized reader + pushdown are defaults, pinned
         # here so a misconfigured environment can't silently disable them.
         "spark.sql.parquet.filterPushdown": "true",

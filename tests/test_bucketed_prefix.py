@@ -101,18 +101,17 @@ def test_q138_multibucket_exact(spark, sf_dir, width, monkeypatch):
     assert result.ok, result.report()
 
 
-def test_q138_key_rank_helper_spans_buckets(spark, sf_dir):
+def test_q138_key_rank_helper_spans_buckets(spark, sf_dir, monkeypatch):
     """At the default 2^36 width the 48-bit hash keys spread over ~4096
-    buckets (the test corpus hits hundreds of distinct ones): prove the
-    rank path is genuinely multi-bucket, not vacuously single-bucket."""
-    from hdfs_hive_sql_playground_spark.tables import load
-
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    keyed = (
+    buckets: prove the rank path is genuinely multi-bucket over the WHOLE
+    keyed corpus (k raised past the corpus size so nothing is filtered),
+    not just over a top-k sample whose keys concentrate low."""
+    monkeypatch.setattr(text_mod, "WSAMPLE_K", 10**9)
+    buckets = (
         SPECS["q138_weighted_sample"]
         .fn(spark, sf_dir)
         .select("lang", F.expr(f"skey div {text_mod.WSAMPLE_KEY_BUCKET_WIDTH}"))
         .distinct()
+        .count()
     )
-    assert keyed.count() > 20, "sample keys collapsed into too few buckets"
-    assert d.count() > 0
+    assert buckets > 100, f"corpus keys collapsed into {buckets} buckets"

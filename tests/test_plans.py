@@ -647,17 +647,22 @@ def test_q137_kmeans_update_shuffles_partial_sums_not_vectors(spark, sf_dir):
     (vectors only ever stream through scans and broadcast probes)."""
     df = SPECS["q137_kmeans_refine"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
-    # map-side combine on the update agg: a partial HashAggregate keyed
-    # on (cell, pos) must appear below its exchange
-    assert re.search(r"partial_sum", p), p
+    # map-side combine on the CENTROID-UPDATE agg specifically: a partial
+    # HashAggregate grouped on (cell, pos) must exist — anchored on its
+    # keys so the final groupBy(cell) agg's partial_sum can't satisfy it
+    assert re.search(
+        r"HashAggregate\(keys=\[cell#\d+L?, pos#\d+\], functions=\[partial_sum", p
+    ), p
     # refined centroids (and the initial ones) reach scoring via broadcast
     assert "BroadcastExchange" in p, p
-    # the embedding array never shuffles: every hashpartitioning exchange
-    # carries scalar keys only (v#N appears in scans/projects, not in
-    # Exchange input attribute lists)
+    # the embedding array never shuffles: hash exchanges exist only for
+    # the (cell, pos) update agg, the (cell, n) centroid rebuild and the
+    # final (cell) agg — a window-based argmax regression (which would
+    # shuffle full candidate rows per vec_id) adds a vec_id exchange
     for ln in p.splitlines():
         if "Exchange hashpartitioning" in ln:
-            assert not re.search(r"\bv#\d+\b", ln), ln
+            assert re.search(r"hashpartitioning\((cell|pos|n)#", ln), ln
+            assert "vec_id#" not in ln, ln
 
 
 def test_q138_weighted_sample_rank_bucketed_and_prefiltered(spark, sf_dir):
