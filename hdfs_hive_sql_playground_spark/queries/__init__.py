@@ -104,18 +104,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
     "q77_csv_roundtrip",
-    "q78_bucketed_join",
     "q110_range_layout_scan",
     "q80_exact_dedup",
     # (d) late-round debuts: every new operator takes a window slot
     # immediately. q136 took q101_merge_upsert's (unchanged since r4);
     # q137/q138 took q75_orc/q76_json's — the sink/format family keeps
     # fresh coverage via q73 (text CTAS), q77 (CSV nulls) and q110 (range
-    # layout), while ORC/JSON round-trips are untouched-since-r4 paths
-    # that join q101 at the head of r7's rotation.
+    # layout), while ORC/JSON round-trips are untouched-since-r4 paths —
+    # and q139 took q78_bucketed_join's (join family refreshed r5 via
+    # q13-q18; q78's no-shuffle shape stays locally pinned by
+    # test_bucketed_join_no_shuffle). q75/q76/q78/q101 lead r7's rotation.
     "q136_segment_dedup_rewrite",
     "q137_kmeans_refine",
     "q138_weighted_sample",
+    "q139_leakage_safe_split",
 )
 
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.tables import load
@@ -190,10 +189,11 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream of here shuffles 8-byte hashes, never shingle strings.
     # At 100 TB the persist becomes a checkpoint to parquet; the relation is
     # ~shingles-per-doc × 16 B, not the corpus text.
-    sh = (
+    from hdfs_hive_sql_playground_spark.caching import track_persist
+
+    sh = track_persist(
         _doc_shingles(spark, sf_dir)
         .select("doc_id", _shingle_hash48(F.col("shingle")).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seeds = F.broadcast(
         spark.createDataFrame(_SEEDS, "band int, a bigint, b bigint")
@@ -213,8 +213,8 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band")
         .agg(F.min("v").alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # self-joined below: k rows/doc, tiny
     )
+    minh = track_persist(minh)  # self-joined below: k rows/doc, tiny
     # bucket join: docs sharing any (band, sig) are candidates
     a, b = minh.alias("a"), minh.alias("b")
     cand = (
@@ -390,10 +390,12 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 8  # shingles in more docs than this are stopword noise
 
 
-@register(
-    "q87_neardup_components",
-    oracle=f"""
-    WITH RECURSIVE words AS (
+# Shared oracle fragment: the capped share-a-shingle graph and its
+# connected components via a recursive CTE (q87's reference semantics).
+# Used verbatim by q87, q116 and q139 so the three oracles can never
+# drift apart. The doc_id < 100 cap keeps the recursive closure feasible
+# at oracle scale; the Spark side mirrors it via _doc_shingles(max_doc).
+_COMPONENTS_CTE_SQL = f"""words AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') w
       FROM documents WHERE doc_id < 100
     ),
@@ -416,9 +418,18 @@ MAX_SHINGLE_DF = 8  # shingles in more docs than this are stopword noise
       SELECT doc_id, doc_id FROM nodes
       UNION
       SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
-    )
-    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
-    FROM reach GROUP BY src
+    ),
+    comp AS (
+      SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+      FROM reach GROUP BY src
+    )"""
+
+
+@register(
+    "q87_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTE_SQL}
+    SELECT doc_id, component FROM comp
     """,
     doc="Near-duplicate clustering: connected components over the "
     "share-a-shingle graph via iterative min-label propagation — the "
@@ -436,7 +447,9 @@ MAX_SHINGLE_DF = 8  # shingles in more docs than this are stopword noise
     "propagation instead.",
 )
 def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir, max_doc=100).persist(StorageLevel.MEMORY_AND_DISK)
+    from hdfs_hive_sql_playground_spark.caching import track_persist
+
+    sh = track_persist(_doc_shingles(spark, sf_dir, max_doc=100))
     # Cap shingle document frequency BEFORE the self-join: a shingle shared
     # by k docs contributes k² edge candidates, so the join's per-key cost
     # is now ≤ MAX_SHINGLE_DF² regardless of corpus size.
@@ -450,11 +463,10 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shc.withColumnRenamed("doc_id", "u")
     b = shc.withColumnRenamed("doc_id", "v")
     # Undirected edge list, both orientations (u≠v): docs sharing a shingle.
-    edges = (
+    edges = track_persist(
         a.join(b, (a.shingle == b.shingle) & (F.col("u") != F.col("v")))
         .select("u", "v")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
@@ -490,34 +502,7 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q116_canonical_per_cluster",
     oracle=f"""
-    WITH RECURSIVE words AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') w
-      FROM documents WHERE doc_id < 100
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             UNNEST(list_transform(range(1, len(w) - 1),
-                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      FROM words WHERE len(w) >= 3
-    ),
-    rare AS (
-      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
-    ),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-    ),
-    nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
-    reach(src, dst) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
-    ),
-    comp AS (
-      SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
-      FROM reach GROUP BY src
-    ),
+    WITH RECURSIVE {_COMPONENTS_CTE_SQL},
     tokc AS (
       SELECT doc_id,
              CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
@@ -604,7 +589,9 @@ HAMMING_MAX = 10
     "does not fire across differing projections.",
 )
 def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = q83_simhash(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    from hdfs_hive_sql_playground_spark.caching import track_persist
+
+    sim = track_persist(q83_simhash(spark, sf_dir))
     bands = sim.select(
         "doc_id",
         F.explode(
@@ -962,4 +949,54 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(rm).cast("bigint").alias("n_removed"),
             F.array_join(kept, " ").alias("cleaned_text"),
         )
+    )
+
+
+@register(
+    "q139_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {{_COMPONENTS_CTE_SQL}},
+    g AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(c.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, lang, group_id,
+           CAST(({{_GROUP_HASH_SQL}}) % 100 AS BIGINT) AS bucket,
+           CASE WHEN ({{_GROUP_HASH_SQL}}) % 100 < 98 THEN 'train'
+                WHEN ({{_GROUP_HASH_SQL}}) % 100 = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """.format(
+        _COMPONENTS_CTE_SQL=_COMPONENTS_CTE_SQL,
+        _GROUP_HASH_SQL=_shingle_hash48_sql("CAST(group_id AS VARCHAR)"),
+    ),
+    doc="Leakage-safe 98/1/1 train/val/test split: q119 hash-splits single "
+    "DOCUMENTS, which lets two near-duplicates straddle train and test — "
+    "the classic eval-contamination path that survives document-level "
+    "dedup thresholds. Here the split unit is the q87 near-dup COMPONENT: "
+    "every document inherits its component's canonical label (its own "
+    "doc_id when it has no near-dup), and the 48-bit portable hash of "
+    "that GROUP id decides the split — so a near-dup cluster lands whole "
+    "in exactly one split, by construction. Plan: q87's label propagation "
+    "(bounded edges, scalar-only driver traffic) + one doc_id equi-join "
+    "of the component table onto the corpus + a pure projection; the "
+    "component side is corpus-proportional, so no forced broadcast "
+    "(DEPLOYMENT_100TB §7). The doc_id < 100 component cap is q87's "
+    "oracle-scale bound; production runs the same plan uncapped.",
+)
+def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q87_neardup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = d.join(comp, "doc_id", "left").withColumn(
+        "group_id", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    bucket = (_shingle_hash48(F.col("group_id").cast("string")) % 100).alias(
+        "bucket"
+    )
+    return g.select("doc_id", "lang", "group_id", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 98, "train")
+        .when(F.col("bucket") == 98, "val")
+        .otherwise("test"),
     )
