@@ -291,8 +291,11 @@ def q82_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
+    # Name-join, not a.shingle == b.shingle: both sides rename the same
+    # plan, so attribute equality would be a trivially-true predicate.
     inter = (
-        a.join(b, (a.shingle == b.shingle) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -463,8 +466,12 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shc.withColumnRenamed("doc_id", "u")
     b = shc.withColumnRenamed("doc_id", "v")
     # Undirected edge list, both orientations (u≠v): docs sharing a shingle.
+    # Join by column NAME, not a.shingle == b.shingle: both sides rename the
+    # same plan, so attribute-equality would be a trivially-true predicate
+    # that only works via Spark's self-join disambiguation heuristic.
     edges = track_persist(
-        a.join(b, (a.shingle == b.shingle) & (F.col("u") != F.col("v")))
+        a.join(b, "shingle")
+        .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
     )
