@@ -531,8 +531,10 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label propagation) and each cluster keeps its longest document (ties "
     "broken by doc_id) — the keep-longest retention policy common in "
     "production dedup. Integer-only ranking keys, so the choice is "
-    "cross-engine deterministic. Adds ONE window exchange on component on "
-    "top of q87's per-iteration doc_id shuffles.",
+    "cross-engine deterministic. Adds one pinned shuffle_hash doc_id join "
+    "(the component side is corpus-proportional — DEPLOYMENT_100TB §7) "
+    "and ONE window exchange on component on top of q87's per-iteration "
+    "doc_id shuffles.",
 )
 def q116_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -540,7 +542,9 @@ def q116_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q87_neardup_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tokc = d.select("doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("n_tok"))
-    assigned = tokc.join(comp, "doc_id", "left").select(
+    # Corpus-proportional component side: stats-independent hash join,
+    # not a test-scale broadcast decision (DEPLOYMENT_100TB §7).
+    assigned = tokc.join(comp.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         "n_tok",
@@ -988,14 +992,18 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in exactly one split, by construction. Plan: q87's label propagation "
     "(bounded edges, scalar-only driver traffic) + one doc_id equi-join "
     "of the component table onto the corpus + a pure projection; the "
-    "component side is corpus-proportional, so no forced broadcast "
+    "component side is corpus-proportional, so it is pinned to a "
+    "shuffle_hash join rather than a stats-picked broadcast "
     "(DEPLOYMENT_100TB §7). The doc_id < 100 component cap is q87's "
     "oracle-scale bound; production runs the same plan uncapped.",
 )
 def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q87_neardup_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    g = d.join(comp, "doc_id", "left").withColumn(
+    # The component table is corpus-proportional (one row per doc with a
+    # near-dup edge), so per DEPLOYMENT_100TB §7 it gets the
+    # stats-independent hash join, not a test-scale broadcast decision.
+    g = d.join(comp.hint("shuffle_hash"), "doc_id", "left").withColumn(
         "group_id", F.coalesce(F.col("component"), F.col("doc_id"))
     )
     bucket = (_shingle_hash48(F.col("group_id").cast("string")) % 100).alias(

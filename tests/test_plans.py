@@ -347,6 +347,10 @@ def test_q116_single_component_window_exchange(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "component#" in ln
     ]
     assert len(comp_ex) == 1, p
+    # the corpus-proportional component table joins via the pinned
+    # stats-independent hash join, never a test-scale broadcast
+    assert re.search(r"ShuffledHashJoin \[doc_id#\d+L?\]", p), p
+    assert "BroadcastHashJoin" not in p, p
     plans.assert_no_cartesian(df)
     _assert_no_full_text_in_exchange("q116_canonical_per_cluster", p)
 
@@ -678,6 +682,21 @@ def test_q138_weighted_sample_rank_bucketed_and_prefiltered(spark, sf_dir):
     plans.assert_no_cartesian(df)
     assert "Generate" not in p  # no explode: sequence+transform fold only
     _assert_stratum_windows_bucketed(df, "lang")
+
+
+def test_q139_split_join_is_shuffle_hash_not_broadcast(spark, sf_dir):
+    """Leakage-safe split: the component table is corpus-proportional
+    (one row per doc with a near-dup edge), so its doc_id join onto the
+    corpus must be the pinned stats-independent ShuffledHashJoin — a
+    BroadcastHashJoin here would be a test-scale stats artifact that
+    rebuilds a corpus-sized driver relation at 100 TB
+    (DEPLOYMENT_100TB §7). The split projection itself adds no further
+    exchange."""
+    df = SPECS["q139_leakage_safe_split"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert re.search(r"ShuffledHashJoin \[doc_id#\d+L?\]", p), p
+    assert "BroadcastHashJoin" not in p, p
 
 
 def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
