@@ -478,14 +478,19 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
+    # Both loop joins pin shuffle_hash: labels/neigh are corpus-proportional
+    # (one row per doc in the graph), so a test-scale broadcast decision
+    # would rebuild a corpus-sized driver relation EVERY iteration at
+    # production scale (DEPLOYMENT_100TB §7, the q136 rule x iteration
+    # count). Semantics are join-strategy-independent; the oracles pin them.
     for _ in range(50):
         neigh = (
-            edges.join(labels, edges.u == labels.doc_id)
+            edges.join(labels.hint("shuffle_hash"), edges.u == labels.doc_id)
             .groupBy(F.col("v").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
         relabeled = (
-            labels.join(neigh, "doc_id", "left")
+            labels.join(neigh.hint("shuffle_hash"), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
@@ -597,7 +602,9 @@ HAMMING_MAX = 10
     "engine-portable hash, so unlike q81 the WHOLE banded pipeline is "
     "value-hash-checked against DuckDB. The fingerprint relation (one row "
     "per doc) is persisted: three branches consume it and exchange reuse "
-    "does not fire across differing projections.",
+    "does not fire across differing projections. Its two candidate-pair "
+    "lookups are pinned shuffle_hash — corpus-proportional build sides "
+    "never get a test-scale broadcast decision (DEPLOYMENT_100TB §7).",
 )
 def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_hive_sql_playground_spark.caching import track_persist
@@ -625,9 +632,20 @@ def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # The fingerprint lookups build on sim — corpus-proportional (one row
+    # per doc) — so they get the stats-independent hash join, not a
+    # test-scale broadcast decision (DEPLOYMENT_100TB §7).
     pairs = cand.join(
-        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha")), "doc_a"
-    ).join(sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb")), "doc_b")
+        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha")).hint(
+            "shuffle_hash"
+        ),
+        "doc_a",
+    ).join(
+        sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb")).hint(
+            "shuffle_hash"
+        ),
+        "doc_b",
+    )
     hamming = F.bit_count(F.expr("sha ^ shb")).cast("int")
     return pairs.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.alias("hamming")

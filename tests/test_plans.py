@@ -127,6 +127,11 @@ def test_q98_banded_simhash_equi_join_no_cartesian(spark, sf_dir):
     # Hamming comparison would plan a nested-loop/cartesian.
     plans.assert_no_cartesian(df)
     assert "BroadcastNestedLoop" not in p
+    # the corpus-proportional fingerprint lookups are pinned shuffle_hash
+    # (never a test-scale broadcast); only the bounded band self-join may
+    # keep a stats-picked strategy
+    assert re.search(r"ShuffledHashJoin \[doc_a#\d+L?\]", p), p
+    assert re.search(r"ShuffledHashJoin \[doc_b#\d+L?\]", p), p
 
 
 def test_q100_bigram_topk_takeordered_not_global_sort(spark, sf_dir):
