@@ -231,6 +231,10 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit shingle hashes (collision odds ~n²/2⁶⁴ — negligible): the
     # intersection join shuffles longs, not shingle strings.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Strategies stay stats-picked (DEPLOYMENT_100TB §7): one-shot lookups
+    # get broadcast while sh/sizes fit and flip to SMJ from REAL sizes as
+    # the corpus grows — pinning shuffle_hash here was interleaved-A/B
+    # measured ~30% slower at sf0.1 (5.41 s vs 3.88 s warm min).
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "h"])
@@ -293,6 +297,10 @@ def q82_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.withColumnRenamed("doc_id", "doc_b")
     # Name-join, not a.shingle == b.shingle: both sides rename the same
     # plan, so attribute equality would be a trivially-true predicate.
+    # Strategies stay stats-picked: shuffle_hash pins were interleaved-A/B
+    # measured ~15% slower at sf0.1 (0.95 s vs 0.83 s warm min-of-6) and
+    # buy nothing — stats flip broadcast to SMJ from real sizes at scale
+    # (DEPLOYMENT_100TB §7).
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -478,19 +486,19 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    # Both loop joins pin shuffle_hash: labels/neigh are corpus-proportional
-    # (one row per doc in the graph), so a test-scale broadcast decision
-    # would rebuild a corpus-sized driver relation EVERY iteration at
-    # production scale (DEPLOYMENT_100TB §7, the q136 rule x iteration
-    # count). Semantics are join-strategy-independent; the oracles pin them.
+    # Loop strategies stay stats-picked (DEPLOYMENT_100TB §7): while labels
+    # fits, broadcasting it keeps the persisted edges relation from
+    # re-exchanging every iteration; past the threshold stats flip to SMJ
+    # from REAL sizes. Pinning shuffle_hash was interleaved-A/B measured
+    # ~60% slower at sf0.1 (6.86 s vs 4.34 s warm min) for zero safety.
     for _ in range(50):
         neigh = (
-            edges.join(labels.hint("shuffle_hash"), edges.u == labels.doc_id)
+            edges.join(labels, edges.u == labels.doc_id)
             .groupBy(F.col("v").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
         relabeled = (
-            labels.join(neigh.hint("shuffle_hash"), "doc_id", "left")
+            labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
@@ -536,10 +544,8 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label propagation) and each cluster keeps its longest document (ties "
     "broken by doc_id) — the keep-longest retention policy common in "
     "production dedup. Integer-only ranking keys, so the choice is "
-    "cross-engine deterministic. Adds one pinned shuffle_hash doc_id join "
-    "(the component side is corpus-proportional — DEPLOYMENT_100TB §7) "
-    "and ONE window exchange on component on top of q87's per-iteration "
-    "doc_id shuffles.",
+    "cross-engine deterministic. Adds ONE window exchange on component on "
+    "top of q87's per-iteration doc_id shuffles.",
 )
 def q116_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -547,9 +553,7 @@ def q116_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q87_neardup_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tokc = d.select("doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("n_tok"))
-    # Corpus-proportional component side: stats-independent hash join,
-    # not a test-scale broadcast decision (DEPLOYMENT_100TB §7).
-    assigned = tokc.join(comp.hint("shuffle_hash"), "doc_id", "left").select(
+    assigned = tokc.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         "n_tok",
@@ -602,9 +606,7 @@ HAMMING_MAX = 10
     "engine-portable hash, so unlike q81 the WHOLE banded pipeline is "
     "value-hash-checked against DuckDB. The fingerprint relation (one row "
     "per doc) is persisted: three branches consume it and exchange reuse "
-    "does not fire across differing projections. Its two candidate-pair "
-    "lookups are pinned shuffle_hash — corpus-proportional build sides "
-    "never get a test-scale broadcast decision (DEPLOYMENT_100TB §7).",
+    "does not fire across differing projections.",
 )
 def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_hive_sql_playground_spark.caching import track_persist
@@ -632,20 +634,13 @@ def q98_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # The fingerprint lookups build on sim — corpus-proportional (one row
-    # per doc) — so they get the stats-independent hash join, not a
-    # test-scale broadcast decision (DEPLOYMENT_100TB §7).
+    # Fingerprint lookups stay stats-picked (DEPLOYMENT_100TB §7): pinning
+    # shuffle_hash was interleaved-A/B measured ~45% slower at sf0.1
+    # (2.02 s vs 1.37 s warm min) — stats flip broadcast to SMJ from real
+    # sizes once sim outgrows the threshold.
     pairs = cand.join(
-        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha")).hint(
-            "shuffle_hash"
-        ),
-        "doc_a",
-    ).join(
-        sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb")).hint(
-            "shuffle_hash"
-        ),
-        "doc_b",
-    )
+        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha")), "doc_a"
+    ).join(sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb")), "doc_b")
     hamming = F.bit_count(F.expr("sha ^ shb")).cast("int")
     return pairs.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.alias("hamming")
@@ -1010,18 +1005,15 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in exactly one split, by construction. Plan: q87's label propagation "
     "(bounded edges, scalar-only driver traffic) + one doc_id equi-join "
     "of the component table onto the corpus + a pure projection; the "
-    "component side is corpus-proportional, so it is pinned to a "
-    "shuffle_hash join rather than a stats-picked broadcast "
+    "join strategy stays stats-picked — broadcast while the component "
+    "table fits, SMJ from real sizes past the threshold "
     "(DEPLOYMENT_100TB §7). The doc_id < 100 component cap is q87's "
     "oracle-scale bound; production runs the same plan uncapped.",
 )
 def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q87_neardup_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    # The component table is corpus-proportional (one row per doc with a
-    # near-dup edge), so per DEPLOYMENT_100TB §7 it gets the
-    # stats-independent hash join, not a test-scale broadcast decision.
-    g = d.join(comp.hint("shuffle_hash"), "doc_id", "left").withColumn(
+    g = d.join(comp, "doc_id", "left").withColumn(
         "group_id", F.coalesce(F.col("component"), F.col("doc_id"))
     )
     bucket = (_shingle_hash48(F.col("group_id").cast("string")) % 100).alias(
