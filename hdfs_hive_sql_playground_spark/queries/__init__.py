@@ -100,7 +100,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (c) r4-vintage greens whose surrounding code changed since
     "q70_m33_schem_view",
     "q71_m33_schem_agg",
-    "q72_m33_limit_fetch",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
     "q77_csv_roundtrip",
@@ -113,11 +112,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # layout), while ORC/JSON round-trips are untouched-since-r4 paths —
     # and q139 took q78_bucketed_join's (join family refreshed r5 via
     # q13-q18; q78's no-shuffle shape stays locally pinned by
-    # test_bucketed_join_no_shuffle). q75/q76/q78/q101 lead r7's rotation.
+    # test_bucketed_join_no_shuffle). q140 took q72_m33_limit_fetch's —
+    # the m33 family keeps four fresher slots (q70/q71/q73/q74) over the
+    # same rewritten wholetext guard, and the LIMIT-fetch path is also
+    # exercised by q72's local oracle row. q72/q75/q76/q78/q101 lead r7's
+    # rotation.
     "q136_segment_dedup_rewrite",
     "q137_kmeans_refine",
     "q138_weighted_sample",
     "q139_leakage_safe_split",
+    "q140_url_canonical_dedup",
 )
 
 

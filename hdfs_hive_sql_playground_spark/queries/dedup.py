@@ -1025,3 +1025,96 @@ def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") == 98, "val")
         .otherwise("test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 canonical-URL dedup (the crawl-frontier dedup pass that runs BEFORE
+# any content hashing: most crawl duplicates are the same page re-fetched
+# under tracking params / host-case / fragment / trailing-slash noise)
+# ---------------------------------------------------------------------------
+
+_URL_HOST_RE = "://([^/]+)"
+_URL_PATH_RE = "://[^/]+(/[^?#]*)"
+_URL_ID_RE = "[?&]id=([^&#]*)"
+
+
+@register(
+    "q140_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://'
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || '.Example.COM/p/' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || '?utm_source=u' || CAST(doc_id % 4 AS VARCHAR)
+               || '&id=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&utm_campaign=c'
+               || '#s' || CAST(doc_id % 6 AS VARCHAR) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(url, '{_URL_HOST_RE}', 1))
+               || regexp_replace(
+                    regexp_extract(url, '{_URL_PATH_RE}', 1), '/$', '')
+               || '?id=' || regexp_extract(url, '{_URL_ID_RE}', 1)
+               AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    FROM canon
+    GROUP BY 1
+    """,
+    doc="Canonical-URL deduplication — the crawl-frontier pass that "
+    "collapses re-fetches of one page under URL noise (tracking params, "
+    "host case, fragments, trailing slashes) BEFORE any content hash is "
+    "computed. URLs are synthesized deterministically from the documents "
+    "table (as in q125) with all four noise classes injected by doc_id "
+    "residues, so distinct raw URLs genuinely collide after "
+    "canonicalization (~N/140 docs per canonical page). Canonical form is "
+    "REBUILT from parsed parts (lowered host + slash-trimmed path + the "
+    "one non-tracking param) rather than patched with in-place regex "
+    "surgery — same extraction both engines, exact oracle. Plan shape is "
+    "q80's: a pure zero-shuffle codegen projection (JVM regex), then ONE "
+    "hash exchange on the short canonical string for the keep-first "
+    "aggregation; document text is never read. At 100 TB this is the "
+    "cheapest dedup stage in the pipeline and the plan holds as-is.",
+)
+def q140_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=u"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=c"),
+        F.lit("#s"),
+        (F.col("doc_id") % 6).cast("string"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)),
+        F.regexp_replace(F.regexp_extract(url, _URL_PATH_RE, 1), "/$", ""),
+        F.lit("?id="),
+        F.regexp_extract(url, _URL_ID_RE, 1),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+        )
+    )

@@ -694,6 +694,22 @@ def test_q139_split_is_one_join_plus_projection(spark, sf_dir):
     assert "Window" not in p, p
 
 
+def test_q140_url_dedup_one_exchange_no_text(spark, sf_dir):
+    """Canonical-URL dedup must keep q80's shape: a zero-shuffle codegen
+    projection (URL synthesis + regex canonicalization) and ONE hash
+    exchange on the short canonical string — no join, no window, and the
+    document text column never read or shuffled."""
+    df = SPECS["q140_url_canonical_dedup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 1, p
+    assert "Join" not in p and "Window" not in p, p
+    plans.assert_no_cartesian(df)
+    _assert_no_full_text_in_exchange("q140_url_canonical_dedup", p)
+    # column pruning: the parquet scan must not read the text column
+    m = re.search(r"ReadSchema: (\S+)", p)
+    assert m and "text" not in m.group(1), p
+
+
 def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
     """q85/q86/q97 per-query top-k: the row_number + rnk <= k filter must
     plan a PARTIAL WindowGroupLimit below the exchange — each map task
