@@ -104,7 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q74_m33_jdbc_export_roundtrip",
     "q77_csv_roundtrip",
     "q110_range_layout_scan",
-    "q80_exact_dedup",
     # (d) late-round debuts: every new operator takes a window slot
     # immediately. q136 took q101_merge_upsert's (unchanged since r4);
     # q137/q138 took q75_orc/q76_json's — the sink/format family keeps
@@ -115,13 +114,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # test_bucketed_join_no_shuffle). q140 took q72_m33_limit_fetch's —
     # the m33 family keeps four fresher slots (q70/q71/q73/q74) over the
     # same rewritten wholetext guard, and the LIMIT-fetch path is also
-    # exercised by q72's local oracle row. q72/q75/q76/q78/q101 lead r7's
-    # rotation.
+    # exercised by q72's local oracle row. q141 took q80_exact_dedup's:
+    # q80 is r5-green with code unchanged since, and bench.py re-runs it
+    # (rows + timing) every round anyway. q72/q75/q76/q78/q80/q101 lead
+    # r7's rotation.
     "q136_segment_dedup_rewrite",
     "q137_kmeans_refine",
     "q138_weighted_sample",
     "q139_leakage_safe_split",
     "q140_url_canonical_dedup",
+    "q141_target_affinity_select",
 )
 
 

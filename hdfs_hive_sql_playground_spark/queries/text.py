@@ -1488,3 +1488,112 @@ def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= WSAMPLE_K).select(
         "doc_id", "lang", "wt", "skey", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 DSIR-style target-affinity selection (hashed unigram importance)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed feature space (DSIR hashes n-grams the same way)
+DSIR_TARGET_LANG = "en"  # the target domain: English docs stand in for it
+
+
+@register(
+    "q141_target_affinity_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ({_shingle_hash48_sql('u.w')}) % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+            FROM documents), UNNEST(ws) AS u(w)
+    ),
+    bcnt AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS HUGEINT) AS nc, CAST(SUM(t) AS HUGEINT) AS nt
+      FROM bcnt
+    ),
+    doc AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(b.t) AS BIGINT) AS t_mass,
+             CAST(sum(b.c) AS BIGINT) AS c_mass
+      FROM tok JOIN bcnt b USING (bucket)
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, t_mass, c_mass,
+           CAST(CASE WHEN CAST(t_mass AS HUGEINT) * nc
+                          > CAST(c_mass AS HUGEINT) * nt
+                THEN 1 ELSE 0 END AS INTEGER) AS selected
+    FROM doc, tot
+    """,
+    doc="Importance-based data selection in the DSIR family (Xie et al. "
+    "2023, 'Data Selection for Language Models via Importance "
+    f"Resampling'): tokens hash into {DSIR_BUCKETS} feature buckets, a "
+    "target-domain distribution (here: the '"
+    + DSIR_TARGET_LANG
+    + "' documents) and the full-corpus distribution are estimated over "
+    "those buckets, and each document is scored by how much more typical "
+    "of the target its token mass is than of the corpus. This variant is "
+    "INTEGER-EXACT for the cross-engine hash gate: per-doc target mass "
+    "t_mass = SUM(bucket target counts) and corpus mass c_mass likewise, "
+    "selected = t_mass/n_target > c_mass/n_corpus compared by exact "
+    "cross-multiplication (DECIMAL(38,0) on Spark, HUGEINT in DuckDB — no "
+    "int64 wrap at any corpus size); the paper's float log-ratio "
+    "estimator is a one-expression swap on each side. Scale shape: the "
+    f"bucket table is BOUNDED BY DESIGN (<= {DSIR_BUCKETS} rows) so it "
+    "and the 1-row totals broadcast explicitly (DEPLOYMENT_100TB §7); "
+    "the token stream never shuffles for the lookup — exchanges are the "
+    "bounded bucket agg and ONE per-doc rollup. Zipfian bucket skew "
+    "affects only the tiny bucket agg, which partial-aggregates "
+    "map-side.",
+)
+def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(_shingle_hash48(F.col("w")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+    bcnt = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t"),
+    )
+    tot = bcnt.agg(
+        F.sum("c").cast("decimal(38,0)").alias("nc"),
+        F.sum("t").cast("decimal(38,0)").alias("nt"),
+    )
+    doc = (
+        tok.join(F.broadcast(bcnt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("t").cast("bigint").alias("t_mass"),
+            F.sum("c").cast("bigint").alias("c_mass"),
+        )
+    )
+    return doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tok",
+        "t_mass",
+        "c_mass",
+        F.when(
+            F.col("t_mass").cast("decimal(19,0)") * F.col("nc")
+            > F.col("c_mass").cast("decimal(19,0)") * F.col("nt"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("selected"),
+    )

@@ -710,6 +710,22 @@ def test_q140_url_dedup_one_exchange_no_text(spark, sf_dir):
     assert m and "text" not in m.group(1), p
 
 
+def test_q141_affinity_broadcast_buckets_token_stream_never_shuffles(spark, sf_dir):
+    """DSIR-style selection: the <=4096-row bucket table and the 1-row
+    totals broadcast (bounded by design), so the token stream joins
+    map-side — hash exchanges exist only for the bounded bucket agg and
+    the per-doc rollup, never on the raw token rows, and document text
+    never enters an Exchange."""
+    df = SPECS["q141_target_affinity_select"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert re.search(r"BroadcastHashJoin \[bucket#\d+L?\]", p), p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert re.search(r"hashpartitioning\((bucket|doc_id)#", ln), ln
+    _assert_no_full_text_in_exchange("q141_target_affinity_select", p)
+
+
 def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
     """q85/q86/q97 per-query top-k: the row_number + rnk <= k filter must
     plan a PARTIAL WindowGroupLimit below the exchange — each map task
