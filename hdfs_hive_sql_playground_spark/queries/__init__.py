@@ -102,7 +102,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q71_m33_schem_agg",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
-    "q77_csv_roundtrip",
     "q110_range_layout_scan",
     # (d) late-round debuts: every new operator takes a window slot
     # immediately. q136 took q101_merge_upsert's (unchanged since r4);
@@ -116,14 +115,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # same rewritten wholetext guard, and the LIMIT-fetch path is also
     # exercised by q72's local oracle row. q141 took q80_exact_dedup's:
     # q80 is r5-green with code unchanged since, and bench.py re-runs it
-    # (rows + timing) every round anyway. q72/q75/q76/q78/q80/q101 lead
-    # r7's rotation.
+    # (rows + timing) every round anyway. q142 took q77_csv_roundtrip's:
+    # sinks code is unchanged in r6 and the CSV empty-string/null
+    # round-trip stays pinned by tests/test_m33_pipeline.py.
+    # q72/q75/q76/q77/q78/q80/q101 lead r7's rotation.
     "q136_segment_dedup_rewrite",
     "q137_kmeans_refine",
     "q138_weighted_sample",
     "q139_leakage_safe_split",
     "q140_url_canonical_dedup",
     "q141_target_affinity_select",
+    "q142_html_boilerplate_strip",
 )
 
 

@@ -1597,3 +1597,111 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 HTML boilerplate stripping (the extraction stage before any text op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q142_html_boilerplate_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><style>p{margin:0}</style></head><body>'
+               || '<nav><a href="/home">Home</a><a href="/about">About</a>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<a href="/more">More</a>' ELSE '' END
+               || '</nav><p>' || text || '</p>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<script>var trk=1;</script>' ELSE '' END
+               || '<footer><a href="/terms">Terms</a></footer></body></html>'
+               AS html
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                      '<script[^>]*>.*?</script>', '', 'g'),
+                      '<style[^>]*>.*?</style>', '', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                      ' +', ' ', 'g')) AS visible
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS raw_chars,
+           CAST(length(visible) AS BIGINT) AS visible_chars,
+           CAST((length(html) - length(replace(html, '<a href', '')))
+                // length('<a href') AS BIGINT) AS n_links,
+           CAST(len(string_split(visible, ' ')) AS BIGINT) AS n_words,
+           CAST((length(html) - length(visible)) * 10000 // length(html)
+                AS BIGINT) AS markup_ratio_e4
+    FROM v
+    """,
+    doc="HTML boilerplate stripping — the extraction stage (trafilatura / "
+    "jusText family) that runs BEFORE every other text operator in a "
+    "crawl pipeline: drop script/style blocks, strip tags to visible "
+    "text, and emit the quality signals extraction produces (anchor "
+    "count, visible-vs-raw char ratio as integer basis points, visible "
+    "word count). Markup is synthesized deterministically around the "
+    "documents text (title/nav/script/footer injected by doc_id "
+    "residues — the q125/q140 fixture pattern), so the oracle is exact "
+    "by construction; all outputs are integers (`div`), bit-identical "
+    "cross-engine. Scale shape: a single zero-shuffle codegen projection "
+    "— JVM regex per row, no exchange anywhere, embarrassingly parallel "
+    "at any corpus size; the real-pipeline swap-in replaces the "
+    "synthesized column with a raw-HTML scan and keeps the identical "
+    "plan.",
+)
+def q142_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit('<nav><a href="/home">Home</a><a href="/about">About</a>'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit('<a href="/more">More</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</nav><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<script>var trk=1;</script>")).otherwise(
+            F.lit("")
+        ),
+        F.lit('<footer><a href="/terms">Terms</a></footer></body></html>'),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    visible = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("html"), "<script[^>]*>.*?</script>", ""),
+                    "<style[^>]*>.*?</style>",
+                    "",
+                ),
+                "<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    v = h.select("doc_id", "html", visible.alias("visible"))
+    return v.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("raw_chars"),
+        F.length("visible").cast("bigint").alias("visible_chars"),
+        F.expr(
+            "(length(html) - length(replace(html, '<a href', ''))) div 7"
+        )
+        .cast("bigint")
+        .alias("n_links"),
+        F.size(F.split(F.col("visible"), " ")).cast("bigint").alias("n_words"),
+        F.expr("(length(html) - length(visible)) * 10000 div length(html)")
+        .cast("bigint")
+        .alias("markup_ratio_e4"),
+    )

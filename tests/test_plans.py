@@ -726,6 +726,14 @@ def test_q141_affinity_broadcast_buckets_token_stream_never_shuffles(spark, sf_d
     _assert_no_full_text_in_exchange("q141_target_affinity_select", p)
 
 
+def test_q142_html_strip_zero_shuffle(spark, sf_dir):
+    """HTML boilerplate stripping is a single codegen projection — no
+    exchange anywhere (the extraction stage must stay embarrassingly
+    parallel; any shuffle here taxes every downstream operator)."""
+    df = SPECS["q142_html_boilerplate_strip"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0, plans.executed_plan(df)
+
+
 def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
     """q85/q86/q97 per-query top-k: the row_number + rnk <= k filter must
     plan a PARTIAL WindowGroupLimit below the exchange — each map task
