@@ -259,6 +259,10 @@ DOC_TREND_QUERIES = (
     # race keys are a per-row bounded array fold; the bucketed top-k rank
     # touches <= shards x k narrow rows per (lang, bucket): linear
     "q138_weighted_sample",
+    # bucket lookup is a broadcast (<=4096 rows at any corpus size), the
+    # token stream never shuffles for it, and both the bucket agg and the
+    # per-doc rollup are linear in tokens: the x8 slope should be ~linear
+    "q141_target_affinity_select",
     # q124 keeps N_CELLS fixed while the x8 fixture packs each cell 8x
     # fuller, so the within-cell pair stage grows ~64x by construction —
     # the measured ratio documents the sum-cell^2 law the docstring claims;

@@ -1552,6 +1552,7 @@ DSIR_TARGET_LANG = "en"  # the target domain: English docs stand in for it
     "bounded bucket agg and ONE per-doc rollup. Zipfian bucket skew "
     "affects only the tiny bucket agg, which partial-aggregates "
     "map-side.",
+    bench=True,
 )
 def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
