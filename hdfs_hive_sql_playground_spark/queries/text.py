@@ -1584,6 +1584,8 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("c_mass"),
         )
     )
+    # decimal(19,0) x decimal(38,0) -> decimal(38,0): exact while the
+    # product fits 38 digits (~1e25 at 100 TB, far inside the bound).
     return doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tok",
@@ -1696,6 +1698,7 @@ def q142_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("html").cast("bigint").alias("raw_chars"),
         F.length("visible").cast("bigint").alias("visible_chars"),
+        # 7 == length('<a href'); the oracle spells it as length('<a href')
         F.expr(
             "(length(html) - length(replace(html, '<a href', ''))) div 7"
         )
