@@ -98,7 +98,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q128_stats_aggregates",
     "q99_curation_pipeline",
     # (c) r4-vintage greens whose surrounding code changed since
-    "q70_m33_schem_view",
     "q71_m33_schem_agg",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
@@ -117,8 +116,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q80 is r5-green with code unchanged since, and bench.py re-runs it
     # (rows + timing) every round anyway. q142 took q77_csv_roundtrip's:
     # sinks code is unchanged in r6 and the CSV empty-string/null
-    # round-trip stays pinned by tests/test_m33_pipeline.py.
-    # q72/q75/q76/q77/q78/q80/q101 lead r7's rotation.
+    # round-trip stays pinned by tests/test_m33_pipeline.py. q143 took
+    # q70_m33_schem_view's: q71 exercises the same schema-view path plus
+    # its aggregation, so the view family keeps a fresh slot.
+    # q70/q72/q75/q76/q77/q78/q80/q101 lead r7's rotation.
     "q136_segment_dedup_rewrite",
     "q137_kmeans_refine",
     "q138_weighted_sample",
@@ -126,6 +127,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q140_url_canonical_dedup",
     "q141_target_affinity_select",
     "q142_html_boilerplate_strip",
+    "q143_crawl_front_pipeline",
 )
 
 

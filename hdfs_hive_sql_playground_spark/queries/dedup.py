@@ -1037,29 +1037,62 @@ _URL_HOST_RE = "://([^/]+)"
 _URL_PATH_RE = "://[^/]+(/[^?#]*)"
 _URL_ID_RE = "[?&]id=([^&#]*)"
 
-
-@register(
-    "q140_url_canonical_dedup",
-    oracle=f"""
-    WITH raw AS (
-      SELECT doc_id,
-             'https://'
+# Synthesized noisy URL + its canonical form, shared by q140 and q143's
+# URL-dedup stage (SQL fragment and Column builder kept side by side so
+# the two engines — and the two queries — can never drift).
+_SYNTH_URL_SQL = """'https://'
                || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
                || '.Example.COM/p/' || CAST(doc_id % 7 AS VARCHAR)
                || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
                || '?utm_source=u' || CAST(doc_id % 4 AS VARCHAR)
                || '&id=' || CAST(doc_id % 7 AS VARCHAR)
                || '&utm_campaign=c'
-               || '#s' || CAST(doc_id % 6 AS VARCHAR) AS url
+               || '#s' || CAST(doc_id % 6 AS VARCHAR)"""
+
+_CANONICAL_URL_SQL = f"""'https://' || lower(regexp_extract(url, '{_URL_HOST_RE}', 1))
+               || regexp_replace(
+                    regexp_extract(url, '{_URL_PATH_RE}', 1), '/$', '')
+               || '?id=' || regexp_extract(url, '{_URL_ID_RE}', 1)"""
+
+
+def _synth_url() -> Column:
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=u"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=c"),
+        F.lit("#s"),
+        (F.col("doc_id") % 6).cast("string"),
+    )
+
+
+def _canonical_url(url: Column) -> Column:
+    return F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)),
+        F.regexp_replace(F.regexp_extract(url, _URL_PATH_RE, 1), "/$", ""),
+        F.lit("?id="),
+        F.regexp_extract(url, _URL_ID_RE, 1),
+    )
+
+
+@register(
+    "q140_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_SYNTH_URL_SQL} AS url
       FROM documents
     ),
     canon AS (
-      SELECT doc_id,
-             'https://' || lower(regexp_extract(url, '{_URL_HOST_RE}', 1))
-               || regexp_replace(
-                    regexp_extract(url, '{_URL_PATH_RE}', 1), '/$', '')
-               || '?id=' || regexp_extract(url, '{_URL_ID_RE}', 1)
-               AS canonical_url
+      SELECT doc_id, {_CANONICAL_URL_SQL} AS canonical_url
       FROM raw
     )
     SELECT canonical_url,
@@ -1086,29 +1119,7 @@ _URL_ID_RE = "[?&]id=([^&#]*)"
 )
 def q140_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("source"))).otherwise(
-            F.col("source")
-        ),
-        F.lit(".Example.COM/p/"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=u"),
-        (F.col("doc_id") % 4).cast("string"),
-        F.lit("&id="),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit("&utm_campaign=c"),
-        F.lit("#s"),
-        (F.col("doc_id") % 6).cast("string"),
-    )
-    canonical = F.concat(
-        F.lit("https://"),
-        F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)),
-        F.regexp_replace(F.regexp_extract(url, _URL_PATH_RE, 1), "/$", ""),
-        F.lit("?id="),
-        F.regexp_extract(url, _URL_ID_RE, 1),
-    )
+    canonical = _canonical_url(_synth_url())
     return (
         d.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")

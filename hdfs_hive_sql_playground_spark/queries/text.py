@@ -12,13 +12,17 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
 from hdfs_hive_sql_playground_spark.queries.dedup import (
+    _CANONICAL_URL_SQL,
+    _SYNTH_URL_SQL,
+    _canonical_url,
     _shingle_hash48,
     _shingle_hash48_sql,
+    _synth_url,
     _token_hash32,
     _words,
 )
@@ -1606,13 +1610,10 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q142 HTML boilerplate stripping (the extraction stage before any text op)
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "q142_html_boilerplate_strip",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+# Synthesized page markup + the visible-text extraction, shared by q142 and
+# q143's extract stage (SQL fragment and Column builder side by side so the
+# two engines — and the two queries — can never drift).
+_SYNTH_HTML_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
                || '</title><style>p{margin:0}</style></head><body>'
                || '<nav><a href="/home">Home</a><a href="/about">About</a>'
                || CASE WHEN doc_id % 2 = 0
@@ -1620,18 +1621,62 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                || '</nav><p>' || text || '</p>'
                || CASE WHEN doc_id % 3 = 0
                        THEN '<script>var trk=1;</script>' ELSE '' END
-               || '<footer><a href="/terms">Terms</a></footer></body></html>'
-               AS html
-      FROM documents
-    ),
-    v AS (
-      SELECT doc_id, html,
-             trim(regexp_replace(regexp_replace(regexp_replace(
+               || '<footer><a href="/terms">Terms</a></footer></body></html>'"""
+
+_VISIBLE_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
                     regexp_replace(html,
                       '<script[^>]*>.*?</script>', '', 'g'),
                       '<style[^>]*>.*?</style>', '', 'g'),
                       '<[^>]*>', ' ', 'g'),
-                      ' +', ' ', 'g')) AS visible
+                      ' +', ' ', 'g'))"""
+
+
+def _synth_html() -> Column:
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit('<nav><a href="/home">Home</a><a href="/about">About</a>'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit('<a href="/more">More</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</nav><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<script>var trk=1;</script>")).otherwise(
+            F.lit("")
+        ),
+        F.lit('<footer><a href="/terms">Terms</a></footer></body></html>'),
+    )
+
+
+def _visible_text(html: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(html, "<script[^>]*>.*?</script>", ""),
+                    "<style[^>]*>.*?</style>",
+                    "",
+                ),
+                "<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
+@register(
+    "q142_html_boilerplate_strip",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_SYNTH_HTML_SQL} AS html
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, html, {_VISIBLE_SQL} AS visible
       FROM h
     )
     SELECT doc_id,
@@ -1661,39 +1706,8 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q142_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</title><style>p{margin:0}</style></head><body>"),
-        F.lit('<nav><a href="/home">Home</a><a href="/about">About</a>'),
-        F.when(F.col("doc_id") % 2 == 0, F.lit('<a href="/more">More</a>')).otherwise(
-            F.lit("")
-        ),
-        F.lit("</nav><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("<script>var trk=1;</script>")).otherwise(
-            F.lit("")
-        ),
-        F.lit('<footer><a href="/terms">Terms</a></footer></body></html>'),
-    )
-    h = d.select("doc_id", html.alias("html"))
-    visible = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("html"), "<script[^>]*>.*?</script>", ""),
-                    "<style[^>]*>.*?</style>",
-                    "",
-                ),
-                "<[^>]*>",
-                " ",
-            ),
-            " +",
-            " ",
-        )
-    )
-    v = h.select("doc_id", "html", visible.alias("visible"))
+    h = d.select("doc_id", _synth_html().alias("html"))
+    v = h.select("doc_id", "html", _visible_text(F.col("html")).alias("visible"))
     return v.select(
         "doc_id",
         F.length("html").cast("bigint").alias("raw_chars"),
@@ -1709,3 +1723,100 @@ def q142_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("markup_ratio_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 crawl front-half pipeline (extract -> URL dedup -> exact dedup ->
+# quality gate) with per-document stage attribution
+# ---------------------------------------------------------------------------
+
+CRAWL_MIN_WORDS = 25  # quality gate: main-content word floor
+CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
+
+
+@register(
+    "q143_crawl_front_pipeline",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text, source, {_SYNTH_URL_SQL} AS url
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             {_CANONICAL_URL_SQL} AS canonical_url,
+             md5(lower(trim(text))) AS h,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+               AS n_words,
+             CAST((length(lower(trim(text)))
+                   - (len(string_split(lower(trim(text)), ' ')) - 1))
+                  // len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+               AS mw_chars
+      FROM raw
+    ),
+    u AS (SELECT canonical_url, MIN(doc_id) AS keeper FROM base GROUP BY 1),
+    surv AS (
+      SELECT b.* FROM base b JOIN u USING (canonical_url)
+      WHERE b.doc_id = u.keeper
+    ),
+    e AS (SELECT h, MIN(doc_id) AS first_doc FROM surv GROUP BY 1)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id <> u.keeper THEN 'url_dup'
+                WHEN b.doc_id <> e.first_doc THEN 'exact_dup'
+                WHEN b.n_words < {CRAWL_MIN_WORDS}
+                     OR b.mw_chars < {CRAWL_MIN_WCHARS} THEN 'low_quality'
+                ELSE 'kept' END AS stage,
+           b.n_words, b.mw_chars
+    FROM base b JOIN u USING (canonical_url) LEFT JOIN e USING (h)
+    """,
+    doc="The crawl front half as ONE oracle-checked operator — extract "
+    "(q142's synthesized markup, main content = the <p> payload), "
+    "canonical-URL keep-first (q140's construction), exact content dedup "
+    "among URL survivors (q80's hash), then a Gopher-lite quality gate "
+    f"(>= {CRAWL_MIN_WORDS} words, mean word length >= "
+    f"{CRAWL_MIN_WCHARS}) — emitting a per-document STAGE ATTRIBUTION "
+    "('url_dup' / 'exact_dup' / 'low_quality' / 'kept'), the audit "
+    "artifact a production pipeline keeps for every removal decision. "
+    "Composition order follows DEPLOYMENT_100TB §8: each stage sees only "
+    "the prior stage's survivors, so the expensive stages read the "
+    "smallest possible input. Scale shape: ALL per-document signals "
+    "(canonical URL, content hash, word stats) are computed in one "
+    "map-side projection before any exchange — exchanges carry only "
+    "(doc_id, short-key, two ints); the keep-first aggregations key on "
+    "the canonical string and the 16-byte hash; join strategies stay "
+    "stats-picked (§7). Document text never enters an Exchange. On this "
+    "all-unique synthetic corpus the exact_dup stage is honestly empty — "
+    "the URL stage (~3.5x collapse) and the quality gate do the cutting.",
+)
+def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    nw = F.size(F.split(norm, " ")).cast("bigint")
+    base = d.select(
+        "doc_id",
+        _canonical_url(_synth_url()).alias("canonical_url"),
+        F.md5(norm).alias("h"),
+        nw.alias("n_words"),
+        F.expr(
+            "(length(lower(trim(text)))"
+            " - (size(split(lower(trim(text)), ' ')) - 1))"
+            " div size(split(lower(trim(text)), ' '))"
+        )
+        .cast("bigint")
+        .alias("mw_chars"),
+    )
+    u = base.groupBy("canonical_url").agg(F.min("doc_id").alias("keeper"))
+    b2 = base.join(u, "canonical_url")
+    surv = b2.filter(F.col("doc_id") == F.col("keeper"))
+    e = surv.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    b3 = b2.join(e, "h", "left")
+    stage = (
+        F.when(F.col("doc_id") != F.col("keeper"), "url_dup")
+        .when(F.col("doc_id") != F.col("first_doc"), "exact_dup")
+        .when(
+            (F.col("n_words") < CRAWL_MIN_WORDS)
+            | (F.col("mw_chars") < CRAWL_MIN_WCHARS),
+            "low_quality",
+        )
+        .otherwise("kept")
+    )
+    return b3.select("doc_id", stage.alias("stage"), "n_words", "mw_chars")

@@ -734,6 +734,21 @@ def test_q142_html_strip_zero_shuffle(spark, sf_dir):
     assert plans.count_exchanges(df) == 0, plans.executed_plan(df)
 
 
+def test_q143_pipeline_signals_computed_before_any_exchange(spark, sf_dir):
+    """Crawl front-half: every per-document signal (canonical URL, content
+    hash, word stats) is projected map-side BEFORE any exchange — hash
+    exchanges carry only the canonical string / md5 / doc_id keys, never
+    the text column, and there is no cartesian or window anywhere."""
+    df = SPECS["q143_crawl_front_pipeline"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert "Window" not in p, p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert re.search(r"hashpartitioning\((canonical_url|h|doc_id)#", ln), ln
+    _assert_no_full_text_in_exchange("q143_crawl_front_pipeline", p)
+
+
 def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
     """q85/q86/q97 per-query top-k: the row_number + rnk <= k filter must
     plan a PARTIAL WindowGroupLimit below the exchange — each map task
