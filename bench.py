@@ -263,6 +263,10 @@ DOC_TREND_QUERIES = (
     # token stream never shuffles for it, and both the bucket agg and the
     # per-doc rollup are linear in tokens: the x8 slope should be ~linear
     "q141_target_affinity_select",
+    # composed front-half: one map-side signal projection + two keep-first
+    # aggs + two short-key joins, every stage linear in docs — the x8
+    # slope measures that composition stays linear, not just the parts
+    "q143_crawl_front_pipeline",
     # q124 keeps N_CELLS fixed while the x8 fixture packs each cell 8x
     # fuller, so the within-cell pair stage grows ~64x by construction —
     # the measured ratio documents the sum-cell^2 law the docstring claims;

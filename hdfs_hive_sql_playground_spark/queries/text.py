@@ -1786,6 +1786,7 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     "stats-picked (§7). Document text never enters an Exchange. On this "
     "all-unique synthetic corpus the exact_dup stage is honestly empty — "
     "the URL stage (~3.5x collapse) and the quality gate do the cutting.",
+    bench=True,
 )
 def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -173,3 +173,40 @@ def test_q139_no_neardup_pair_straddles_splits(spark, sf_dir):
         .join(out.filter(F.col("group_id") == F.col("doc_id")), "doc_id")
     )
     assert j.filter(F.col("split") != F.col("doc_split")).count() == 0
+
+
+def test_url_canonicalizer_collapses_every_noise_variant(spark):
+    """q140/q143's canonicalizer, exercised against a WIDER noise grid
+    than the synthesized fixture: for each logical page (host, path, id),
+    every combination of host case, trailing slash, utm-param placement
+    and count, and fragment presence must canonicalize to exactly the one
+    expected string — so URL dedup's group count equals the logical page
+    count regardless of which noise the crawl happened to record."""
+    import itertools
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+
+    pages = [("WWW.News.Example.COM", "/a/b", "7"), ("blog.example.org", "/p", "42")]
+    rows = []
+    for (host, path, pid), casing, slash, utm_pos, frag in itertools.product(
+        pages,
+        ("upper", "lower", "mixed"),
+        ("", "/"),
+        ("before", "after", "both", "none"),
+        ("", "#frag"),
+    ):
+        h = {"upper": host.upper(), "lower": host.lower(), "mixed": host}[casing]
+        q = {
+            "before": f"utm_source=x&id={pid}",
+            "after": f"id={pid}&utm_campaign=y",
+            "both": f"utm_source=x&id={pid}&utm_medium=z",
+            "none": f"id={pid}",
+        }[utm_pos]
+        expected = f"https://{host.lower()}{path}?id={pid}"
+        rows.append((f"https://{h}{path}{slash}?{q}{frag}", expected))
+
+    df = spark.createDataFrame(rows, "url string, expected string").select(
+        _canonical_url(F.col("url")).alias("canonical"), "expected"
+    )
+    mismatches = df.filter(F.col("canonical") != F.col("expected")).collect()
+    assert not mismatches, mismatches[:5]
