@@ -15,6 +15,8 @@ handling. Three operators:
   for operators Spark lacks natively,
 - ``dedup_events`` — watermark-bounded streaming exact dedup
   (``dropDuplicatesWithinWatermark``), the streaming dual of q80,
+- ``dedup_crawl_frontier`` — canonical-URL keep-first over a fetch
+  stream (the streaming dual of q140, same shared canonicalizer),
 - ``export_stream_jdbc`` — continuous JDBC export via ``foreachBatch``
   over the same batched-INSERT path as the batch Sqoop-analog sink (A19).
 
@@ -173,6 +175,24 @@ def dedup_events(events: DataFrame, *keys: str) -> DataFrame:
     window) regardless of total stream length — the 100 TB/day property."""
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         list(keys) or ["event_id"]
+    )
+
+
+def dedup_crawl_frontier(fetches: DataFrame, url_col: str = "url") -> DataFrame:
+    """Streaming canonical-URL dedup — the streaming dual of q140 and the
+    shape a live crawl frontier actually runs: each fetch row's URL is
+    canonicalized (same shared builder as the batch operator, so the two
+    can never drift) and ``dropDuplicatesWithinWatermark`` keeps the first
+    fetch per canonical page. State is keyed on the short canonical string
+    and watermark-bounded, so it holds O(pages per watermark window)
+    however long the crawl runs; a re-fetch after the window re-admits the
+    page, which is frontier semantics — recrawl policy lives upstream."""
+    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+
+    return (
+        fetches.withColumn("canonical_url", _canonical_url(F.col(url_col)))
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
     )
 
 

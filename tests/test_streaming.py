@@ -314,3 +314,43 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     )
     assert sink.count() == want
     assert want > 0  # non-vacuous: the corpus must actually produce matches
+
+
+def test_streaming_crawl_frontier_url_dedup(spark, tmp_path):
+    """Fetches of the same logical page under URL noise (host case,
+    trailing slash, utm placement, fragment) inside the watermark must
+    collapse to one row per canonical page — the streaming dual of q140
+    over the shared canonicalizer."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for page in range(10):
+        for i, (host, slash, q, frag) in enumerate(
+            [
+                ("www.example.com", "", f"id={page}", ""),
+                ("WWW.Example.COM", "/", f"utm_source=x&id={page}", "#top"),
+                ("www.EXAMPLE.com", "", f"id={page}&utm_campaign=y", ""),
+            ]
+        ):
+            rows.append(
+                (
+                    f"https://{host}/p/{page}{slash}?{q}{frag}",
+                    t0 + datetime.timedelta(seconds=60 * page + i),
+                )
+            )
+    src = str(tmp_path / "fetches")
+    spark.createDataFrame(rows, "url string, ts timestamp").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    fetches = (
+        spark.readStream.schema("url string, ts timestamp").parquet(src)
+    )
+    sink = streaming.run_to_memory(
+        streaming.dedup_crawl_frontier(fetches), "t_frontier", output_mode="append"
+    )
+    got = sink.select("canonical_url").collect()
+    assert len(got) == 10, got
+    assert {r.canonical_url for r in got} == {
+        f"https://www.example.com/p/{p}?id={p}" for p in range(10)
+    }
