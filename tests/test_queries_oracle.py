@@ -43,3 +43,19 @@ def test_driver_window_composition():
     assert len(set(DRIVER_PRIORITY)) == 50
     unknown = [n for n in DRIVER_PRIORITY if n not in SPECS]
     assert unknown == [], unknown
+
+
+def test_compare_rejects_wrong_results(spark, sf_dir):
+    """The gate must be able to FAIL: value, column-name and row-count
+    mismatches each produce ok=False (a comparator that cannot reject is
+    indistinguishable from one that isn't checking)."""
+    df = spark.sql("SELECT CAST(1 AS BIGINT) AS x")
+    assert compare("meta_ok", df, "SELECT CAST(1 AS BIGINT) AS x", sf_dir).ok
+    assert not compare("meta_value", df, "SELECT CAST(2 AS BIGINT) AS x", sf_dir).ok
+    assert not compare("meta_schema", df, "SELECT CAST(1 AS BIGINT) AS y", sf_dir).ok
+    assert not compare(
+        "meta_rows",
+        df,
+        "SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT CAST(1 AS BIGINT)",
+        sf_dir,
+    ).ok
