@@ -26,6 +26,8 @@ operating point.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -864,6 +866,17 @@ def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEG_WORDS = 8  # fixed-width word segments (the chunked exact-substring unit)
 
+# q136: the per-affected-document removal list is broadcast to the rewrite
+# join only while the CORPUS document count stays under this cap — the
+# removal list has at most one row per document, so the corpus count is a
+# driver-side upper bound that costs one parquet-metadata count, no extra
+# pipeline pass, and no persist. Past the cap (any real crawl) the rewrite
+# is a doc_id shuffle-hash equi-join whose one text exchange is the same
+# corpus-bytes cost Lee et al.'s rewrite pays; a boilerplate-heavy corpus
+# can never OOM the driver because the strategy never depends on the
+# (corpus-proportional) duplicated-segment count.
+REWRITE_BCAST_CAP = int(os.environ.get("SPARK_GRAFT_REWRITE_BCAST_CAP", "1000000"))
+
 
 @register(
     "q136_segment_dedup_rewrite",
@@ -922,11 +935,16 @@ SEG_WORDS = 8  # fixed-width word segments (the chunked exact-substring unit)
     "shuffles — segments hash map-side, the first-occurrence aggregation "
     "exchanges (hash, doc_id, pos) rows, the removal list aggregates to "
     "one (doc_id, sorted positions) row per AFFECTED document, and the "
-    "rewrite is a map-side broadcast join back to the documents scan "
-    "(array filter by position index, no second explode). The broadcast "
-    "is bounded by the duplicated-segment count; a corpus past that bound "
-    "swaps the broadcast for a doc_id equi-join whose one text exchange "
-    "is the same corpus-bytes cost Lee et al.'s rewrite pays.",
+    "rewrite joins it back to the documents scan by doc_id (array filter "
+    "by position index, no second explode). The rewrite-join strategy is "
+    "picked IN CODE from one driver-side bounded statistic (q124's "
+    "pattern): the corpus document count — a parquet-metadata count that "
+    "upper-bounds the removal list at one row per document — broadcasts "
+    "while under REWRITE_BCAST_CAP, and past it (any real crawl, however "
+    "boilerplate-heavy) switches to a shuffle_hash doc_id equi-join whose "
+    "one text exchange is the same corpus-bytes cost Lee et al.'s rewrite "
+    "pays. The driver can never be asked to hold a corpus-proportional "
+    "HashedRelation. Both shapes are plan-asserted (test_plans.py).",
     bench=True,
 )
 def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,8 +983,15 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
     kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(rm, i))
+    # Strategy pick (see REWRITE_BCAST_CAP above): the corpus doc count is
+    # a metadata-cheap upper bound on |removals| — broadcast only while the
+    # WHOLE corpus would fit, never trusting the duplicated-segment rate.
+    if d.count() <= REWRITE_BCAST_CAP:
+        rewrite = d.join(F.broadcast(removals), "doc_id", "left")
+    else:
+        rewrite = d.join(removals.hint("shuffle_hash"), "doc_id", "left")
     return (
-        d.join(F.broadcast(removals), "doc_id", "left")
+        rewrite
         .select(
             "doc_id",
             nseg.cast("bigint").alias("n_segments"),

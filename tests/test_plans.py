@@ -610,10 +610,11 @@ def test_q133_q134_hof_zero_shuffle(spark, sf_dir):
 
 
 def test_q136_rewrite_join_broadcasts_and_text_never_shuffles(spark, sf_dir):
-    """Segment-dedup rewrite: segments hash map-side (only (hash, doc_id,
-    pos) rows reach the first-occurrence exchange), the removal list
-    joins back to the documents scan as a doc_id broadcast, and the
-    document text never enters any Exchange."""
+    """Segment-dedup rewrite, small-corpus shape: the driver-side doc
+    count sits under REWRITE_BCAST_CAP, so the removal list joins back to
+    the documents scan as a doc_id broadcast — segments hash map-side
+    (only (hash, doc_id, pos) rows reach the first-occurrence exchange)
+    and the document text never enters any Exchange."""
     df = SPECS["q136_segment_dedup_rewrite"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
     plans.assert_no_cartesian(df)
@@ -625,6 +626,33 @@ def test_q136_rewrite_join_broadcasts_and_text_never_shuffles(spark, sf_dir):
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[h#", p
     ), p
     _assert_no_full_text_in_exchange("q136_segment_dedup_rewrite", p)
+
+
+def test_q136_past_cap_rewrite_is_shuffled_doc_id_equi_join(spark, sf_dir):
+    """Force the corpus count past REWRITE_BCAST_CAP: the rewrite must
+    switch to the shuffle_hash doc_id equi-join — no broadcast of the
+    (corpus-proportional) removal list anywhere, so the driver never
+    builds a corpus-sized HashedRelation. The one text exchange this shape
+    pays is the documented Lee-et-al rewrite cost, so the full-text
+    invariant is intentionally NOT asserted here. Values must be identical
+    to the broadcast shape."""
+    import hdfs_hive_sql_playground_spark.queries.dedup as dd
+
+    baseline = sorted(
+        map(tuple, SPECS["q136_segment_dedup_rewrite"].fn(spark, sf_dir).collect())
+    )
+    orig = dd.REWRITE_BCAST_CAP
+    dd.REWRITE_BCAST_CAP = 0
+    try:
+        df = SPECS["q136_segment_dedup_rewrite"].fn(spark, sf_dir)
+        p = plans.executed_plan(df)
+        plans.assert_no_cartesian(df)
+        assert re.search(r"ShuffledHashJoin \[doc_id#\d+L?\]", p), p
+        # the removal list must not be broadcast in this shape
+        assert not re.search(r"BroadcastHashJoin \[doc_id#\d+L?\]", p), p
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        dd.REWRITE_BCAST_CAP = orig
 
 
 def test_q135_recursion_is_bounded_union_loop(spark, sf_dir):
