@@ -35,99 +35,83 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  This round-6 window front-loads (a) every round-3-
-# vintage green — 3 rounds old now, the stalest hash-checked rows in the
-# registry (all 35 oracle-eligible ones; q06_approx_distinct stays out:
-# its driver row is rows-only by design and q06b hash-pins the estimate)
-# — then (b) the three queries whose implementation changed this round
-# (q124's hot-cell sharding, q128's DECIMAL moment sums, q99's persisted
-# quota input), and (c) round-4-vintage greens whose surrounding code
-# changed since r4 (the m33 family over the rewritten wholetext guard;
-# formats/sinks/jdbc round-trips; exact dedup next to this round's dedup
-# docstring edits) plus the stalest warehouse row.
+# insertion order.  This round-7 window executes the rotation round 6
+# committed to: (a) ALL 44 round-4-vintage greens — 3 rounds stale at r7,
+# the oldest hash-checked rows in the registry (the m33 scan/LIMIT family,
+# the ORC/JSON/CSV/bucketed format round-trips, exact dedup, the LSH/
+# Jaccard/SimHash family, warehouse MERGE/SCD2, the TPC-H agg family
+# q01-q05, lateral views, multimodal, PII, spans, and the r4 window/
+# sampling rows) — then (b) the two queries whose implementation changed
+# this round (q136's rewrite-join strategy pick; q143's extract stage now
+# actually executed), then (c) backfill with the four stalest r5 rows.
 #
-# Rotation discipline for future rounds: replace the window with whichever
-# queries still lack a fresh driver row, backfilling with the stalest
-# previously-proven greens; registry (134) > 2x window, so the cycle is
-# ~2.7 rounds — report vintage honestly, keep the local oracle gate (all
-# queries, every round) green regardless.  Round 7 must lead with the
-# round-4-vintage greens this window could not fit (they turn 3 rounds
-# old at r7 — the 36 original ones plus q75_orc/q76_json, displaced below
-# by the q137/q138 debuts), then backfill with the stalest r5 rows.
+# Rotation discipline (standing): lead each round with the queries whose
+# last driver row is oldest, plus every query whose code changed that
+# round; backfill to 50 with the stalest remaining greens; registry (142)
+# > 2x window, so the full cycle is ~3 rounds — report vintage honestly,
+# and keep the local oracle gate (ALL queries, every round,
+# tests/test_queries_oracle.py) green regardless.  After this window the
+# stalest rows are the 46 r5-vintage greens (q06b/q07/q08/q09, the events
+# family q61-q68, the join family q13-q18, the r5 function/HOF/recursive
+# rows, q94/q112/q115...), which must lead round 8, backfilled with the
+# r6 rows that debuted earliest.  Run scripts/preflight_window.py before
+# every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-3-vintage greens: windows/sort/set-ops/scalar funcs...
-    "q22_lead_lag",
-    "q23_ntile_first_last",
-    "q24_range_frame_window",
-    "q30_topk_orders",
-    "q31_set_ops",
-    "q32_distribute_cluster_by",
-    "q33_set_ops_all",
-    "q40_string_funcs",
-    "q41_split_array_cast",
-    "q42_conditional",
-    "q43_math_funcs",
-    "q44_date_funcs",
-    "q45_field_function",
-    "q46_array_map_funcs",
-    "q47_json_tuple",
-    "q48_date_arithmetic",
-    "q49_string_padding",
-    "q50_explode_tokens",
-    "q51_scalar_subquery",
-    "q52_correlated_exists",
-    "q53_in_subquery",
-    # ...ANN/similarity (q84/q86 also sit on this round's N_CELLS knob)...
-    "q84_embedding_neardup_cells",
-    "q85_ann_bruteforce_topk",
-    "q86_ivf_ann_topk",
-    "q87_neardup_components",
-    "q89_embedding_quantize",
-    "q97_ann_pandas_topk",
-    "q98_simhash_banded_neardup",
-    # ...and text analysis
-    "q88_tfidf_top_terms",
-    "q90_language_id",
-    "q91_quality_score",
-    "q92_token_count",
-    "q93_fingerprint",
-    "q95_multimodal_features",
-    "q100_bigram_topk",
-    # (b) implementation changed this round
-    "q124_semdedup_prune",
-    "q128_stats_aggregates",
-    "q99_curation_pipeline",
-    # (c) r4-vintage greens whose surrounding code changed since
-    "q71_m33_schem_agg",
-    "q73_m33_ctas_roundtrip",
-    "q74_m33_jdbc_export_roundtrip",
-    "q110_range_layout_scan",
-    # (d) late-round debuts: every new operator takes a window slot
-    # immediately. q136 took q101_merge_upsert's (unchanged since r4);
-    # q137/q138 took q75_orc/q76_json's — the sink/format family keeps
-    # fresh coverage via q73 (text CTAS), q77 (CSV nulls) and q110 (range
-    # layout), while ORC/JSON round-trips are untouched-since-r4 paths —
-    # and q139 took q78_bucketed_join's (join family refreshed r5 via
-    # q13-q18; q78's no-shuffle shape stays locally pinned by
-    # test_bucketed_join_no_shuffle). q140 took q72_m33_limit_fetch's —
-    # the m33 family keeps four fresher slots (q70/q71/q73/q74) over the
-    # same rewritten wholetext guard, and the LIMIT-fetch path is also
-    # exercised by q72's local oracle row. q141 took q80_exact_dedup's:
-    # q80 is r5-green with code unchanged since, and bench.py re-runs it
-    # (rows + timing) every round anyway. q142 took q77_csv_roundtrip's:
-    # sinks code is unchanged in r6 and the CSV empty-string/null
-    # round-trip stays pinned by tests/test_m33_pipeline.py. q143 took
-    # q70_m33_schem_view's: q71 exercises the same schema-view path plus
-    # its aggregation, so the view family keeps a fresh slot.
-    # q70/q72/q75/q76/q77/q78/q80/q101 lead r7's rotation.
+    # (a) all 44 r4-vintage greens, m33/format/dedup families first
+    "q70_m33_schem_view",
+    "q72_m33_limit_fetch",
+    "q75_orc_roundtrip",
+    "q76_json_roundtrip",
+    "q77_csv_roundtrip",
+    "q78_bucketed_join",
+    "q80_exact_dedup",
+    "q101_merge_upsert",
+    "q102_scd2_build",
+    "q81_minhash_lsh_neardup",
+    "q82_ngram_jaccard_pairs",
+    "q83_simhash",
+    "q103_srp_lsh_neardup",
+    "q104_heavy_hitters",
+    "q105_dup_ngram_spans",
+    "q106_repetition_signals",
+    "q107_frame_sample",
+    "q108_decontaminate",
+    "q109_incremental_dedup",
+    "q111_grouped_map_demean",
+    "q113_collapse_repeats",
+    "q114_pii_redact",
+    "q116_canonical_per_cluster",
+    "q96_multimodal_meta_agg",
+    "q01_pricing_summary",
+    "q02_distinct_agg",
+    "q03_rollup",
+    "q04_cube",
+    "q05_grouping_sets",
+    "q10_join_chain_revenue",
+    "q11_broadcast_dim_join",
+    "q12_region_revenue",
+    "q24_percent_rank_cume_dist",
+    "q25_ignore_nulls_window",
+    "q33_pivot_status",
+    "q34_unpivot_stack",
+    "q35_hash_sample",
+    "q36_collect_agg",
+    "q37_global_sales_opportunity",
+    "q38_nth_value_window",
+    "q39_null_ordering",
+    "q54_cte_multi_ref",
+    "q57_script_transform",
+    "q58_posexplode_lateral",
+    # (b) implementation changed this round: q136's rewrite join is now
+    # stats-picked (broadcast under REWRITE_BCAST_CAP, shuffle_hash past
+    # it); q143 now executes the HTML-extract stage on both engines.
     "q136_segment_dedup_rewrite",
-    "q137_kmeans_refine",
-    "q138_weighted_sample",
-    "q139_leakage_safe_split",
-    "q140_url_canonical_dedup",
-    "q141_target_affinity_select",
-    "q142_html_boilerplate_strip",
     "q143_crawl_front_pipeline",
+    # (c) backfill: stalest r5 rows
+    "q06b_hll_exact_check",
+    "q07_exact_percentiles",
+    "q08_salted_agg",
+    "q09_pandas_udf_scalar",
 )
 
 

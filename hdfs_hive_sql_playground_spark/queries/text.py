@@ -1738,20 +1738,25 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     "q143_crawl_front_pipeline",
     oracle=f"""
     WITH raw AS (
-      SELECT doc_id, text, source, {_SYNTH_URL_SQL} AS url
+      SELECT doc_id, {_SYNTH_URL_SQL} AS url, {_SYNTH_HTML_SQL} AS html
       FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, url,
+             regexp_extract(html, '<p>(.*)</p>', 1) AS content
+      FROM raw
     ),
     base AS (
       SELECT doc_id,
              {_CANONICAL_URL_SQL} AS canonical_url,
-             md5(lower(trim(text))) AS h,
-             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+             md5(lower(trim(content))) AS h,
+             CAST(len(string_split(lower(trim(content)), ' ')) AS BIGINT)
                AS n_words,
-             CAST((length(lower(trim(text)))
-                   - (len(string_split(lower(trim(text)), ' ')) - 1))
-                  // len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+             CAST((length(lower(trim(content)))
+                   - (len(string_split(lower(trim(content)), ' ')) - 1))
+                  // len(string_split(lower(trim(content)), ' ')) AS BIGINT)
                AS mw_chars
-      FROM raw
+      FROM ex
     ),
     u AS (SELECT canonical_url, MIN(doc_id) AS keeper FROM base GROUP BY 1),
     surv AS (
@@ -1769,8 +1774,11 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     FROM base b JOIN u USING (canonical_url) LEFT JOIN e USING (h)
     """,
     doc="The crawl front half as ONE oracle-checked operator — extract "
-    "(q142's synthesized markup, main content = the <p> payload), "
-    "canonical-URL keep-first (q140's construction), exact content dedup "
+    "(EXECUTED in-plan on both engines: q142's shared synthesized-markup "
+    "builder, main content recovered from the <p> payload by one JVM "
+    "regex, and every downstream signal computed from the extraction "
+    "output), canonical-URL keep-first (q140's construction), exact "
+    "content dedup "
     "among URL survivors (q80's hash), then a Gopher-lite quality gate "
     f"(>= {CRAWL_MIN_WORDS} words, mean word length >= "
     f"{CRAWL_MIN_WCHARS}) — emitting a per-document STAGE ATTRIBUTION "
@@ -1790,17 +1798,31 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
 )
 def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
-    nw = F.size(F.split(norm, " ")).cast("bigint")
-    base = d.select(
+    # Stage 1, EXECUTED in-plan: main-content extraction from the page
+    # markup (q142's shared synthesized-HTML builder; main content is the
+    # <p> payload, recovered by one JVM regex). Every downstream signal —
+    # content hash, word stats — is computed from the EXTRACTED content,
+    # so the composed pipeline genuinely starts from markup on both
+    # engines. The two projections stay uncollapsed (the extracted column
+    # is referenced by several consumers), so the regex runs once per row;
+    # __content never survives past this map-side stage, so no full-text
+    # attribute can reach an Exchange (plan-asserted).
+    ex = d.select(
         "doc_id",
         _canonical_url(_synth_url()).alias("canonical_url"),
+        F.regexp_extract(_synth_html(), "<p>(.*)</p>", 1).alias("__content"),
+    )
+    norm = F.lower(F.trim(F.col("__content")))
+    nw = F.size(F.split(norm, " ")).cast("bigint")
+    base = ex.select(
+        "doc_id",
+        "canonical_url",
         F.md5(norm).alias("h"),
         nw.alias("n_words"),
         F.expr(
-            "(length(lower(trim(text)))"
-            " - (size(split(lower(trim(text)), ' ')) - 1))"
-            " div size(split(lower(trim(text)), ' '))"
+            "(length(lower(trim(__content)))"
+            " - (size(split(lower(trim(__content)), ' ')) - 1))"
+            " div size(split(lower(trim(__content)), ' '))"
         )
         .cast("bigint")
         .alias("mw_chars"),

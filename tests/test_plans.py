@@ -47,7 +47,7 @@ def test_q80_dedup_single_exchange(spark, sf_dir):
 # bare "t#" substring would false-positive on e.g. c_mktsegment#13364).
 import re
 
-FULL_TEXT_ATTRS = ("text", "t", "cleaned_text", "redacted")
+FULL_TEXT_ATTRS = ("text", "t", "cleaned_text", "redacted", "__content")
 _FULL_TEXT_RE = re.compile(
     r"(?<![A-Za-z0-9_])(?:" + "|".join(FULL_TEXT_ATTRS) + r")#\d"
 )
