@@ -188,15 +188,31 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
     from hdfs_hive_sql_playground_spark.sinks import ctas_text, read_text_table
     from hdfs_hive_sql_playground_spark.sources.jdbc import export_jdbc, read_jdbc
 
+    # x1 ratio base measured in THIS JVM with the identical protocol
+    # (untimed full warm pass, then min-of-2), so the CTAS slope compares
+    # warm-to-warm inside ONE environment — when this function runs in the
+    # fresh trend subprocess (the default path, see
+    # _bench_m33_trend_subprocess), the parent session's headline x1 would
+    # be a cross-JVM base and the ratio would mix engine slope with
+    # session state.
+    base_dir = _ensure_m33_at(1)
+    m33_schem(spark, base_dir).count()
+    base = float("inf")
+    for _ in range(2):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        ctas_text(m33_schem(spark, base_dir), "m33_bench_trend_base")
+        base = min(base, round(time.perf_counter() - t0, 4))
+    timings["trend_m33_ctas_x1"] = base
+
     ctas_dir = _ensure_m33_at(CTAS_TREND_SCALE)
-    # Same steady-state protocol as the x1 headline (untimed full pass
-    # first): the ratio must compare warm-to-warm, not cold-to-warm.
     m33_schem(spark, ctas_dir).count()
-    # min-of-2 (same discipline as the doc/skew trend legs): this leg runs
-    # LAST in the session, where JIT/code-cache state is at the mercy of
-    # everything before it — a single-shot measure has been observed to
-    # report 2.5x the steady-state wall with zero plan change. Trends are
-    # excluded from the wall total, so the retry costs nothing reported.
+    # min-of-2 (same discipline as the doc/skew trend legs): a single-shot
+    # measure pays the warm count pass's old-gen debt — the x10 wholetext
+    # count parks ~9.5 GB of file-string garbage in old gen and the first
+    # timed draw absorbs the mixed collections (measured 17.8 s first draw
+    # vs 7.1-7.4 s for every later draw in a fresh JVM;
+    # scripts/diag_ctas_x10.py).
     wall = float("inf")
     for _ in range(2):
         _quiesce(spark)
@@ -204,7 +220,6 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
         ctas_text(m33_schem(spark, ctas_dir), "m33_bench_trend")
         wall = min(wall, round(time.perf_counter() - t0, 4))
     timings[f"trend_m33_ctas_x{CTAS_TREND_SCALE}"] = wall
-    base = timings.get("m33_ctas_2800k")
     if base:
         timings[f"trend_ctas_x{CTAS_TREND_SCALE}_over_x1_ratio"] = round(
             wall / base, 3
@@ -236,6 +251,55 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
             wall / base, 3
         )
     _drop_derby_memory(spark, "m33trend")
+
+
+def _bench_m33_trend_subprocess(timings: dict[str, float]) -> None:
+    """Run the m33 trend legs in a FRESH subprocess JVM.
+
+    Round 6's trend_m33_ctas_x10 tripled (9.3 s -> 28.0 s) with zero plan
+    change: the leg ran LAST in a session whose history (the full benched
+    registry + doc/skew trend fixtures) left the 16 GB heap loaded, and
+    the x10 wholetext warm pass adds ~9.5 GB of file-string garbage on
+    top, so BOTH min-of-2 draws paid mixed GC collections
+    (scripts/diag_ctas_x10.py: fresh JVM 7.1-7.4 s steady-state vs ~3-4x
+    that after replicated session history). Scale-slope legs must measure
+    the ENGINE, not the session's heap history — so they get their own
+    JVM. The export base (x1 headline, target-bound Derby) is passed down
+    for the x2 ratio; the CTAS base is re-measured inside the subprocess
+    (warm-to-warm, one environment)."""
+    import subprocess
+
+    env = dict(os.environ)
+    export_base = timings.get("m33_jdbc_export_2800k")
+    if export_base:
+        env["SPARK_GRAFT_EXPORT_TREND_BASE"] = str(export_base)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--m33-trend-only"],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    line = next(
+        (
+            ln
+            for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{")
+        ),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        # Degrade honestly: report the legs from this session rather than
+        # dropping them, and say so on stderr.
+        print(
+            "m33 trend subprocess failed; falling back to in-session "
+            f"measurement\n{proc.stderr[-2000:]}",
+            file=sys.stderr,
+        )
+        from hdfs_hive_sql_playground_spark.session import get_spark
+
+        _bench_m33_trend(get_spark(app_name="bench"), timings)
+        return
+    timings.update(json.loads(line))
 
 
 # Corpus scale trend: the testdata documents/embeddings tables grow only at
@@ -488,6 +552,21 @@ def main() -> None:
     # (measured: 39-41 s in a quiet JVM vs ~52 s in a loaded one). 16g
     # keeps the export measuring the sink, not the collector.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+    # Child mode of _bench_m33_trend_subprocess: a fresh JVM that runs
+    # ONLY the m33 trend legs and prints them as one JSON dict.
+    if "--m33-trend-only" in sys.argv:
+        spark = get_spark(app_name="bench-m33-trend")
+        t: dict[str, float] = {}
+        export_base = os.environ.get("SPARK_GRAFT_EXPORT_TREND_BASE")
+        if export_base:
+            t["m33_jdbc_export_2800k"] = float(export_base)
+        _bench_m33_trend(spark, t)
+        t.pop("m33_jdbc_export_2800k", None)  # parent's headline, not ours
+        print(json.dumps(t))
+        spark.stop()
+        return
+
     spark = get_spark(app_name="bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
     run_m33 = os.environ.get("SPARK_GRAFT_SKIP_M33_BENCH") != "1"
@@ -558,12 +637,14 @@ def main() -> None:
         timings[name] = wall
 
     # Scale-trend sections last: they are slope evidence, excluded from the
-    # wall-clock total, and may leave the heap loaded.
+    # wall-clock total, and may leave the heap loaded. The m33 trend legs
+    # run in a FRESH subprocess JVM (see _bench_m33_trend_subprocess) —
+    # after the doc/skew sections so the two JVMs never compete for cores.
     if run_trend:
         _bench_doc_trend(spark, sf_dir, timings)
         _bench_doc_skew_trend(spark, sf_dir, timings)
         if run_m33 and M33_SCALE == 1:
-            _bench_m33_trend(spark, timings)
+            _bench_m33_trend_subprocess(timings)
 
     # m33_rows_x* entries are row-count markers and trend_* entries are
     # scale-slope evidence, not headline timings — keep both out of the

@@ -1058,8 +1058,11 @@ def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under tracking params / host-case / fragment / trailing-slash noise)
 # ---------------------------------------------------------------------------
 
-_URL_HOST_RE = "://([^/]+)"
-_URL_PATH_RE = "://[^/]+(/[^?#]*)"
+# Host stops at '/', '?' AND '#': a path-less URL (https://host?id=1)
+# must not swallow the query string into the host. Path is then optional
+# (extract yields '' when the URL has no path segment at all).
+_URL_HOST_RE = "://([^/?#]+)"
+_URL_PATH_RE = "://[^/?#]+(/[^?#]*)"
 _URL_ID_RE = "[?&]id=([^&#]*)"
 
 # Synthesized noisy URL + its canonical form, shared by q140 and q143's
@@ -1099,14 +1102,32 @@ def _synth_url() -> Column:
     )
 
 
-def _canonical_url(url: Column) -> Column:
-    return F.concat(
+def _canonical_url(url: Column, keep_params: tuple[str, ...] = ("id",)) -> Column:
+    """Rebuild a canonical URL from parsed parts: lowered host (anchored to
+    stop at '/', '?' and '#', so path-less URLs parse), slash-trimmed path,
+    and ONLY the whitelisted query params, re-emitted in whitelist order.
+
+    ``keep_params`` is the content-bearing whitelist: any param NOT listed
+    (tracking noise) is dropped, and two fetches differing only in a
+    MEANINGFUL param must have that param whitelisted or they collapse to
+    one page — e.g. a paginated listing needs ("id", "page"). The default
+    matches the synthesized fixture (one content param, ``id``) and the
+    ``_CANONICAL_URL_SQL`` oracle fragment; a param absent from a URL
+    contributes an empty value (``?page=``), keeping the form total. Param
+    names are regex-escaped, so any literal name is safe."""
+    import re as _re
+
+    parts = [
         F.lit("https://"),
         F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)),
         F.regexp_replace(F.regexp_extract(url, _URL_PATH_RE, 1), "/$", ""),
-        F.lit("?id="),
-        F.regexp_extract(url, _URL_ID_RE, 1),
-    )
+    ]
+    for i, p in enumerate(keep_params):
+        parts.append(F.lit(("?" if i == 0 else "&") + p + "="))
+        parts.append(
+            F.regexp_extract(url, f"[?&]{_re.escape(p)}=([^&#]*)", 1)
+        )
+    return F.concat(*parts)
 
 
 @register(

@@ -1590,6 +1590,13 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal(19,0) x decimal(38,0) -> decimal(38,0): exact while the
     # product fits 38 digits (~1e25 at 100 TB, far inside the bound).
+    # Past 38 digits Spark's decimal multiply yields NULL (ANSI off), so
+    # the comparison goes NULL and `selected` silently falls to 0 via the
+    # otherwise(0) — while DuckDB's HUGEINT stays exact to ~1.7e38. The
+    # divergence window is theoretical at 13 orders of magnitude beyond
+    # the design point, but if the bound ever tightens, compare via the
+    # overflow-safe cross ratio (t_mass/c_mass vs nt/nc in two decimal
+    # divisions) instead of widening the product.
     return doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tok",

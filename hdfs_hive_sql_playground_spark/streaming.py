@@ -178,7 +178,12 @@ def dedup_events(events: DataFrame, *keys: str) -> DataFrame:
     )
 
 
-def dedup_crawl_frontier(fetches: DataFrame, url_col: str = "url") -> DataFrame:
+def dedup_crawl_frontier(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    keep_params: tuple[str, ...] = ("id",),
+) -> DataFrame:
     """Streaming canonical-URL dedup — the streaming dual of q140 and the
     shape a live crawl frontier actually runs: each fetch row's URL is
     canonicalized (same shared builder as the batch operator, so the two
@@ -186,12 +191,23 @@ def dedup_crawl_frontier(fetches: DataFrame, url_col: str = "url") -> DataFrame:
     fetch per canonical page. State is keyed on the short canonical string
     and watermark-bounded, so it holds O(pages per watermark window)
     however long the crawl runs; a re-fetch after the window re-admits the
-    page, which is frontier semantics — recrawl policy lives upstream."""
+    page, which is frontier semantics — recrawl policy lives upstream.
+
+    ``keep_params`` is the content-bearing query-param whitelist the
+    canonicalizer preserves (see ``_canonical_url``): params not listed
+    are treated as tracking noise and dropped, so a crawl whose pages
+    differ in other meaningful params (e.g. ``?page=2`` vs ``?page=3``)
+    MUST whitelist them — ``("id", "page")`` — or the frontier silently
+    collapses those fetches to one page. The default matches q140's
+    single content param. ``ts_col`` names the fetch-event timestamp the
+    watermark is anchored to."""
     from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
 
     return (
-        fetches.withColumn("canonical_url", _canonical_url(F.col(url_col)))
-        .withWatermark("ts", WATERMARK)
+        fetches.withColumn(
+            "canonical_url", _canonical_url(F.col(url_col), keep_params)
+        )
+        .withWatermark(ts_col, WATERMARK)
         .dropDuplicatesWithinWatermark(["canonical_url"])
     )
 

@@ -210,3 +210,45 @@ def test_url_canonicalizer_collapses_every_noise_variant(spark):
     )
     mismatches = df.filter(F.col("canonical") != F.col("expected")).collect()
     assert not mismatches, mismatches[:5]
+
+
+def test_url_canonicalizer_pathless_and_param_whitelist(spark):
+    """The two real-crawl shapes the round-6 advice called out: (a) a
+    path-less URL must not swallow the query string into the host, and
+    (b) URLs differing only in a whitelisted meaningful param (?page=2 vs
+    ?page=3) must stay DISTINCT when the param is whitelisted — and only
+    then."""
+    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+
+    rows = [
+        # (url, expected with default ("id",), expected with ("id", "page"))
+        (
+            "https://HOST.Example.COM?id=5#frag",
+            "https://host.example.com?id=5",
+            "https://host.example.com?id=5&page=",
+        ),
+        (
+            "https://h.example.com/list?utm_source=x&id=1&page=2",
+            "https://h.example.com/list?id=1",
+            "https://h.example.com/list?id=1&page=2",
+        ),
+        (
+            "https://h.example.com/list/?id=1&page=3&utm_campaign=y",
+            "https://h.example.com/list?id=1",
+            "https://h.example.com/list?id=1&page=3",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, e_id string, e_idpage string")
+    out = df.select(
+        _canonical_url(F.col("url")).alias("c_id"),
+        _canonical_url(F.col("url"), ("id", "page")).alias("c_idpage"),
+        "e_id",
+        "e_idpage",
+    ).collect()
+    for r in out:
+        assert r.c_id == r.e_id, r
+        assert r.c_idpage == r.e_idpage, r
+    # default whitelist collapses page 2 and page 3 of the same listing
+    # (one frontier entry); whitelisting "page" keeps them distinct
+    assert out[1].c_id == out[2].c_id
+    assert out[1].c_idpage != out[2].c_idpage

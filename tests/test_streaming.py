@@ -354,3 +354,47 @@ def test_streaming_crawl_frontier_url_dedup(spark, tmp_path):
     assert {r.canonical_url for r in got} == {
         f"https://www.example.com/p/{p}?id={p}" for p in range(10)
     }
+
+
+def test_streaming_crawl_frontier_ts_col_and_param_whitelist(spark, tmp_path):
+    """The frontier parameterizes the watermark column and the kept-params
+    whitelist: a fetch stream with a differently-named timestamp works
+    unrenamed, and whitelisting a meaningful param ("page") keeps
+    same-listing pages 1..3 as DISTINCT frontier entries while still
+    collapsing tracking noise."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for page in (1, 2, 3):
+        # each listing page fetched twice under different tracking noise
+        rows.append(
+            (
+                f"https://www.example.com/list?id=9&page={page}&utm_source=x",
+                t0 + datetime.timedelta(seconds=10 * page),
+            )
+        )
+        rows.append(
+            (
+                f"https://WWW.Example.COM/list/?utm_campaign=y&id=9&page={page}",
+                t0 + datetime.timedelta(seconds=10 * page + 1),
+            )
+        )
+    src = str(tmp_path / "fetches_paged")
+    spark.createDataFrame(
+        rows, "url string, fetched_at timestamp"
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    fetches = spark.readStream.schema("url string, fetched_at timestamp").parquet(
+        src
+    )
+    sink = streaming.run_to_memory(
+        streaming.dedup_crawl_frontier(
+            fetches, ts_col="fetched_at", keep_params=("id", "page")
+        ),
+        "t_frontier_paged",
+        output_mode="append",
+    )
+    got = {r.canonical_url for r in sink.select("canonical_url").collect()}
+    assert got == {
+        f"https://www.example.com/list?id=9&page={p}" for p in (1, 2, 3)
+    }, got
