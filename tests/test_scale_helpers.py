@@ -233,3 +233,90 @@ def test_wholetext_size_guard_caches_per_path_and_limit(spark, tmp_path):
     text_src._guard_ok.discard((uri, 1024))
     with pytest.raises(ValueError, match="big.txt"):
         read_text_files(spark, uri, skip_header_lines=1, max_file_bytes=1024)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-rank / bucketed-running-sum property coverage (the q94/q99/q112/
+# q115/q138 scale family): randomized strata + sparse non-contiguous keys,
+# forced multi-bucket, compared row-for-row against the plain windows the
+# helpers claim to replicate.
+# ---------------------------------------------------------------------------
+
+
+def _random_strata_rows(seed: int, n: int = 600):
+    """Skewed random fixture: ~60% of rows in one stratum, ids sparse and
+    shuffled (bucket occupancy uneven), one singleton stratum, values with
+    zeros and negatives (running-sum edge cases)."""
+    import random
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(0, 50_000), n)
+    rows = []
+    for i, doc_id in enumerate(ids):
+        if i == 0:
+            stratum = "singleton"
+        elif rng.random() < 0.6:
+            stratum = "hot"
+        else:
+            stratum = rng.choice(["a", "b", "c"])
+        rows.append((stratum, doc_id, rng.randint(-5, 50)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bucketed_hash_order_rank_matches_plain_window(spark, seed, monkeypatch):
+    from pyspark.sql.window import Window
+
+    import hdfs_hive_sql_playground_spark.queries.text as text_mod
+
+    # 16 hash buckets (1 hex char) so every stratum genuinely spans many
+    # buckets — the degenerate one-bucket case would vacuously pass.
+    monkeypatch.setattr(text_mod, "MD5_BUCKET_PREFIX", 1)
+    df = spark.createDataFrame(
+        _random_strata_rows(seed), "stratum string, doc_id long, v long"
+    )
+    got = text_mod._bucketed_hash_order_rank(df, "stratum", "doc_id", "rn")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("stratum").orderBy(md5, F.col("doc_id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    cols = ["stratum", "doc_id", "rn"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+    # keep_at_most=N contract (the q94/q99 pattern): the helper returns a
+    # pre-filtered SUPERSET — every row with LOCAL rank <= N, carrying its
+    # exact global rank — and the caller's rn <= N filter then recovers
+    # exactly the global top-N (global rank <= N implies local rank <= N,
+    # so nothing the caller wants was dropped).
+    for n in (1, 7):
+        kept = text_mod._bucketed_hash_order_rank(
+            df, "stratum", "doc_id", "rn", keep_at_most=n
+        )
+        assert _norm(kept.filter(F.col("rn") <= n), cols) == _norm(
+            want.filter(F.col("rn") <= n), cols
+        )
+        # and the superset is genuinely bounded: <= N rows per bucket
+        assert kept.count() <= n * 16 * 5  # N x #buckets x #strata
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_bucketed_running_sum_matches_plain_window(spark, seed, monkeypatch):
+    from pyspark.sql.window import Window
+
+    import hdfs_hive_sql_playground_spark.queries.text as text_mod
+
+    # Width 1024 over ids sampled from [0, 50k): ~49 buckets, most strata
+    # hit many of them, some buckets empty for some strata (the offsets
+    # join must not invent rows there).
+    monkeypatch.setattr(text_mod, "CUMSUM_BUCKET_WIDTH", 1024)
+    df = spark.createDataFrame(
+        _random_strata_rows(seed), "stratum string, doc_id long, v long"
+    )
+    got = text_mod._bucketed_running_sum(df, "stratum", "doc_id", "v", "rs")
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("rs", F.sum("v").over(w).cast("bigint"))
+    cols = ["stratum", "doc_id", "v", "rs"]
+    assert _norm(got, cols) == _norm(want, cols)
