@@ -252,3 +252,55 @@ def test_url_canonicalizer_pathless_and_param_whitelist(spark):
     # (one frontier entry); whitelisting "page" keeps them distinct
     assert out[1].c_id == out[2].c_id
     assert out[1].c_idpage != out[2].c_idpage
+
+
+def test_shingle_hash48_cross_engine_on_adversarial_strings(spark):
+    """The portable 48-bit hash is the foundation every LSH/segment/split
+    oracle stands on (q81/q93/q103/q119/q136/q138/q139/q141...). Pin the
+    Spark conv() evaluation against the DuckDB nibble-fold SQL fragment on
+    the strings most likely to diverge: empty, whitespace-only, SQL-quote
+    and backslash characters, multi-byte unicode (accents, CJK, emoji,
+    combining marks), digits-that-look-numeric, very long strings, and a
+    seeded random unicode sample — both engines must hash the identical
+    UTF-8 bytes to the identical BIGINT."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        _shingle_hash48,
+        _shingle_hash48_sql,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abc 0123456789'\"\\%_éü漢字🙂\u0301\t"
+    values = [
+        "",
+        " ",
+        "  \t ",
+        "it's a \"quoted\\path\"",
+        "café",
+        "cafe\u0301",  # same glyph, different normalization — distinct bytes
+        "漢字テスト",
+        "🙂🙃",
+        "0",
+        "-1",
+        "3.14",
+        "null",
+        "NULL",
+        "a" * 10_000,
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40))) for _ in range(200)]
+
+    pdf = pd.DataFrame({"s": values})
+    want = duckdb.connect().execute(
+        f"SELECT CAST({_shingle_hash48_sql('s')} AS BIGINT) FROM pdf"
+    ).fetchall()
+    got = (
+        spark.createDataFrame(pdf)
+        .select(_shingle_hash48(F.col("s")).alias("h"))
+        .collect()
+    )
+    assert [r.h for r in got] == [w[0] for w in want]
+    # 48-bit range invariant (conv can't wrap; the fold can't go negative)
+    assert all(0 <= r.h < (1 << 48) for r in got)
