@@ -304,3 +304,52 @@ def test_shingle_hash48_cross_engine_on_adversarial_strings(spark):
     assert [r.h for r in got] == [w[0] for w in want]
     # 48-bit range invariant (conv can't wrap; the fold can't go negative)
     assert all(0 <= r.h < (1 << 48) for r in got)
+
+
+def test_q136_rewrite_matches_naive_first_occurrence_reference(spark, sf_dir):
+    """The exact-substring rewrite's guarantee, checked against an
+    independent naive Python reference: walking documents in (doc_id, pos)
+    order, a segment whose 48-bit hash was seen earlier in the corpus is
+    removed and every other segment is kept in order — per-document
+    n_segments / n_removed / cleaned_text must all match, and at least one
+    document must actually lose a segment (non-vacuous)."""
+    import hashlib
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import SEG_WORDS
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    out = {
+        r.doc_id: r
+        for r in SPECS["q136_segment_dedup_rewrite"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(docs)
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+    seen: set[int] = set()
+    total_removed = 0
+    for doc_id in sorted(docs):
+        ws = docs[doc_id].split(" ")  # same empty-token semantics as F.split
+        segs = [
+            " ".join(ws[i * SEG_WORDS : (i + 1) * SEG_WORDS])
+            for i in range((len(ws) + SEG_WORDS - 1) // SEG_WORDS)
+        ]
+        kept, removed = [], 0
+        for s in segs:
+            k = h48(s)
+            if k in seen:
+                removed += 1
+            else:
+                seen.add(k)
+                kept.append(s)
+        r = out[doc_id]
+        assert r.n_segments == len(segs), doc_id
+        assert r.n_removed == removed, doc_id
+        assert r.cleaned_text == " ".join(kept), doc_id
+        total_removed += removed
+    assert total_removed > 0, "fixture produced no duplicated segments"
