@@ -798,3 +798,64 @@ def test_ann_topk_windows_push_partial_group_limit(spark, sf_dir):
             name,
             p,
         )
+
+
+def test_q20_topk_window_is_group_limited_one_exchange(spark, sf_dir):
+    """The per-partition top-3 rank filter must plan Spark's
+    WindowGroupLimit below the exchange (map-side pruning: each task ships
+    at most k rows per key, not the whole partition), with exactly ONE
+    hash exchange on the partition key."""
+    df = SPECS["q20_window_rank"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p.split("WindowGroupLimit", 1)[1][:200] or re.search(
+        r"WindowGroupLimit.*Partial", p
+    ), p
+    assert plans.count_exchanges(df) == 1, p
+
+
+def test_q61_tumbling_window_is_plain_two_phase_agg(spark, sf_dir):
+    """The batch tumbling-window agg: date_trunc is a map-side projection
+    feeding a hash aggregate — no join, no global sort; the COUNT(DISTINCT
+    user_id) costs at most one extra keyed exchange (Spark's two-level
+    distinct-agg expansion), so <= 2 exchanges total."""
+    df = SPECS["q61_tumbling_window"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Join" not in p, p
+    assert plans.count_exchanges(df) <= 2, p
+
+
+def test_q82_inverted_index_joins_are_key_equi(spark, sf_dir):
+    """Exact-Jaccard's pair generation must be the inverted-index equi-join
+    on the shingle key (cost = sum of posting-list squares), never any
+    nested-loop pairing of documents."""
+    df = SPECS["q82_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[shingle#", p
+    ), p
+
+
+def test_q91_quality_score_zero_shuffle(spark, sf_dir):
+    """Quality scoring is a pure codegen projection: no exchange anywhere
+    (the 100 TB shape — embarrassingly parallel over the scan)."""
+    df = SPECS["q91_quality_score"].fn(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_q95_multimodal_is_one_arrow_pass_zero_shuffle(spark, sf_dir):
+    """Multimodal feature extraction must be ONE Arrow-batched mapInPandas
+    pass directly over the pruned scan: a MapInPandas node, zero
+    exchanges, and the scan reading only the payload/meta source columns
+    (never lang/source)."""
+    df = SPECS["q95_multimodal_features"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "MapInPandas" in p, p
+    assert plans.count_exchanges(df) == 0, p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans, p
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[1]
+        assert "lang" not in schema and "source" not in schema, ln
