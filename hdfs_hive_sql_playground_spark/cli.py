@@ -14,6 +14,10 @@ Dropped verbs are the Docker/daemon plumbing that has no Spark analog
 | sql-exec-query (TOP n read) | exec-sql with TOP rewrite |
 | (runall.py pipeline)        | m33-pipeline    |
 | start-* (hiveserver2 on hs) | serve-thrift    |
+| beeline-cli / sql-cli       | sql-cli (stdin shell, dialect shims; TTY prompt or piped) |
+
+Still dropped: bash-cli (a container shell — no container) and
+launch-ssms (launches a Windows GUI against the SQL Server container).
 
 Usage: python -m hdfs_hive_sql_playground_spark.cli <verb> [args]
 """
@@ -29,6 +33,48 @@ from hdfs_hive_sql_playground_spark.engine import Engine
 
 def _show(df, n: int = 20) -> None:
     df.show(n, truncate=False)
+
+
+def _sql_shell(eng, n: int = 20) -> None:
+    """The sql-cli loop: buffer stdin until a literal-aware top-level ';'
+    completes a statement, execute it, keep going. A statement that fails
+    prints its error class/message and the shell survives (beeline
+    semantics). On EOF any non-empty remainder runs as a final statement."""
+    tty = sys.stdin.isatty()
+    if tty:
+        print("hhsp sql shell — ;-terminated statements, Ctrl-D to exit")
+    buf = ""
+    while True:
+        if tty:
+            sys.stdout.write("hhsp> " if not buf.strip() else "....> ")
+            sys.stdout.flush()
+        line = sys.stdin.readline()
+        if not line:  # EOF
+            break
+        buf += line
+        if ";" not in line:
+            continue
+        stmts = eng.split_statements(buf)
+        if not stmts:  # comments/whitespace only
+            buf = ""
+            continue
+        # everything before the last top-level ';' is complete; the tail
+        # (no trailing ';') stays buffered for the next lines
+        complete, buf = (
+            (stmts, "") if buf.rstrip().endswith(";") else (stmts[:-1], stmts[-1])
+        )
+        for stmt in complete:
+            _run_shell_stmt(eng, stmt, n)
+    tail = buf.strip()
+    if tail:
+        _run_shell_stmt(eng, tail, n)
+
+
+def _run_shell_stmt(eng, stmt: str, n: int) -> None:
+    try:
+        _show(eng.exec_sql(stmt), n)
+    except Exception as e:  # noqa: BLE001 — shell must survive bad SQL
+        print(f"ERROR {type(e).__name__}: {str(e).splitlines()[0] if str(e) else e}")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,6 +103,18 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--jdbc-url", default="jdbc:derby:memory:m33db;create=true")
     exp.add_argument("--num-partitions", type=int, default=4)
     exp.add_argument("--batchsize", type=int, default=1000)
+
+    shell = sub.add_parser(
+        "sql-cli",
+        help="interactive SQL shell (beeline-cli / sql-cli analog, "
+        "playground.py:1137-1153): reads ;-terminated statements from "
+        "stdin — interactive with a prompt on a TTY, or piped — applies "
+        "the dialect shims, prints each result; a failed statement "
+        "reports its error and the shell continues",
+    )
+    shell.add_argument("--testdata", default=None, help="sf dir to register as views")
+    shell.add_argument("--m33", action="store_true", help="register m33_raw/m33_schem views")
+    shell.add_argument("-n", type=int, default=20, help="rows to show per result")
 
     srv = sub.add_parser(
         "serve-thrift",
@@ -97,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
             eng.m33_ctas()
             n = eng.m33_export(args.jdbc_url, num_partitions=args.num_partitions, batchsize=args.batchsize)
             print(f"exported + verified rows: {n}")
+        elif args.verb == "sql-cli":
+            if args.testdata:
+                eng.register_testdata(args.testdata)
+            if args.m33:
+                eng.m33_create_views()
+            _sql_shell(eng, n=args.n)
         elif args.verb == "serve-thrift":
             if args.testdata:
                 eng.register_testdata(args.testdata)

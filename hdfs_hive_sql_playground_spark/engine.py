@@ -238,13 +238,14 @@ class Engine:
             return intercepted
         return self.spark.sql(dialect.rewrite(sql))
 
-    def exec_file(self, path: str) -> list[DataFrame]:
-        """``exec-hive-file`` analog: run each ;-terminated statement
-        (``playground.py:738-743``). Full-line ``--`` comments are stripped
-        before splitting, and the split is literal-aware: a ';' inside a
-        single-quoted string is part of the statement, not a separator."""
-        with open(path) as f:
-            lines = [ln for ln in f.read().splitlines() if not ln.lstrip().startswith("--")]
+    @staticmethod
+    def split_statements(text: str) -> list[str]:
+        """Split a ;-separated SQL script into statements. Full-line ``--``
+        comments are stripped before splitting, and the split is
+        literal-aware: a ';' inside a single-quoted string is part of the
+        statement, not a separator. Shared by :meth:`exec_file` and the
+        ``sql-cli`` shell."""
+        lines = [ln for ln in text.splitlines() if not ln.lstrip().startswith("--")]
         text = "\n".join(lines)
         spans = dialect._scan_literal_spans(text)
         stmts, start = [], 0
@@ -253,7 +254,14 @@ class Engine:
                 stmts.append(text[start:i])
                 start = i + 1
         stmts.append(text[start:])
-        return [self.exec_sql(s.strip()) for s in stmts if s.strip()]
+        return [s.strip() for s in stmts if s.strip()]
+
+    def exec_file(self, path: str) -> list[DataFrame]:
+        """``exec-hive-file`` analog: run each ;-terminated statement
+        (``playground.py:738-743``)."""
+        with open(path) as f:
+            text = f.read()
+        return [self.exec_sql(s) for s in self.split_statements(text)]
 
     def register_testdata(self, sf_dir: str) -> None:
         for name in TABLES:
