@@ -35,14 +35,44 @@ def _show(df, n: int = 20) -> None:
     df.show(n, truncate=False)
 
 
-def _sql_shell(eng, n: int = 20) -> None:
+def _show_wire(cols: list, rows: list, n: int) -> None:
+    if cols:
+        print("\t".join(str(c) for c in cols))
+    for row in rows[:n]:
+        print("\t".join("NULL" if v is None else str(v) for v in row))
+    if len(rows) > n:
+        print(f"... ({len(rows) - n} more rows)")
+
+
+def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
     """The sql-cli loop: buffer stdin until a literal-aware top-level ';'
     completes a statement, execute it, keep going. A statement that fails
     prints its error class/message and the shell survives (beeline
-    semantics). On EOF any non-empty remainder runs as a final statement."""
+    semantics). On EOF any non-empty remainder runs as a final statement.
+
+    With ``url`` the shell is a true beeline analog: ONE persistent
+    HiveServer2 wire session (temp views / SET state survive across
+    statements) against a running ``serve-thrift``, with the dialect
+    shims applied client-side before each send — the local session only
+    hosts the in-JVM hive-jdbc driver."""
+    if url:
+        from hdfs_hive_sql_playground_spark import dialect
+        from hdfs_hive_sql_playground_spark.thrift import WireClient
+
+        client = WireClient(eng.spark, url)
+
+        def run(stmt: str) -> None:
+            _show_wire(*client.sql_with_names(dialect.rewrite(stmt)), n)
+
+    else:
+
+        def run(stmt: str) -> None:
+            _show(eng.exec_sql(stmt), n)
+
     tty = sys.stdin.isatty()
     if tty:
-        print("hhsp sql shell — ;-terminated statements, Ctrl-D to exit")
+        target = f"wire session at {url}" if url else "in-process session"
+        print(f"hhsp sql shell ({target}) — ;-terminated statements, Ctrl-D to exit")
     buf = ""
     while True:
         if tty:
@@ -64,15 +94,15 @@ def _sql_shell(eng, n: int = 20) -> None:
             (stmts, "") if buf.rstrip().endswith(";") else (stmts[:-1], stmts[-1])
         )
         for stmt in complete:
-            _run_shell_stmt(eng, stmt, n)
+            _run_shell_stmt(run, stmt)
     tail = buf.strip()
     if tail:
-        _run_shell_stmt(eng, tail, n)
+        _run_shell_stmt(run, tail)
 
 
-def _run_shell_stmt(eng, stmt: str, n: int) -> None:
+def _run_shell_stmt(run, stmt: str) -> None:
     try:
-        _show(eng.exec_sql(stmt), n)
+        run(stmt)
     except Exception as e:  # noqa: BLE001 — shell must survive bad SQL
         print(f"ERROR {type(e).__name__}: {str(e).splitlines()[0] if str(e) else e}")
 
@@ -115,6 +145,13 @@ def main(argv: list[str] | None = None) -> int:
     shell.add_argument("--testdata", default=None, help="sf dir to register as views")
     shell.add_argument("--m33", action="store_true", help="register m33_raw/m33_schem views")
     shell.add_argument("-n", type=int, default=20, help="rows to show per result")
+    shell.add_argument(
+        "--url",
+        default=None,
+        help="connect over the HiveServer2 wire to a running serve-thrift "
+        "(jdbc:hive2://...) as ONE persistent wire session — the true "
+        "beeline analog; omit for the in-process session",
+    )
 
     srv = sub.add_parser(
         "serve-thrift",
@@ -160,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 eng.register_testdata(args.testdata)
             if args.m33:
                 eng.m33_create_views()
-            _sql_shell(eng, n=args.n)
+            _sql_shell(eng, n=args.n, url=args.url)
         elif args.verb == "serve-thrift":
             if args.testdata:
                 eng.register_testdata(args.testdata)

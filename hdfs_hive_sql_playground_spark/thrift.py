@@ -129,19 +129,25 @@ class WireClient:
 
     def sql(self, sql: str) -> list[tuple]:
         """Execute one statement on this wire session; fetch all rows."""
+        return self.sql_with_names(sql)[1]
+
+    def sql_with_names(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Like :meth:`sql` but also returns the result column names (what
+        a shell prints as the header row)."""
         st = self._conn.createStatement()
         try:
             has_rs = st.execute(sql)
             if not has_rs:
-                return []
+                return [], []
             rs = st.getResultSet()
             meta = rs.getMetaData()
             n = meta.getColumnCount()
+            cols = [meta.getColumnName(i + 1) for i in range(n)]
             out: list[tuple] = []
             while rs.next():
                 out.append(tuple(rs.getObject(i + 1) for i in range(n)))
             rs.close()
-            return out
+            return cols, out
         finally:
             st.close()
 

@@ -72,3 +72,42 @@ def test_cli_sql_shell_piped_statements():
     )
     assert ia < ipos < ierr < itail, out
     assert "|2  |" in out  # field('b','a','b') == 2: the shim ran
+
+
+def test_cli_sql_shell_wire_mode_persistent_session():
+    """sql-cli --url: the shell is ONE persistent HiveServer2 wire session
+    (a temp view created in one statement is queryable by the next — what
+    one-shot wire_sql cannot express), dialect shims are applied
+    client-side (field(), TOP), and a failing statement doesn't kill the
+    shell. Subprocess because the Thrift listener needs its own static
+    conf / JVM lifecycle (same pattern as the other thrift tests)."""
+    script = (
+        "import io, sys\n"
+        "from hdfs_hive_sql_playground_spark.engine import Engine\n"
+        "from hdfs_hive_sql_playground_spark import cli\n"
+        "eng = Engine().start()\n"
+        "server = eng.serve_thrift()\n"
+        "sys.stdin = io.StringIO(\n"
+        "    'CREATE TEMPORARY VIEW tv AS SELECT 41 AS v;'\n"
+        "    'SELECT v + 1 AS answer FROM tv;'\n"
+        "    \"SELECT field('b', 'a', 'b') AS pos;\"\n"
+        "    'SELECT broken FROM nowhere;'\n"
+        "    'SELECT TOP 1 v AS top_v FROM tv;'\n"
+        ")\n"
+        "cli._sql_shell(eng, n=5, url=server.url)\n"
+        "server.stop()\n"
+        "eng.stop()\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout
+    assert "answer\n42" in out, out  # temp view survived to the next statement
+    assert "pos\n2" in out, out  # field() shim applied before the wire send
+    assert "ERROR" in out, out  # bad statement reported...
+    assert "top_v\n41" in out, out  # ...and the session survived it (TOP shim too)
