@@ -69,10 +69,30 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         def run(stmt: str) -> None:
             _show(eng.exec_sql(stmt), n)
 
+    def bang(cmd: str) -> bool:
+        """beeline-style meta-commands; returns True to exit the shell."""
+        if cmd in ("!quit", "!q", "!exit"):
+            return True
+        if cmd == "!tables":
+            if url:
+                from hdfs_hive_sql_playground_spark.thrift import wire_tables
+
+                names = wire_tables(eng.spark, url)
+            else:
+                names = [t.name for t in eng.spark.catalog.listTables()]
+            for t in sorted(names):
+                print(t)
+        else:
+            print(f"unknown command {cmd} (have: !tables, !quit)")
+        return False
+
     tty = sys.stdin.isatty()
     if tty:
         target = f"wire session at {url}" if url else "in-process session"
-        print(f"hhsp sql shell ({target}) — ;-terminated statements, Ctrl-D to exit")
+        print(
+            f"hhsp sql shell ({target}) — ;-terminated statements, "
+            "!tables, !quit or Ctrl-D to exit"
+        )
     buf = ""
     while True:
         if tty:
@@ -81,6 +101,10 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         line = sys.stdin.readline()
         if not line:  # EOF
             break
+        if not buf.strip() and line.strip().startswith("!"):
+            if bang(line.strip()):
+                return
+            continue
         buf += line
         if ";" not in line:
             continue

@@ -47,11 +47,14 @@ def test_cli_sql_shell_piped_statements():
     statement reports ERROR and the shell SURVIVES it, and a trailing
     statement without ';' runs at EOF."""
     script = (
+        "!badcmd\n"
         "SELECT 1 AS a;\n"
         "SELECT field('b', 'a', 'b') AS pos;\n"
         "SELECT broken FROM nowhere;\n"
         "-- a full-line comment;\n"
-        "SELECT 'tail' AS t"
+        "SELECT 'tail' AS t;\n"
+        "!quit\n"
+        "SELECT 'after_quit' AS never;\n"
     )
     r = subprocess.run(
         [sys.executable, "-m", "hdfs_hive_sql_playground_spark.cli", "sql-cli"],
@@ -72,6 +75,9 @@ def test_cli_sql_shell_piped_statements():
     )
     assert ia < ipos < ierr < itail, out
     assert "|2  |" in out  # field('b','a','b') == 2: the shim ran
+    # bang meta-commands: unknown reports and continues; !quit exits
+    assert "unknown command !badcmd" in out, out
+    assert "after_quit" not in out, out
 
 
 def test_cli_sql_shell_wire_mode_persistent_session():
