@@ -149,7 +149,10 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
     # the leg is the Derby insert+page-store path, and the fresh-JVM
     # steady state REPRODUCES the r6 number, so the movement is the
     # embedded sink's wall in this environment, not a Spark writer
-    # regression. Still 0.25x the reference's Sqoop baseline.
+    # regression. Still 0.25x the reference's Sqoop baseline. The writer
+    # config was re-swept under the 16g heap (np 8/16/32 x bs 10k/20k):
+    # 16x10k 35.8 s ~= 32x10k 35.6 s (noise), 8x10k 40.6 s, 16x20k
+    # 37.3 s — the r4 optimum stands.
     _quiesce(spark)
     url = "jdbc:derby:memory:m33bench;create=true"
     t0 = time.perf_counter()
