@@ -17,6 +17,9 @@ handling. Three operators:
   (``dropDuplicatesWithinWatermark``), the streaming dual of q80,
 - ``dedup_crawl_frontier`` — canonical-URL keep-first over a fetch
   stream (the streaming dual of q140, same shared canonicalizer),
+- ``crawl_front_stream`` — the composed crawl front half over a live
+  fetch stream (the streaming dual of q143: URL dedup → content dedup →
+  quality gate, two watermark-bounded states, survivors emitted),
 - ``export_stream_jdbc`` — continuous JDBC export via ``foreachBatch``
   over the same batched-INSERT path as the batch Sqoop-analog sink (A19).
 
@@ -209,6 +212,62 @@ def dedup_crawl_frontier(
         )
         .withWatermark(ts_col, WATERMARK)
         .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
+def crawl_front_stream(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    keep_params: tuple[str, ...] = ("id",),
+    min_words: int | None = None,
+    min_word_chars: int | None = None,
+) -> DataFrame:
+    """The streaming dual of q143's crawl front half, composed from the
+    same pieces the batch operator composes: canonical-URL keep-first
+    (``dedup_crawl_frontier``'s construction), exact content dedup among
+    URL survivors (q80's md5, ``dropDuplicatesWithinWatermark`` on the
+    16-byte hash), then the Gopher-lite quality gate — emitting the
+    SURVIVING fetches with their quality signals. Streaming semantics
+    differ from the batch audit on one point by design: a stream can only
+    emit rows it keeps, so per-drop stage attribution (q143's 'url_dup' /
+    'exact_dup' rows) is the batch operator's job; the stream's job is the
+    live frontier. Thresholds default to q143's CRAWL_MIN_* constants.
+
+    State at 100 TB/day: two watermark-bounded dedup states — one keyed on
+    the short canonical string, one on the 16-byte content hash — both
+    O(pages per watermark window); the quality gate is stateless
+    projection. Stage order matches DEPLOYMENT_100TB §8: each stage sees
+    only the prior stage's survivors."""
+    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+    from hdfs_hive_sql_playground_spark.queries.text import (
+        CRAWL_MIN_WCHARS,
+        CRAWL_MIN_WORDS,
+    )
+
+    if min_words is None:
+        min_words = CRAWL_MIN_WORDS
+    if min_word_chars is None:
+        min_word_chars = CRAWL_MIN_WCHARS
+    norm = F.lower(F.trim(F.col(text_col)))
+    nw = F.size(F.split(norm, " ")).cast("bigint")
+    mw = F.floor(
+        (F.length(norm) - (nw - F.lit(1))) / nw
+    ).cast("bigint")
+    surv = (
+        fetches.withColumn(
+            "canonical_url", _canonical_url(F.col(url_col), keep_params)
+        )
+        .withColumn("h", F.md5(norm))
+        .withColumn("n_words", nw)
+        .withColumn("mw_chars", mw)
+        .withWatermark(ts_col, WATERMARK)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    return surv.filter(
+        (F.col("n_words") >= min_words) & (F.col("mw_chars") >= min_word_chars)
     )
 
 

@@ -398,3 +398,44 @@ def test_streaming_crawl_frontier_ts_col_and_param_whitelist(spark, tmp_path):
     assert got == {
         f"https://www.example.com/list?id=9&page={p}" for p in (1, 2, 3)
     }, got
+
+
+def test_streaming_crawl_front_half_composed(spark, tmp_path):
+    """The q143 streaming dual end-to-end on one microbatch: URL-noise
+    re-fetches collapse first (canonical key), content re-posts under a
+    DIFFERENT url collapse second (md5 state), and too-short survivors are
+    gated out — exactly one emitted row per logical page that passes
+    quality, carrying its signals."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    good = " ".join(f"word{i}" for i in range(30))  # 30 words, mw >= 4
+    other = " ".join(f"token{i}" for i in range(40))
+    rows = [
+        # page 1: fetched twice under URL noise -> one survivor
+        (f"https://www.example.com/a?id=1&utm_source=x", good, t0),
+        (f"https://WWW.Example.COM/a/?id=1#frag", good, t0 + datetime.timedelta(seconds=1)),
+        # same content re-posted at a DIFFERENT url -> content dedup drops it
+        (f"https://mirror.example.org/copy?id=9", good, t0 + datetime.timedelta(seconds=2)),
+        # page 2: unique content, passes quality
+        (f"https://www.example.com/b?id=2", other, t0 + datetime.timedelta(seconds=3)),
+        # page 3: unique but too short -> quality gate drops it
+        (f"https://www.example.com/c?id=3", "tiny page", t0 + datetime.timedelta(seconds=4)),
+    ]
+    src = str(tmp_path / "front_fetches")
+    spark.createDataFrame(rows, "url string, text string, ts timestamp").repartition(
+        2
+    ).write.mode("overwrite").parquet(src)
+    fetches = spark.readStream.schema("url string, text string, ts timestamp").parquet(
+        src
+    )
+    sink = streaming.run_to_memory(
+        streaming.crawl_front_stream(fetches), "t_front_half", output_mode="append"
+    )
+    got = {r.canonical_url: r for r in sink.collect()}
+    assert set(got) == {
+        "https://www.example.com/a?id=1",
+        "https://www.example.com/b?id=2",
+    }, got
+    assert got["https://www.example.com/a?id=1"].n_words == 30
+    assert got["https://www.example.com/b?id=2"].n_words == 40
