@@ -353,3 +353,80 @@ def test_q136_rewrite_matches_naive_first_occurrence_reference(spark, sf_dir):
         assert r.cleaned_text == " ".join(kept), doc_id
         total_removed += removed
     assert total_removed > 0, "fixture produced no duplicated segments"
+
+
+def _h48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def test_q138_weighted_sample_matches_naive_reference(spark, sf_dir):
+    """Weighted sampling checked against an independent naive Python
+    reference (not the SQL oracle): wt = 1 + min(n_chars//100, 7), race
+    key = min over replicas of the 48-bit hash of 'doc_id:r', winners =
+    per-lang top-k by (key, doc_id). Every emitted row — including skey
+    and rank — must match."""
+    from hdfs_hive_sql_playground_spark.queries.text import WSAMPLE_K
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict = {}
+    for r in docs:
+        wt = 1 + min(r.n_chars // 100, 7)
+        skey = min(_h48(f"{r.doc_id}:{rep}") for rep in range(1, wt + 1))
+        by_lang.setdefault(r.lang, []).append((skey, r.doc_id, wt))
+    want = set()
+    for lang, rows in by_lang.items():
+        for rnk, (skey, doc_id, wt) in enumerate(sorted(rows)[:WSAMPLE_K], 1):
+            want.add((doc_id, lang, wt, skey, rnk))
+    got = {
+        tuple(r)
+        for r in SPECS["q138_weighted_sample"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q141_dsir_selection_matches_naive_reference(spark, sf_dir):
+    """DSIR target-affinity selection checked against an independent naive
+    Python reference: tokens bucket by hash48 % 4096, per-bucket corpus/
+    target counts, per-doc masses summed per token, selected by exact
+    cross-multiplication. Every (doc_id, n_tok, t_mass, c_mass, selected)
+    row must match."""
+    from collections import Counter
+
+    from hdfs_hive_sql_playground_spark.queries.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    doc_buckets = {}
+    c: Counter = Counter()
+    t: Counter = Counter()
+    for r in docs:
+        toks = r.text.strip().lower().split(" ")
+        bs = [_h48(w) % DSIR_BUCKETS for w in toks]
+        doc_buckets[r.doc_id] = bs
+        for b in bs:
+            c[b] += 1
+            if r.lang == DSIR_TARGET_LANG:
+                t[b] += 1
+    nc, nt = sum(c.values()), sum(t.values())
+    want = set()
+    for doc_id, bs in doc_buckets.items():
+        t_mass = sum(t[b] for b in bs)
+        c_mass = sum(c[b] for b in bs)
+        want.add(
+            (doc_id, len(bs), t_mass, c_mass, int(t_mass * nc > c_mass * nt))
+        )
+    got = {
+        tuple(r)
+        for r in SPECS["q141_target_affinity_select"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
