@@ -439,3 +439,31 @@ def test_streaming_crawl_front_half_composed(spark, tmp_path):
     }, got
     assert got["https://www.example.com/a?id=1"].n_words == 30
     assert got["https://www.example.com/b?id=2"].n_words == 40
+
+
+def test_streaming_crawl_front_plan_has_two_bounded_states(spark, tmp_path):
+    """Plan contract for the composed front half: exactly TWO
+    DeduplicateWithinWatermark state operators (canonical_url first, then
+    the content hash), both downstream of one EventTimeWatermark — so the
+    state stores are watermark-bounded by construction, and the quality
+    gate adds no state."""
+    src = str(tmp_path / "plan_src")
+    spark.createDataFrame(
+        [("u", "t", None)], "url string, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    fetches = spark.readStream.schema("url string, text string, ts timestamp").parquet(
+        src
+    )
+    plan = (
+        streaming.crawl_front_stream(fetches)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("DeduplicateWithinWatermark") == 2, plan
+    assert "EventTimeWatermark" in plan, plan
+    # URL dedup runs BEFORE content dedup (cheapest byte-shedder first):
+    # the plan prints top-down, so the hash state wraps the url state
+    assert plan.index("DeduplicateWithinWatermark [h#") < plan.index(
+        "DeduplicateWithinWatermark [canonical_url#"
+    ), plan
