@@ -108,16 +108,20 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         buf += line
         if ";" not in line:
             continue
-        stmts = eng.split_statements(buf)
-        if not stmts:  # comments/whitespace only
-            buf = ""
-            continue
-        # everything before the last top-level ';' is complete; the tail
-        # (no trailing ';') stays buffered for the next lines
-        complete, buf = (
-            (stmts, "") if buf.rstrip().endswith(";") else (stmts[:-1], stmts[-1])
+        # Everything up to the last TOP-LEVEL ';' is complete; the raw
+        # remainder (not a re-split statement — that would drop newlines
+        # inside a multi-line string literal) stays buffered.
+        from hdfs_hive_sql_playground_spark import dialect
+
+        spans = dialect._scan_literal_spans(buf)
+        last = max(
+            (i for i, ch in enumerate(buf) if ch == ";" and not dialect._in_literal(i, spans)),
+            default=-1,
         )
-        for stmt in complete:
+        if last < 0:  # every ';' on this line sits inside a literal
+            continue
+        complete, buf = buf[: last + 1], buf[last + 1 :]
+        for stmt in eng.split_statements(complete):
             _run_shell_stmt(run, stmt)
     tail = buf.strip()
     if tail:

@@ -52,6 +52,10 @@ def test_cli_sql_shell_piped_statements():
         "SELECT field('b', 'a', 'b') AS pos;\n"
         "SELECT broken FROM nowhere;\n"
         "-- a full-line comment;\n"
+        # a ';' and newlines INSIDE a string literal must neither split the
+        # statement nor lose the literal's interior newline
+        "SELECT length('x;\n"
+        "y') AS lit_len;\n"
         "SELECT 'tail' AS t;\n"
         "!quit\n"
         "SELECT 'after_quit' AS never;\n"
@@ -78,6 +82,9 @@ def test_cli_sql_shell_piped_statements():
     # bang meta-commands: unknown reports and continues; !quit exits
     assert "unknown command !badcmd" in out, out
     assert "after_quit" not in out, out
+    # 'x;\ny' is 4 chars: the in-literal ';' didn't split and the interior
+    # newline survived buffering
+    assert "|4      |" in out, out
 
 
 def test_cli_sql_shell_wire_mode_persistent_session():
