@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
-from hdfs_hive_sql_playground_spark.tables import load
+from hdfs_hive_sql_playground_spark.tables import load, parquet_row_count
 
 # ---------------------------------------------------------------------------
 # shared shingle machinery
@@ -869,12 +869,19 @@ SEG_WORDS = 8  # fixed-width word segments (the chunked exact-substring unit)
 # q136: the per-affected-document removal list is broadcast to the rewrite
 # join only while the CORPUS document count stays under this cap — the
 # removal list has at most one row per document, so the corpus count is a
-# driver-side upper bound that costs one parquet-metadata count, no extra
-# pipeline pass, and no persist. Past the cap (any real crawl) the rewrite
-# is a doc_id shuffle-hash equi-join whose one text exchange is the same
-# corpus-bytes cost Lee et al.'s rewrite pays; a boilerplate-heavy corpus
-# can never OOM the driver because the strategy never depends on the
-# (corpus-proportional) duplicated-segment count.
+# driver-side upper bound on its ROW count that costs one parquet-FOOTER
+# metadata read (tables.parquet_row_count — no Spark job, no extra
+# pipeline pass, no persist). Caveat the cap does NOT bound: each row
+# carries that document's removed-positions array, so broadcast BYTES
+# still scale with the duplicated-segment count — a boilerplate-heavy
+# corpus of long documents can blow the broadcast budget while under the
+# 1M-row default. The row cap removes the corpus-proportional HashedRelation
+# failure mode (one row per DISTINCT doc, not per segment); for
+# segment-heavy corpora lower SPARK_GRAFT_REWRITE_BCAST_CAP toward
+# driver_mem / (avg_segments_removed_per_doc * 4 bytes), or rely on the
+# fallback: past the cap the rewrite is a doc_id shuffle-hash equi-join
+# whose one text exchange is the same corpus-bytes cost Lee et al.'s
+# rewrite pays.
 REWRITE_BCAST_CAP = int(os.environ.get("SPARK_GRAFT_REWRITE_BCAST_CAP", "1000000"))
 
 
@@ -938,13 +945,18 @@ REWRITE_BCAST_CAP = int(os.environ.get("SPARK_GRAFT_REWRITE_BCAST_CAP", "1000000
     "rewrite joins it back to the documents scan by doc_id (array filter "
     "by position index, no second explode). The rewrite-join strategy is "
     "picked IN CODE from one driver-side bounded statistic (q124's "
-    "pattern): the corpus document count — a parquet-metadata count that "
-    "upper-bounds the removal list at one row per document — broadcasts "
-    "while under REWRITE_BCAST_CAP, and past it (any real crawl, however "
-    "boilerplate-heavy) switches to a shuffle_hash doc_id equi-join whose "
-    "one text exchange is the same corpus-bytes cost Lee et al.'s rewrite "
-    "pays. The driver can never be asked to hold a corpus-proportional "
-    "HashedRelation. Both shapes are plan-asserted AND value-compared "
+    "pattern): the corpus document count — read from parquet FOOTER "
+    "metadata only (tables.parquet_row_count, cached; no Spark job, so "
+    "building the plan stays lazy — machine-asserted by "
+    "test_plans.py::test_q136_build_schedules_no_job) — upper-bounds the "
+    "removal list at one ROW per document; broadcast while under "
+    "REWRITE_BCAST_CAP, shuffle_hash doc_id equi-join past it, whose one "
+    "text exchange is the same corpus-bytes cost Lee et al.'s rewrite "
+    "pays. The row cap means the driver is never asked to hold a "
+    "corpus-proportional HashedRelation; it does NOT bound broadcast "
+    "BYTES (each row carries its removed-positions array — see the "
+    "REWRITE_BCAST_CAP note for the tuning rule on boilerplate-heavy "
+    "corpora). Both shapes are plan-asserted AND value-compared "
     "(test_plans.py), and both are measured: at the x8 fixture the "
     "fallback walls 3.05 s vs 2.60 s broadcast (min-of-2, warm) — the "
     "text exchange costs ~17%, the price of never OOMing the driver.",
@@ -987,9 +999,11 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
     kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(rm, i))
     # Strategy pick (see REWRITE_BCAST_CAP above): the corpus doc count is
-    # a metadata-cheap upper bound on |removals| — broadcast only while the
-    # WHOLE corpus would fit, never trusting the duplicated-segment rate.
-    if d.count() <= REWRITE_BCAST_CAP:
+    # a metadata-cheap upper bound on |removals| rows — broadcast only
+    # while the WHOLE corpus would fit, never trusting the
+    # duplicated-segment rate. parquet_row_count reads footers only (no
+    # Spark action), so constructing this DataFrame schedules no job.
+    if parquet_row_count(os.path.join(sf_dir, "documents.parquet")) <= REWRITE_BCAST_CAP:
         rewrite = d.join(F.broadcast(removals), "doc_id", "left")
     else:
         rewrite = d.join(removals.hint("shuffle_hash"), "doc_id", "left")

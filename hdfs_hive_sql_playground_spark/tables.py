@@ -9,6 +9,7 @@ its query declaratively on the returned DataFrame.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+@functools.lru_cache(maxsize=None)
+def parquet_row_count(path: str) -> int:
+    """Total row count of a parquet file or directory from FOOTER METADATA
+    only — no data pages read, no Spark job scheduled.
+
+    Driver-side strategy probes (q136's rewrite-join pick) call this at
+    plan-BUILD time, so it must never run a Spark action: an eager
+    ``df.count()`` there would make merely constructing the DataFrame
+    (explain-only paths, plan tests, repeated ``spec.fn`` calls) pay a scan
+    job each time, breaking the build-is-lazy contract every other registry
+    query keeps. A parquet footer is a few KB per file regardless of data
+    size, so this stays O(#files) metadata reads at 100 TB (and on a real
+    cluster the same number would come from catalog stats / manifest
+    files). Cached per path — testdata fixtures are immutable; callers with
+    mutable inputs should use catalog statistics instead.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(path)
+            for fn in fns
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        ]
+    else:
+        files = [path]
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
