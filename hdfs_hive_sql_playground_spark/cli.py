@@ -54,36 +54,66 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
     HiveServer2 wire session (temp views / SET state survive across
     statements) against a running ``serve-thrift``, with the dialect
     shims applied client-side before each send — the local session only
-    hosts the in-JVM hive-jdbc driver."""
-    if url:
-        from hdfs_hive_sql_playground_spark import dialect
+    hosts the in-JVM hive-jdbc driver. ``!connect <url>`` switches a
+    running shell onto (or between) wire sessions, beeline-style."""
+    # Mutable so !connect can retarget a running shell; holds the ONE
+    # persistent WireClient when in wire mode, None for in-process.
+    state: dict = {"client": None, "url": None}
+
+    def connect(to_url: str) -> None:
         from hdfs_hive_sql_playground_spark.thrift import WireClient
 
-        client = WireClient(eng.spark, url)
+        state["client"] = WireClient(eng.spark, to_url)
+        state["url"] = to_url
 
-        def run(stmt: str) -> None:
-            _show_wire(*client.sql_with_names(dialect.rewrite(stmt)), n)
+    if url:
+        connect(url)
 
-    else:
+    def run(stmt: str) -> None:
+        if state["client"] is not None:
+            from hdfs_hive_sql_playground_spark import dialect
 
-        def run(stmt: str) -> None:
+            _show_wire(*state["client"].sql_with_names(dialect.rewrite(stmt)), n)
+        else:
             _show(eng.exec_sql(stmt), n)
 
     def bang(cmd: str) -> bool:
         """beeline-style meta-commands; returns True to exit the shell."""
-        if cmd in ("!quit", "!q", "!exit"):
+        verb, _, arg = cmd.partition(" ")
+        arg = arg.strip()
+        if verb in ("!quit", "!q", "!exit"):
             return True
-        if cmd == "!tables":
-            if url:
+        if verb == "!tables":
+            if state["client"] is not None:
                 from hdfs_hive_sql_playground_spark.thrift import wire_tables
 
-                names = wire_tables(eng.spark, url)
+                names = wire_tables(eng.spark, state["url"])
             else:
                 names = [t.name for t in eng.spark.catalog.listTables()]
             for t in sorted(names):
                 print(t)
+        elif verb == "!describe":
+            if not arg:
+                print("usage: !describe <table>")
+            else:
+                # DESCRIBE works identically over the wire and in-process,
+                # so routing it through run() keeps one execution path (and
+                # the shell's survive-on-error contract).
+                _run_shell_stmt(run, f"DESCRIBE {arg}")
+        elif verb == "!connect":
+            if not arg:
+                print("usage: !connect <jdbc:hive2://...>")
+            else:
+                try:
+                    connect(arg)
+                    print(f"connected: {arg}")
+                except Exception as e:  # noqa: BLE001 — shell must survive
+                    print(f"ERROR {type(e).__name__}: {e}")
         else:
-            print(f"unknown command {cmd} (have: !tables, !quit)")
+            print(
+                f"unknown command {verb} "
+                "(have: !tables, !describe <t>, !connect <url>, !quit)"
+            )
         return False
 
     tty = sys.stdin.isatty()
@@ -91,7 +121,7 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         target = f"wire session at {url}" if url else "in-process session"
         print(
             f"hhsp sql shell ({target}) — ;-terminated statements, "
-            "!tables, !quit or Ctrl-D to exit"
+            "!tables, !describe <t>, !connect <url>, !quit or Ctrl-D to exit"
         )
     buf = ""
     while True:
@@ -104,6 +134,12 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         if not buf.strip() and line.strip().startswith("!"):
             if bang(line.strip()):
                 return
+            continue
+        # Mirror split_statements: full-line -- comments never enter the
+        # buffer. Scanning literal spans over raw comment text would let an
+        # unbalanced quote in a comment ("-- don't") mark everything after
+        # it as in-literal, so no statement would complete until EOF.
+        if line.lstrip().startswith("--"):
             continue
         buf += line
         if ";" not in line:
@@ -123,9 +159,11 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         complete, buf = buf[: last + 1], buf[last + 1 :]
         for stmt in eng.split_statements(complete):
             _run_shell_stmt(run, stmt)
-    tail = buf.strip()
-    if tail:
-        _run_shell_stmt(run, tail)
+    # EOF remainder: split like any other input — the tail may hold several
+    # statements (e.g. the final line lacked a trailing ';' after ones that
+    # had them mid-line), and running it raw would execute them as one.
+    for stmt in eng.split_statements(buf):
+        _run_shell_stmt(run, stmt)
 
 
 def _run_shell_stmt(run, stmt: str) -> None:

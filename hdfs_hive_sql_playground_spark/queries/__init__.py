@@ -35,15 +35,17 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  This round-7 window executes the rotation round 6
-# committed to: (a) ALL 44 round-4-vintage greens — 3 rounds stale at r7,
-# the oldest hash-checked rows in the registry (the m33 scan/LIMIT family,
-# the ORC/JSON/CSV/bucketed format round-trips, exact dedup, the LSH/
-# Jaccard/SimHash family, warehouse MERGE/SCD2, the TPC-H agg family
-# q01-q05, lateral views, multimodal, PII, spans, and the r4 window/
-# sampling rows) — then (b) the two queries whose implementation changed
-# this round (q136's rewrite-join strategy pick; q143's extract stage now
-# actually executed), then (c) backfill with the four stalest r5 rows.
+# insertion order.  This round-8 window executes the rotation round 7
+# committed to (computed by scripts/propose_window.py, stalest-first):
+# (a) ALL 43 round-5-vintage greens — 3 rounds stale at r8, the oldest
+# hash-checked rows in the registry (the events/time-series family
+# q59-q68, the join family q13-q18 + custdist/top-volume, the r5
+# function/HOF tail q125-q134, recursive CTE, novelty/overlap, the
+# curation/mixing family q94/q112/q115/q118-q122, Gopher/BPE, and the
+# pandas UDAF) — then (b) the one query whose implementation changed this
+# round (q136: the rewrite-join strategy probe is now a cached
+# parquet-footer metadata count instead of an eager d.count()), then
+# (c) backfill with the six stalest r6 rows.
 #
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose code changed that
@@ -51,67 +53,65 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # > 2x window, so the full cycle is ~3 rounds — report vintage honestly,
 # and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window the
-# stalest rows are the 46 r5-vintage greens (q06b/q07/q08/q09, the events
-# family q61-q68, the join family q13-q18, the r5 function/HOF/recursive
-# rows, q94/q112/q115...), which must lead round 8, backfilled with the
-# r6 rows that debuted earliest.  Run scripts/preflight_window.py before
-# every end-of-round snapshot.
+# stalest rows are the r6/r7-vintage greens that debuted earliest (the
+# remaining r6 formats/curation rows, then the big r7 block), which must
+# lead round 9 — run scripts/propose_window.py to compute the exact list
+# and scripts/preflight_window.py before every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) all 44 r4-vintage greens, m33/format/dedup families first
-    "q70_m33_schem_view",
-    "q72_m33_limit_fetch",
-    "q75_orc_roundtrip",
-    "q76_json_roundtrip",
-    "q77_csv_roundtrip",
-    "q78_bucketed_join",
-    "q80_exact_dedup",
-    "q101_merge_upsert",
-    "q102_scd2_build",
-    "q81_minhash_lsh_neardup",
-    "q82_ngram_jaccard_pairs",
-    "q83_simhash",
-    "q103_srp_lsh_neardup",
-    "q104_heavy_hitters",
-    "q105_dup_ngram_spans",
-    "q106_repetition_signals",
-    "q107_frame_sample",
-    "q108_decontaminate",
-    "q109_incremental_dedup",
-    "q111_grouped_map_demean",
-    "q113_collapse_repeats",
-    "q114_pii_redact",
-    "q116_canonical_per_cluster",
-    "q96_multimodal_meta_agg",
-    "q01_pricing_summary",
-    "q02_distinct_agg",
-    "q03_rollup",
-    "q04_cube",
-    "q05_grouping_sets",
-    "q10_join_chain_revenue",
-    "q11_broadcast_dim_join",
-    "q12_region_revenue",
-    "q24_percent_rank_cume_dist",
-    "q25_ignore_nulls_window",
-    "q33_pivot_status",
-    "q34_unpivot_stack",
-    "q35_hash_sample",
-    "q36_collect_agg",
-    "q37_global_sales_opportunity",
-    "q38_nth_value_window",
-    "q39_null_ordering",
-    "q54_cte_multi_ref",
-    "q57_script_transform",
-    "q58_posexplode_lateral",
-    # (b) implementation changed this round: q136's rewrite join is now
-    # stats-picked (broadcast under REWRITE_BCAST_CAP, shuffle_hash past
-    # it); q143 now executes the HTML-extract stage on both engines.
+    # (a) all 43 r5-vintage greens, stalest-first per propose_window.py
+    "q17_custdist",
+    "q18_top_volume_orders",
+    "q48_hash_funcs",
+    "q49_map_bitwise",
+    "q59_values_inline",
+    "q135_recursive_hierarchy",
+    "q117_ngram_novelty",
+    "q123_source_overlap",
+    "q60_json_extract",
+    "q61_tumbling_window",
+    "q62_sessionize",
+    "q63_pivot",
+    "q64_session_window",
+    "q65_asof_join",
+    "q66_range_join_bucketed",
+    "q67_multires_rollup",
+    "q68_keep_latest_per_key",
+    "q13_semi_join",
+    "q14_anti_join",
+    "q15_outer_join_coalesce",
+    "q16_theta_self_join",
+    "q20_window_rank",
+    "q21_window_running_sum",
+    "q17_full_outer_join",
+    "q18_join_hints",
+    "q125_url_funcs",
+    "q126_fuzzy_string_funcs",
+    "q127_xpath_funcs",
+    "q129_bit_bool_aggs",
+    "q131_width_bucket_histogram",
+    "q133_array_hof_funcs",
+    "q134_explode_outer_map_hofs",
+    "q94_stratified_quota",
+    "q112_sequence_packing",
+    "q115_domain_mix_sample",
+    "q118_length_trim",
+    "q119_hash_split",
+    "q120_budget_select",
+    "q121_pack_stats",
+    "q122_unigram_surprisal",
+    "q130_bpe_pair_counts",
+    "q132_gopher_rules",
+    "q19_pandas_udaf_weighted",
+    # (c) backfill: the six stalest r6 rows
+    "q87_neardup_components",
+    "q98_simhash_banded_neardup",
+    "q139_leakage_safe_split",
+    "q140_url_canonical_dedup",
+    "q110_range_layout_scan",
+    "q71_m33_schem_agg",
+    # (b) implementation changed this round: q136's strategy probe is now
+    # a cached parquet-footer metadata count (no per-build Spark job).
     "q136_segment_dedup_rewrite",
-    "q143_crawl_front_pipeline",
-    # (c) backfill: stalest r5 rows
-    "q06b_hll_exact_check",
-    "q07_exact_percentiles",
-    "q08_salted_agg",
-    "q09_pandas_udf_scalar",
 )
 
 

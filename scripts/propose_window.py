@@ -47,6 +47,27 @@ def main() -> int:
     from hdfs_hive_sql_playground_spark.queries import DRIVER_PRIORITY, all_queries
 
     specs = all_queries()
+    # Validate forced-changed names: a typo would silently occupy window
+    # slots, and an oracle-less name would propose a window that fails
+    # test_window_queries_are_oracle_checked.
+    unknown = [q for q in changed if q not in specs]
+    if unknown:
+        print(f"ERROR: unknown changed query name(s): {unknown}", file=sys.stderr)
+        return 2
+    oracleless = [q for q in changed if specs[q].oracle is None]
+    if oracleless:
+        print(
+            f"ERROR: changed name(s) have no oracle (rows-only by design, "
+            f"never window-eligible): {oracleless}",
+            file=sys.stderr,
+        )
+        return 2
+    if len(changed) > WINDOW:
+        print(
+            f"ERROR: {len(changed)} changed names exceed the {WINDOW}-slot window",
+            file=sys.stderr,
+        )
+        return 2
     vintage = latest_vintage()
     never = [q for q in specs if q not in vintage]
 

@@ -52,6 +52,10 @@ def test_cli_sql_shell_piped_statements():
         "SELECT field('b', 'a', 'b') AS pos;\n"
         "SELECT broken FROM nowhere;\n"
         "-- a full-line comment;\n"
+        # a comment with an UNBALANCED quote must not poison the literal
+        # scanner — statements after it must still complete (the shell
+        # strips full-line comments before buffering, like split_statements)
+        "-- don't let a comment's apostrophe mark the rest as in-literal\n"
         # a ';' and newlines INSIDE a string literal must neither split the
         # statement nor lose the literal's interior newline
         "SELECT length('x;\n"
@@ -87,13 +91,49 @@ def test_cli_sql_shell_piped_statements():
     assert "|4      |" in out, out
 
 
+def test_cli_sql_shell_eof_tail_and_describe():
+    """Two shell edge contracts: (1) the EOF remainder goes through
+    split_statements — a final line holding several ;-separated statements
+    with no trailing newline-';' runs each separately, not as one blob;
+    (2) !describe <t> prints the table's columns (beeline meta-command),
+    in-process. Runs via _sql_shell directly against the shared session —
+    no subprocess needed since no Thrift/JVM lifecycle is involved."""
+    import contextlib
+    import io
+    import sys
+
+    from hdfs_hive_sql_playground_spark import cli
+    from hdfs_hive_sql_playground_spark.engine import Engine
+
+    from hdfs_hive_sql_playground_spark.session import get_spark
+
+    eng = Engine(_spark=get_spark())  # reuse the shared test session; no start()/stop()
+    eng.spark.sql("CREATE OR REPLACE TEMPORARY VIEW desc_tv AS SELECT 1 AS c1, 'x' AS c2")
+    script = "!describe desc_tv\nSELECT 10 AS ten; SELECT 20 AS twenty"
+    out_io = io.StringIO()
+    stdin0 = sys.stdin
+    sys.stdin = io.StringIO(script)
+    try:
+        with contextlib.redirect_stdout(out_io):
+            cli._sql_shell(eng, n=5)
+    finally:
+        sys.stdin = stdin0
+    out = out_io.getvalue()
+    assert "c1" in out and "c2" in out, out  # !describe listed the columns
+    # EOF tail split into TWO statements, both executed
+    assert "|ten|" in out and "|twenty|" in out, out
+
+
 def test_cli_sql_shell_wire_mode_persistent_session():
     """sql-cli --url: the shell is ONE persistent HiveServer2 wire session
     (a temp view created in one statement is queryable by the next — what
     one-shot wire_sql cannot express), dialect shims are applied
     client-side (field(), TOP), and a failing statement doesn't kill the
-    shell. Subprocess because the Thrift listener needs its own static
-    conf / JVM lifecycle (same pattern as the other thrift tests)."""
+    shell. Also pins !connect: the shell starts IN-PROCESS, runs one local
+    statement, then !connect retargets it onto the wire mid-session
+    (beeline's connect verb) — everything after runs over Thrift.
+    Subprocess because the Thrift listener needs its own static conf / JVM
+    lifecycle (same pattern as the other thrift tests)."""
     script = (
         "import io, sys\n"
         "from hdfs_hive_sql_playground_spark.engine import Engine\n"
@@ -101,13 +141,15 @@ def test_cli_sql_shell_wire_mode_persistent_session():
         "eng = Engine().start()\n"
         "server = eng.serve_thrift()\n"
         "sys.stdin = io.StringIO(\n"
-        "    'CREATE TEMPORARY VIEW tv AS SELECT 41 AS v;'\n"
+        "    'SELECT 7 AS local_first;\\n'\n"
+        "    + f'!connect {server.url}\\n'\n"
+        "    + 'CREATE TEMPORARY VIEW tv AS SELECT 41 AS v;'\n"
         "    'SELECT v + 1 AS answer FROM tv;'\n"
         "    \"SELECT field('b', 'a', 'b') AS pos;\"\n"
         "    'SELECT broken FROM nowhere;'\n"
         "    'SELECT TOP 1 v AS top_v FROM tv;'\n"
         ")\n"
-        "cli._sql_shell(eng, n=5, url=server.url)\n"
+        "cli._sql_shell(eng, n=5)\n"
         "server.stop()\n"
         "eng.stop()\n"
     )
@@ -120,6 +162,8 @@ def test_cli_sql_shell_wire_mode_persistent_session():
     )
     assert r.returncode == 0, r.stderr[-3000:]
     out = r.stdout
+    assert "local_first" in out, out  # in-process statement ran before !connect
+    assert "connected: jdbc:hive2://" in out, out  # !connect switched to the wire
     assert "answer\n42" in out, out  # temp view survived to the next statement
     assert "pos\n2" in out, out  # field() shim applied before the wire send
     assert "ERROR" in out, out  # bad statement reported...
