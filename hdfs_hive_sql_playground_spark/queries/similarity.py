@@ -691,7 +691,17 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "so the hot stage folds ONE 64-dim dot per pair, not three. Cost: "
     "one tiny broadcast, one cell- or (cell, shard)-keyed exchange, one "
     "vec_id-keyed exchange for the removed-set distinct + flag join. "
-    "Only ids and embeddings shuffle, never text.",
+    "Only ids and embeddings shuffle, never text. Round-8 attribution of "
+    "the fixed-cells x8 trend creep (ratio 3.28 -> 3.73 over r6-r7): the "
+    "x8 wall is REAL pair arithmetic, not session state — fresh-JVM "
+    "min-of-3 reproduces it (6.9-7.9 s vs 7.99 s in-session), the "
+    "dominance join stays broadcast at BOTH scales (no strategy flip), "
+    "and the persist+probe stage is 0.77 s of it; the pair-cosine stage "
+    "(~6.2 s, ~89%) carries the sum(cell^2)=64x law the fixed-cells leg "
+    "exists to document, and observed draw spread on this compute-bound "
+    "stage is ±15% (6.74-9.05 s across rounds/draws) — the r6->r7 "
+    "movement sits inside it. The honest production regime (cells-scaled "
+    "leg) held 1.71 -> 1.66.",
     bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

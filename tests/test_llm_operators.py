@@ -389,6 +389,195 @@ def test_q138_weighted_sample_matches_naive_reference(spark, sf_dir):
     assert got == want
 
 
+def test_q98_banded_simhash_matches_naive_reference(spark, sf_dir):
+    """Banded-SimHash near-dup checked against an independent naive Python
+    reference (not the SQL oracle, which shares the md5-prefix hash
+    construction with the Spark side): 32-bit simhash from per-distinct-
+    token bit votes, 4x8-bit banding for candidates, popcount Hamming
+    filter. Every (doc_a, doc_b, hamming) row must match."""
+    import hashlib
+    import re as _re
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter("doc_id < 200").select(
+        "doc_id", "text"
+    ).collect()
+    fp = {}
+    for r in docs:
+        toks = set(_re.split(r"\s+", r.text.strip().lower()))
+        if not toks:
+            continue
+        votes = [0] * 32
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            for j in range(32):
+                votes[j] += 1 if (h >> (31 - j)) & 1 else -1
+        fp[r.doc_id] = sum(1 << (31 - j) for j in range(32) if votes[j] > 0)
+    buckets: dict = {}
+    for doc_id, f in fp.items():
+        for b in range(SIMHASH_BANDS):
+            buckets.setdefault((b, (f >> (8 * b)) & 255), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cand.add((a, b))
+    want = {
+        (a, b, (fp[a] ^ fp[b]).bit_count())
+        for a, b in cand
+        if (fp[a] ^ fp[b]).bit_count() <= HAMMING_MAX
+    }
+    got = {
+        tuple(r)
+        for r in SPECS["q98_simhash_banded_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q103_srp_lsh_matches_naive_reference(spark, sf_dir):
+    """SRP-LSH near-dup checked against an independent naive Python
+    reference: Rademacher hyperplanes regenerated inline from their
+    definition (md5 nibble parity), sign bits from sequential-order dots
+    (IEEE-identical to Spark's left fold), 2x8-bit banding, candidate
+    buckets in a dict, cosine via dot/(|a||b|). Pair sets must match
+    exactly; cosines to 1e-9 (F.round is HALF_UP vs Python's banker's, so
+    the rounded column itself is compared with tolerance)."""
+    import hashlib
+    import math
+
+    from hdfs_hive_sql_playground_spark.queries.similarity import (
+        EMB_DIM,
+        NEARDUP_COS,
+        SRP_BAND_BITS,
+        SRP_BITS,
+        SRP_MAX_VEC,
+        _SRP_N_BANDS,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    w = [
+        [
+            1.0
+            if int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(SRP_BITS)
+    ]
+
+    def dotseq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {SRP_MAX_VEC}")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    norm = {k: math.sqrt(dotseq(v, v)) for k, v in vecs.items()}
+    buckets: dict = {}
+    for vid, v in vecs.items():
+        bits = [1 if dotseq(v, w[j]) >= 0 else 0 for j in range(SRP_BITS)]
+        for b in range(_SRP_N_BANDS):
+            bv = sum(bits[b * SRP_BAND_BITS + k] << k for k in range(SRP_BAND_BITS))
+            buckets.setdefault((b, bv), []).append(vid)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        cos = round(dotseq(vecs[a], vecs[b]) / (norm[a] * norm[b]), 6)
+        if cos >= NEARDUP_COS:
+            want[(a, b)] = cos
+    got = {
+        (r.vec_a, r.vec_b): r.cos_r6
+        for r in SPECS["q103_srp_lsh_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for pair, cos in got.items():
+        assert abs(cos - want[pair]) <= 1e-9, (pair, cos, want[pair])
+    assert want, "fixture produced no SRP near-dup pairs"
+
+
+def test_q124_semdedup_matches_naive_reference(spark, sf_dir):
+    """SemDeDup checked against an independent naive Python reference:
+    centroids = first N_CELLS vectors, assignment by argmax fold-cosine
+    (ties to lowest cid), removal when a strictly-centroid-closer cell-mate
+    sits within SEMDEDUP_COS. Sequential-order Python dots are
+    IEEE-identical to Spark's left fold, so cell, kept AND the raw
+    dominance comparisons reproduce exactly; the rounded ccos column is
+    compared with tolerance (HALF_UP vs banker's)."""
+    import math
+
+    from hdfs_hive_sql_playground_spark.queries.similarity import (
+        N_CELLS,
+        SEMDEDUP_COS,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    def dotseq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    norm = {k: math.sqrt(dotseq(v, v)) for k, v in vecs.items()}
+    cents = {cid: vecs[cid] for cid in vecs if cid < N_CELLS}
+    cnorm = {cid: math.sqrt(dotseq(v, v)) for cid, v in cents.items()}
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            (dotseq(v, cents[cid]) / (norm[vid] * cnorm[cid]), -cid)
+            for cid in sorted(cents)
+        )
+        assign[vid] = (-best[1], best[0])  # (cell, ccos)
+    by_cell: dict = {}
+    for vid, (cell, ccos) in assign.items():
+        by_cell.setdefault(cell, []).append((vid, ccos))
+    removed = set()
+    for cell, rows in by_cell.items():
+        for vid, ccos in rows:
+            for b_id, b_ccos in rows:
+                if b_id == vid:
+                    continue
+                if not (b_ccos > ccos or (b_ccos == ccos and b_id < vid)):
+                    continue
+                cos = dotseq(vecs[vid], vecs[b_id]) / (norm[vid] * norm[b_id])
+                if cos >= SEMDEDUP_COS:
+                    removed.add(vid)
+                    break
+    got = {
+        r.vec_id: (r.cell, r.centroid_cos_r6, r.kept)
+        for r in SPECS["q124_semdedup_prune"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, (cell, ccos_r6, kept) in got.items():
+        want_cell, want_ccos = assign[vid]
+        assert cell == want_cell, (vid, cell, want_cell)
+        assert kept == (vid not in removed), vid
+        assert abs(ccos_r6 - round(want_ccos, 6)) <= 1e-9, (vid, ccos_r6, want_ccos)
+    assert removed, "fixture produced no semantic duplicates"
+
+
 def test_q141_dsir_selection_matches_naive_reference(spark, sf_dir):
     """DSIR target-affinity selection checked against an independent naive
     Python reference: tokens bucket by hash48 % 4096, per-bucket corpus/

@@ -467,3 +467,90 @@ def test_streaming_crawl_front_plan_has_two_bounded_states(spark, tmp_path):
     assert plan.index("DeduplicateWithinWatermark [h#") < plan.index(
         "DeduplicateWithinWatermark [canonical_url#"
     ), plan
+
+
+def test_streaming_crawl_front_consistent_with_q143_batch(spark, tmp_path):
+    """Stream-vs-batch consistency on a SHARED fixture: the streaming front
+    half's survivors must be exactly q143's 'kept' set when fetches arrive
+    in doc_id order (one file per microbatch, so the stream's keep-first
+    state resolves each dup group to the same min-doc_id keeper the batch
+    audit picks), and each survivor must carry identical quality signals.
+    The fixture exercises all three drop stages: a URL-noise re-fetch
+    (doc 7 collides with doc 0's canonical key), a content re-post under a
+    different URL (doc 1 repeats doc 0's text), a combined case (doc 9
+    repeats doc 2's text at doc 2's URL key), and a too-short page (doc 3).
+    The stream input is built from the SAME documents rows via the SAME
+    url/html builders q143 composes, extraction included."""
+    import glob
+    import shutil
+
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+    from hdfs_hive_sql_playground_spark.queries.dedup import _synth_url
+    from hdfs_hive_sql_playground_spark.queries.text import _synth_html
+
+    long_a = " ".join(f"alpha{i:02d}" for i in range(30))
+    long_b = " ".join(f"bravo{i:02d}" for i in range(40))
+    long_c = " ".join(f"charlie{i:02d}" for i in range(28))
+    long_x = " ".join(f"xray{i:03d}" for i in range(33))
+    rows = [
+        (0, "src", long_a),   # kept (url key 0)
+        (1, "src", long_a),   # exact_dup of doc 0 at a different url
+        (2, "src", long_b),   # kept (url key 2)
+        (3, "src", "tiny page"),  # low_quality
+        (4, "src", long_c),   # kept
+        (7, "src", long_x),   # url_dup of doc 0 (7 % 7 == 0, case-noised host)
+        (9, "src", long_b),   # url_dup of doc 2 (9 % 7 == 2) AND content dup
+    ]
+    mini = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_mini = tmp_path / "sf_mini"
+    mini.write.mode("overwrite").parquet(str(sf_mini / "documents.parquet"))
+
+    batch = all_queries()["q143_crawl_front_pipeline"].fn(spark, str(sf_mini))
+    by_stage: dict = {}
+    signals = {}
+    for r in batch.collect():
+        by_stage.setdefault(r.stage, set()).add(r.doc_id)
+        signals[r.doc_id] = (r.n_words, r.mw_chars)
+    assert by_stage["kept"] == {0, 2, 4}, by_stage
+    assert by_stage["url_dup"] == {7, 9}, by_stage
+    assert by_stage["exact_dup"] == {1}, by_stage
+    assert by_stage["low_quality"] == {3}, by_stage
+
+    # Shared-construction stream input: same builders, extraction included;
+    # ts inside one watermark window, one FILE per doc in doc_id order so
+    # arrival order == doc_id order.
+    fetch = mini.select(
+        "doc_id",
+        _synth_url().alias("url"),
+        F.regexp_extract(_synth_html(), "<p>(.*)</p>", 1).alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    src = tmp_path / "fetch_stream"
+    src.mkdir()
+    for i, (did, _, _) in enumerate(rows):
+        stage_dir = str(tmp_path / f"stage_{did}")
+        fetch.filter(F.col("doc_id") == did).drop("doc_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage_dir)
+        part = glob.glob(stage_dir + "/part-*.parquet")[0]
+        shutil.move(part, str(src / f"{i:03d}.parquet"))
+    fetches = (
+        spark.readStream.schema("url string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = streaming.run_to_memory(
+        streaming.crawl_front_stream(fetches), "t_front_consist", output_mode="append"
+    )
+    got = sink.collect()
+    # survivors == batch 'kept' (set equality, the strongest form of the
+    # survivors-are-a-subset contract, available because arrival is ordered)
+    stream_docs = {}
+    for r in got:
+        # recover doc_id from the canonical url's ?id= (synth: doc_id % 7 is
+        # unique per keeper here: 0, 2, 4)
+        key = int(r.canonical_url.rsplit("id=", 1)[1])
+        stream_docs[key] = (r.n_words, r.mw_chars)
+    assert set(stream_docs) == {d % 7 for d in by_stage["kept"]}, got
+    for did in by_stage["kept"]:
+        assert stream_docs[did % 7] == signals[did], did
