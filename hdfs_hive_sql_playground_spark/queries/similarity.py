@@ -700,8 +700,13 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "(~6.2 s, ~89%) carries the sum(cell^2)=64x law the fixed-cells leg "
     "exists to document, and observed draw spread on this compute-bound "
     "stage is ±15% (6.74-9.05 s across rounds/draws) — the r6->r7 "
-    "movement sits inside it. The honest production regime (cells-scaled "
-    "leg) held 1.71 -> 1.66.",
+    "movement sits inside it. The ratio is also DENOMINATOR-sensitive: "
+    "the x1 base is a sub-2 s wall dominated by fixed per-stage overhead "
+    "(measured 1.40-2.14 s across runs, same plan), so a clean-base run "
+    "RAISES the printed ratio while the x8 wall improves (7.99 -> 7.43 s "
+    "in the same comparison); the bench now gives x1 bases a third draw. "
+    "Read the x8 walls as the signal. The honest production regime "
+    "(cells-scaled leg) x8 wall held 3.56 -> 3.16 s.",
     bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
