@@ -702,11 +702,14 @@ SEMDEDUP_COS = NEARDUP_COS  # same synthetic-corpus operating point
     "stage is ±15% (6.74-9.05 s across rounds/draws) — the r6->r7 "
     "movement sits inside it. The ratio is also DENOMINATOR-sensitive: "
     "the x1 base is a sub-2 s wall dominated by fixed per-stage overhead "
-    "(measured 1.40-2.14 s across runs, same plan), so a clean-base run "
-    "RAISES the printed ratio while the x8 wall improves (7.99 -> 7.43 s "
-    "in the same comparison); the bench now gives x1 bases a third draw. "
-    "Read the x8 walls as the signal. The honest production regime "
-    "(cells-scaled leg) x8 wall held 3.56 -> 3.16 s.",
+    "(fresh-JVM truth ~1.3-1.5 s; the r6/r7 in-session 2.05-2.14 s bases "
+    "were heap-inflated, UNDERSTATING those rounds' printed ratios), so a "
+    "clean-base run raises the ratio while the x8 walls improve (r7 -> "
+    "r8: fixed-cells 7.99 -> 6.77 s, cells-scaled 3.56 -> 2.84 s); the "
+    "bench now gives x1 bases a third draw. The honest clean-base ratios "
+    "are ~5.1 for fixed cells (vs the 64x pair-work law) and ~2.2 for "
+    "cells-scaled (vs 8x rows) — both strongly sublinear against their "
+    "laws. Read the x8 walls as the round-over-round signal.",
     bench=True,
 )
 def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
