@@ -389,6 +389,114 @@ def test_q138_weighted_sample_matches_naive_reference(spark, sf_dir):
     assert got == want
 
 
+def _round6_half_up(x: float) -> float:
+    """Spark's F.round on a double: HALF_UP over the double's shortest
+    decimal representation (BigDecimal.valueOf). Python's built-in round is
+    banker's, which differs on exactly-representable halves — e.g.
+    1/128 = 0.0078125 rounds to 0.007813 (Spark) vs 0.007812 (Python)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _naive_shingle_sets(rows, n=3):
+    """doc_id -> set of 48-bit hashes of its distinct n-word shingles,
+    independently reconstructed (strip/lower/whitespace-split, md5-prefix
+    hash) from the raw text."""
+    import re as _re
+
+    out = {}
+    for r in rows:
+        w = _re.split(r"\s+", r.text.strip().lower())
+        if len(w) < n:
+            out[r.doc_id] = set()
+            continue
+        sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        out[r.doc_id] = {_h48(s) for s in sh}
+    return out
+
+
+def test_q81_minhash_lsh_matches_naive_reference(spark, sf_dir):
+    """MinHash-LSH near-dup checked against an independent naive Python
+    reference (the oracle SQL shares the md5-prefix hash and the affine
+    minhash construction with the Spark side): shingle sets rebuilt from
+    raw text, 16 per-band minima of (a*(h mod p)+b) mod p, candidates via
+    shared (band, sig) buckets, exact hash-set Jaccard >= threshold. Pair
+    sets exact; the rounded jaccard column to 1e-9."""
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        _SEEDS,
+        JACCARD_MIN,
+        MERSENNE_P,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    hsets = _naive_shingle_sets(rows)
+    buckets: dict = {}
+    for doc_id, hs in hsets.items():
+        if not hs:
+            continue
+        for band, a, b in _SEEDS:
+            sig = min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            buckets.setdefault((band, sig), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                cand.add((x, y))
+    want = {}
+    for a, b in cand:
+        i = len(hsets[a] & hsets[b])
+        j = _round6_half_up(i / (len(hsets[a]) + len(hsets[b]) - i))
+        if j >= JACCARD_MIN:
+            want[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in SPECS["q81_minhash_lsh_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for pair, j in got.items():
+        assert abs(j - want[pair]) <= 1e-9, (pair, j, want[pair])
+    assert want, "fixture produced no minhash near-dup pairs"
+
+
+def test_q82_ngram_jaccard_matches_naive_reference(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (doc_id < 100) against an independent
+    naive Python set-ops reference: every (doc_a, doc_b, n_common) row
+    exact, jaccard to 1e-9."""
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id < 100")
+        .select("doc_id", "text")
+        .collect()
+    )
+    hsets = _naive_shingle_sets(rows)
+    ids = sorted(hsets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n_common = len(hsets[a] & hsets[b])
+            if n_common:
+                j = _round6_half_up(n_common / (len(hsets[a]) + len(hsets[b]) - n_common))
+                want[(a, b)] = (n_common, j)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in SPECS["q82_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for pair, (n_common, j) in got.items():
+        assert n_common == want[pair][0], pair
+        assert abs(j - want[pair][1]) <= 1e-9, pair
+    assert want, "fixture produced no overlapping shingle pairs"
+
+
 def test_q98_banded_simhash_matches_naive_reference(spark, sf_dir):
     """Banded-SimHash near-dup checked against an independent naive Python
     reference (not the SQL oracle, which shares the md5-prefix hash

@@ -554,3 +554,66 @@ def test_streaming_crawl_front_consistent_with_q143_batch(spark, tmp_path):
     assert set(stream_docs) == {d % 7 for d in by_stage["kept"]}, got
     for did in by_stage["kept"]:
         assert stream_docs[did % 7] == signals[did], did
+
+
+def test_streaming_crawl_front_state_survives_restart(spark, tmp_path):
+    """Restart semantics for the crawl front half: the two
+    dropDuplicatesWithinWatermark state stores must persist through a
+    checkpointed restart — a page kept in drain 1 must still block its URL
+    re-fetch AND its content re-post arriving in drain 2 (if the state were
+    lost, both would re-emit), while genuinely new pages in drain 2 emit
+    normally. This is the production path: availableNow drain → process
+    exits → new crawl files land → next drain resumes from the checkpoint."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    good = " ".join(f"word{i:02d}" for i in range(30))
+    fresh = " ".join(f"fresh{i:02d}" for i in range(35))
+    src = str(tmp_path / "restart_fetches")
+    ckpt = str(tmp_path / "restart_ckpt")
+    sink_dir = str(tmp_path / "restart_out")
+
+    def drain(rows, mode):
+        spark.createDataFrame(
+            rows, "url string, text string, ts timestamp"
+        ).coalesce(1).write.mode(mode).parquet(src)
+        fetches = spark.readStream.schema(
+            "url string, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming.crawl_front_stream(fetches)
+            .select("canonical_url", "n_words")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.canonical_url, r.n_words)
+            for r in spark.read.parquet(sink_dir).collect()
+        }
+
+    out1 = drain(
+        [("https://www.example.com/a?id=1&utm_source=x", good, t0)], "overwrite"
+    )
+    assert out1 == {("https://www.example.com/a?id=1", 30)}
+
+    out2 = drain(
+        [
+            # URL re-fetch of the drain-1 page (case/fragment noise): the
+            # restored canonical_url state must drop it
+            ("https://WWW.Example.COM/a/?id=1#frag", good, t0 + datetime.timedelta(minutes=1)),
+            # same content re-posted at a new url: restored hash state drops it
+            ("https://mirror.example.org/copy?id=9", good, t0 + datetime.timedelta(minutes=2)),
+            # genuinely new page: must emit
+            ("https://www.example.com/b?id=2", fresh, t0 + datetime.timedelta(minutes=3)),
+        ],
+        "append",
+    )
+    assert out2 == {
+        ("https://www.example.com/a?id=1", 30),
+        ("https://www.example.com/b?id=2", 35),
+    }, out2
