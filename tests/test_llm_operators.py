@@ -212,6 +212,33 @@ def test_url_canonicalizer_collapses_every_noise_variant(spark):
     assert not mismatches, mismatches[:5]
 
 
+def test_url_canonicalizer_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over the full noise grid plus pathless
+    and multi-param shapes: the canonical form must be a fixed point of the
+    canonicalizer, or re-canonicalizing already-deduped frontier state
+    (exactly what an incremental crawl does when it merges an old frontier
+    with fresh fetches) would split groups."""
+    import itertools
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+
+    urls = []
+    for host, path, q, frag in itertools.product(
+        ("WWW.Example.COM", "example.org"),
+        ("", "/", "/a/b", "/a/b/"),
+        ("", "?id=7", "?utm_source=x&id=7", "?id=7&page=3", "?utm_only=1"),
+        ("", "#frag"),
+    ):
+        urls.append((f"https://{host}{path}{q}{frag}",))
+    for keep in (("id",), ("id", "page")):
+        df = spark.createDataFrame(urls, "url string").select(
+            _canonical_url(F.col("url"), keep).alias("c1")
+        )
+        df = df.select("c1", _canonical_url(F.col("c1"), keep).alias("c2"))
+        diffs = df.filter(F.col("c1") != F.col("c2")).collect()
+        assert not diffs, (keep, diffs[:5])
+
+
 def test_url_canonicalizer_pathless_and_param_whitelist(spark):
     """The two real-crawl shapes the round-6 advice called out: (a) a
     path-less URL must not swallow the query string into the host, and
@@ -495,6 +522,58 @@ def test_q82_ngram_jaccard_matches_naive_reference(spark, sf_dir):
         assert n_common == want[pair][0], pair
         assert abs(j - want[pair][1]) <= 1e-9, pair
     assert want, "fixture produced no overlapping shingle pairs"
+
+
+def test_q105_dup_spans_matches_naive_reference(spark, sf_dir):
+    """Top-k duplicated spans against an independent naive Python counter:
+    every overlapping 8-word window counted per doc, cross-doc spans ranked
+    by (n_occ desc, n_docs desc, gram) with the same top-k cut."""
+    import re as _re
+    from collections import Counter
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import SPAN_N, SPAN_TOPK
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    occ: Counter = Counter()
+    docs: dict = {}
+    for r in rows:
+        w = _re.split(r"\s+", r.text.strip().lower())
+        if len(w) < SPAN_N:
+            continue
+        for i in range(len(w) - SPAN_N + 1):
+            gram = " ".join(w[i : i + SPAN_N])
+            occ[gram] += 1
+            docs.setdefault(gram, set()).add(r.doc_id)
+    ranked = sorted(
+        ((g, len(docs[g]), n) for g, n in occ.items() if len(docs[g]) >= 2),
+        key=lambda t: (-t[2], -t[1], t[0]),
+    )[:SPAN_TOPK]
+    want = [(g, nd, no) for g, nd, no in ranked]
+    got = [
+        (r.gram, r.n_docs, r.n_occ)
+        for r in SPECS["q105_dup_ngram_spans"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert want, "fixture produced no cross-document duplicated spans"
+
+
+def test_q119_hash_split_matches_naive_reference(spark, sf_dir):
+    """The 98/1/1 hash split against a naive Python re-derivation of the
+    bucket (md5-prefix 48-bit hash of the doc_id string, mod 100)."""
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id").collect()
+    want = {}
+    for r in rows:
+        b = _h48(str(r.doc_id)) % 100
+        want[r.doc_id] = (b, "train" if b < 98 else ("val" if b == 98 else "test"))
+    got = {
+        r.doc_id: (r.bucket, r.split)
+        for r in SPECS["q119_hash_split"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert {s for _, s in want.values()} == {"train", "val", "test"}
 
 
 def test_q98_banded_simhash_matches_naive_reference(spark, sf_dir):
