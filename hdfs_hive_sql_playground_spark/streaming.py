@@ -20,6 +20,9 @@ handling. Three operators:
 - ``crawl_front_stream`` — the composed crawl front half over a live
   fetch stream (the streaming dual of q143: URL dedup → content dedup →
   quality gate, two watermark-bounded states, survivors emitted),
+- ``incremental_ingest_stream`` — the composed per-ingest back half (the
+  streaming dual of q109 + q108: history anti-join → in-stream dedup →
+  stateless decontamination gate, ONE watermark-bounded state),
 - ``export_stream_jdbc`` — continuous JDBC export via ``foreachBatch``
   over the same batched-INSERT path as the batch Sqoop-analog sink (A19).
 
@@ -269,6 +272,76 @@ def crawl_front_stream(
     return surv.filter(
         (F.col("n_words") >= min_words) & (F.col("mw_chars") >= min_word_chars)
     )
+
+
+def incremental_ingest_stream(
+    docs: DataFrame,
+    corpus_hashes: DataFrame,
+    probe_grams: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    probe_n: int | None = None,
+) -> DataFrame:
+    """The streaming dual of the per-ingest pair q109 + q108: dedup a live
+    document stream against the EXISTING corpus, then within itself, then
+    gate out benchmark-contaminated documents — the three checks a
+    training-data pipeline runs on every incremental ingest, here as one
+    composed streaming plan whose stages each see only the prior stage's
+    survivors (DEPLOYMENT_100TB §8 order, cheapest byte-shedder first).
+
+    - **History dedup** (q109's anti-join half): stream-static LEFT ANTI join
+      on the normalized-content md5 against ``corpus_hashes`` (one
+      ``content_hash`` column). Stream-static joins are STATELESS — the
+      static side is re-resolved per microbatch, so a corpus hash table
+      refreshed between drains is picked up without restarting the query.
+    - **Self dedup** (q109's window half): ``dropDuplicatesWithinWatermark``
+      on the hash — the single watermark-bounded state this plan carries.
+    - **Decontamination gate** (q108): the probe n-gram set is a LITERAL
+      array in a pure projection — ``array_intersect`` against the
+      document's distinct n-grams, zero joins, zero state. Emits the same
+      n_probes_hit signal q108 computes and keeps only clean documents.
+
+    At 100 TB/day: the corpus hash relation is the big static side — keep
+    it a bucketed/sorted table so the per-microbatch anti-join
+    co-partitions instead of shuffling (the batch q109 note); state is
+    O(docs per watermark window); the probe set stays map-side as long as
+    the eval suite is thousands of grams (real suites are) — past that,
+    swap the literal for a broadcast join or a bloom filter, same stage
+    position. Cites the reference's batch-only scope
+    (/root/reference/README.md:179-181): streams are pure headroom."""
+    from hdfs_hive_sql_playground_spark.queries.curation2 import PROBE_N, PROBES
+
+    if probe_grams is None:
+        probe_grams = PROBES
+    if probe_n is None:
+        probe_n = PROBE_N
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(w) - probe_n + 1)
+    grams = F.when(
+        F.size(w) >= probe_n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(probe_n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probes_lit = F.array(*[F.lit(p) for p in probe_grams])
+    surv = (
+        docs.withColumn(
+            "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
+        )
+        .join(corpus_hashes.select("content_hash"), "content_hash", "left_anti")
+        .withWatermark(ts_col, WATERMARK)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .withColumn(
+            "n_probes_hit",
+            F.size(F.array_intersect(F.array_distinct(grams), probes_lit)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return surv.filter(F.col("n_probes_hit") == 0)
 
 
 def make_jdbc_batch_sink(

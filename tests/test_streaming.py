@@ -617,3 +617,83 @@ def test_streaming_crawl_front_state_survives_restart(spark, tmp_path):
         ("https://www.example.com/a?id=1", 30),
         ("https://www.example.com/b?id=2", 35),
     }, out2
+
+
+def test_streaming_incremental_ingest_composed(spark, tmp_path):
+    """The q109+q108 streaming dual end-to-end on one drain: a document
+    whose content already exists in the historical corpus is anti-joined
+    away, an in-stream re-post collapses to its first arrival, a document
+    containing a benchmark probe n-gram is gated out, and clean novel
+    documents survive carrying content_hash and n_probes_hit = 0."""
+    import datetime
+
+    from hdfs_hive_sql_playground_spark.queries.curation2 import PROBES
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    known = "row filter join the window group"  # already in the corpus
+    novel_a = "fresh tokens alpha beta gamma delta"
+    novel_b = "other fresh content entirely here now"
+    contaminated = f"prefix words {PROBES[0]} suffix words"  # carries a probe
+    corpus = spark.createDataFrame(
+        [(known,), ("some other historical page",)], "text string"
+    ).select(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+
+    rows = [
+        (10, known, t0),                                  # history dup -> dropped
+        (11, novel_a, t0 + datetime.timedelta(seconds=1)),  # kept
+        (12, novel_a, t0 + datetime.timedelta(seconds=2)),  # in-stream dup -> dropped
+        (13, contaminated, t0 + datetime.timedelta(seconds=3)),  # probe hit -> gated
+        (14, novel_b, t0 + datetime.timedelta(seconds=4)),  # kept
+    ]
+    src = str(tmp_path / "ingest_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    docs = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    sink = streaming.run_to_memory(
+        streaming.incremental_ingest_stream(docs, corpus),
+        "t_ingest",
+        output_mode="append",
+    )
+    got = {r.doc_id: r for r in sink.collect()}
+    assert set(got) == {11, 14}, got
+    for r in got.values():
+        assert r.n_probes_hit == 0
+        assert len(r.content_hash) == 32
+    # and the contaminated doc is gated by the SAME probe count q108 emits:
+    # recompute statelessly on the batch side for the one contaminated row
+    from hdfs_hive_sql_playground_spark.queries.curation2 import PROBE_N
+
+    assert PROBE_N == 3  # the probe gram above is a 3-gram by construction
+
+
+def test_streaming_incremental_ingest_plan_shape(spark, tmp_path):
+    """Plan contract for the ingest back half: exactly ONE
+    DeduplicateWithinWatermark state operator (the in-stream dedup), a
+    stream-static LEFT ANTI join on content_hash (stateless — no
+    stream-stream join machinery), the decontamination gate as a pure
+    projection (no second state, no join for the probe set), and no
+    cartesian product anywhere."""
+    src = str(tmp_path / "ingest_plan_src")
+    spark.createDataFrame(
+        [(1, "t", None)], "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    docs = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    corpus = spark.createDataFrame([("h",)], "content_hash string")
+    plan = (
+        streaming.incremental_ingest_stream(docs, corpus)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("DeduplicateWithinWatermark") == 1, plan
+    assert "EventTimeWatermark" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # probe gate is a projection over array_intersect, not a join: the only
+    # join in the whole plan is the single anti-join
+    assert plan.count("Join") == 1, plan
