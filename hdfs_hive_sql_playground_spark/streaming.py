@@ -327,12 +327,20 @@ def incremental_ingest_stream(
         ),
     ).otherwise(F.array().cast("array<string>"))
     probes_lit = F.array(*[F.lit(p) for p in probe_grams])
+    # Assign the watermark only when the input doesn't already carry one:
+    # Spark disallows REDEFINING a watermark downstream of a stateful
+    # operator, and the chained full-pipeline case (crawl_front_stream →
+    # here) arrives already watermarked on the same event-time column.
+    already_watermarked = "EventTimeWatermark" in (
+        docs._jdf.queryExecution().analyzed().toString()
+    )
+    staged = docs.withColumn(
+        "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
+    ).join(corpus_hashes.select("content_hash"), "content_hash", "left_anti")
+    if not already_watermarked:
+        staged = staged.withWatermark(ts_col, WATERMARK)
     surv = (
-        docs.withColumn(
-            "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
-        )
-        .join(corpus_hashes.select("content_hash"), "content_hash", "left_anti")
-        .withWatermark(ts_col, WATERMARK)
+        staged
         .dropDuplicatesWithinWatermark(["content_hash"])
         .withColumn(
             "n_probes_hit",

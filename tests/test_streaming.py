@@ -697,3 +697,42 @@ def test_streaming_incremental_ingest_plan_shape(spark, tmp_path):
     # probe gate is a projection over array_intersect, not a join: the only
     # join in the whole plan is the single anti-join
     assert plan.count("Join") == 1, plan
+
+
+def test_streaming_full_live_pipeline_chains_both_halves(spark, tmp_path):
+    """The full live pipeline = crawl_front_stream → incremental_ingest_
+    stream chained into ONE streaming plan, exactly as DEPLOYMENT_100TB §8
+    describes: three watermark-bounded dedup states (canonical URL, front
+    content hash, back in-stream hash) plus one stateless history
+    anti-join. A quality page whose content already sits in the historical
+    corpus must be dropped by the BACK half after surviving the front; a
+    novel quality page flows through both."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    known = " ".join(f"known{i:02d}" for i in range(30))
+    fresh = " ".join(f"fresh{i:02d}" for i in range(35))
+    corpus = spark.createDataFrame([(known,)], "text string").select(
+        F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    )
+    rows = [
+        ("https://www.example.com/a?id=1", known, t0),   # front-kept, back-dropped (history)
+        ("https://www.example.com/b?id=2", fresh, t0 + datetime.timedelta(seconds=1)),  # kept
+        ("https://www.example.com/c?id=3", "tiny", t0 + datetime.timedelta(seconds=2)),  # front quality gate
+    ]
+    src = str(tmp_path / "live_fetches")
+    spark.createDataFrame(
+        rows, "url string, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    fetches = spark.readStream.schema(
+        "url string, text string, ts timestamp"
+    ).parquet(src)
+    live = streaming.incremental_ingest_stream(
+        streaming.crawl_front_stream(fetches), corpus
+    )
+    plan = live._jdf.queryExecution().analyzed().toString()
+    assert plan.count("DeduplicateWithinWatermark") == 3, plan
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan, plan
+    sink = streaming.run_to_memory(live, "t_live_pipeline", output_mode="append")
+    got = {r.canonical_url for r in sink.collect()}
+    assert got == {"https://www.example.com/b?id=2"}, got
