@@ -524,6 +524,88 @@ def test_q82_ngram_jaccard_matches_naive_reference(spark, sf_dir):
     assert want, "fixture produced no overlapping shingle pairs"
 
 
+def test_q117_novelty_matches_naive_reference(spark, sf_dir):
+    """Per-document n-gram novelty against a naive Python reference that
+    works on the gram STRINGS directly (the Spark side keys on xxhash64;
+    string-level agreement additionally proves no collision perturbs the
+    fixture): distinct 3-grams per doc, first_doc = min doc_id per gram,
+    novelty = novel/total."""
+    import re as _re
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import NOVELTY_N
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    doc_grams = {}
+    first = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        w = _re.split(r"\s+", r.text.strip().lower())
+        if len(w) < NOVELTY_N:
+            continue
+        gs = {" ".join(w[i : i + NOVELTY_N]) for i in range(len(w) - NOVELTY_N + 1)}
+        doc_grams[r.doc_id] = gs
+        for g in gs:
+            first.setdefault(g, r.doc_id)
+    want = {}
+    for doc_id, gs in doc_grams.items():
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        want[doc_id] = (len(gs), novel, novel / len(gs))
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in SPECS["q117_ngram_novelty"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (n_grams, n_novel, novelty) in got.items():
+        assert (n_grams, n_novel) == want[doc_id][:2], doc_id
+        assert abs(novelty - want[doc_id][2]) <= 1e-12, doc_id
+
+
+def test_q122_surprisal_matches_naive_reference(spark, sf_dir):
+    """Unigram corpus-frequency scoring against a naive Python counter:
+    per-doc token count, summed corpus frequencies, integer-div mean."""
+    from collections import Counter
+
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    # Spark splits on a single space here (not \s+) — mirror exactly
+    toks = {r.doc_id: r.text.strip().lower().split(" ") for r in rows}
+    cnt: Counter = Counter(t for ts in toks.values() for t in ts)
+    want = {}
+    for doc_id, ts in toks.items():
+        mass = sum(cnt[t] for t in ts)
+        want[doc_id] = (len(ts), mass, mass // len(ts))
+    got = {
+        r.doc_id: (r.n_tok, r.freq_mass, r.mean_freq)
+        for r in SPECS["q122_unigram_surprisal"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q130_bpe_pairs_matches_naive_reference(spark, sf_dir):
+    """BPE char-pair merge counts against a naive Python counter: every
+    adjacent character pair of every word OCCURRENCE, ranked (n desc,
+    pair asc), same top-k cut."""
+    import re as _re
+    from collections import Counter
+
+    from hdfs_hive_sql_playground_spark.queries.text import TOPK_BPE_PAIRS
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for r in rows:
+        for w in _re.split(r"\s+", r.text.strip().lower()):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:TOPK_BPE_PAIRS]
+    got = [
+        (r.pair, r.n)
+        for r in SPECS["q130_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
 def test_q105_dup_spans_matches_naive_reference(spark, sf_dir):
     """Top-k duplicated spans against an independent naive Python counter:
     every overlapping 8-word window counted per doc, cross-doc spans ranked
