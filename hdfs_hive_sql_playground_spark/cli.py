@@ -166,6 +166,43 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
         _run_shell_stmt(run, stmt)
 
 
+def _validate(eng, names: list[str], sf_dir: str) -> list[str]:
+    """Run the DuckDB oracle compare for the named registry queries on the
+    engine's session (the print-health-report spirit extended to
+    semantics: does this deployment still reproduce the reference answers
+    bit-for-bit?). Prints one PASS/FAIL/ROWSONLY/UNKNOWN line per query,
+    returns the failing names. Oracle-less queries get the same rows-only
+    check the driver records for them."""
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+    from hdfs_hive_sql_playground_spark.oracle import compare
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    specs = all_queries()
+    fails: list[str] = []
+    for name in names:
+        spec = specs.get(name)
+        release_tracked_caches()
+        if spec is None:
+            print(f"UNKNOWN {name}")
+            fails.append(name)
+            continue
+        try:
+            if spec.oracle is None:
+                rows = spec.fn(eng.spark, sf_dir).count()
+                print(f"ROWSONLY {name} rows={rows}", flush=True)
+                continue
+            r = compare(name, spec.fn(eng.spark, sf_dir), spec.oracle, sf_dir)
+            print(("PASS" if r.ok else "FAIL"), name, flush=True)
+            if not r.ok:
+                fails.append(name)
+                print(r.report())
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print("ERROR", name, str(e)[:300], flush=True)
+            fails.append(name)
+    print(f"VALIDATE_DONE checked={len(names)} fails={len(fails)}")
+    return fails
+
+
 def _run_shell_stmt(run, stmt: str) -> None:
     try:
         run(stmt)
@@ -219,6 +256,22 @@ def main(argv: list[str] | None = None) -> int:
         "beeline analog; omit for the in-process session",
     )
 
+    val = sub.add_parser(
+        "validate",
+        help="run the DuckDB oracle compare for registered queries — the "
+        "print-health-report spirit extended to semantics (PASS/FAIL per "
+        "query, nonzero exit on any failure)",
+    )
+    val.add_argument(
+        "queries",
+        nargs="*",
+        help="query names (default: the driver window, i.e. the first N registry entries)",
+    )
+    val.add_argument("--testdata", default="/root/testdata/sf0.01", help="sf dir")
+    val.add_argument(
+        "-n", type=int, default=50, help="with no names: check the first N registry entries"
+    )
+
     srv = sub.add_parser(
         "serve-thrift",
         help="serve the session over the HiveServer2 wire protocol "
@@ -264,6 +317,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.m33:
                 eng.m33_create_views()
             _sql_shell(eng, n=args.n, url=args.url)
+        elif args.verb == "validate":
+            from hdfs_hive_sql_playground_spark.queries import all_queries
+
+            names = args.queries or list(all_queries())[: args.n]
+            if _validate(eng, names, args.testdata):
+                return 1
         elif args.verb == "serve-thrift":
             if args.testdata:
                 eng.register_testdata(args.testdata)

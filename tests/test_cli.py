@@ -168,3 +168,25 @@ def test_cli_sql_shell_wire_mode_persistent_session():
     assert "pos\n2" in out, out  # field() shim applied before the wire send
     assert "ERROR" in out, out  # bad statement reported...
     assert "top_v\n41" in out, out  # ...and the session survived it (TOP shim too)
+
+
+def test_cli_validate_helper_reports_pass_rowsonly_unknown(spark, sf_dir, capsys):
+    """The validate verb's engine: a hash-checked query prints PASS, the
+    rows-only-by-design query prints ROWSONLY, an unknown name prints
+    UNKNOWN and is the only failure returned."""
+    from hdfs_hive_sql_playground_spark import cli
+    from hdfs_hive_sql_playground_spark.engine import Engine
+    from hdfs_hive_sql_playground_spark.session import get_spark
+
+    eng = Engine(_spark=get_spark())  # shared test session; no start()/stop()
+    fails = cli._validate(
+        eng,
+        ["q80_exact_dedup", "q06_approx_distinct", "no_such_query"],
+        sf_dir,
+    )
+    out = capsys.readouterr().out
+    assert "PASS q80_exact_dedup" in out, out
+    assert "ROWSONLY q06_approx_distinct" in out, out
+    assert "UNKNOWN no_such_query" in out, out
+    assert fails == ["no_such_query"]
+    assert "VALIDATE_DONE checked=3 fails=1" in out, out
