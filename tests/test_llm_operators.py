@@ -524,6 +524,165 @@ def test_q82_ngram_jaccard_matches_naive_reference(spark, sf_dir):
     assert want, "fixture produced no overlapping shingle pairs"
 
 
+def _naive_cos_tools(spark, sf_dir):
+    """(vecs, norms, dotseq) for the embedding family's naive references —
+    sequential-order Python dots are IEEE-identical to Spark's left fold."""
+    import math
+
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    def dotseq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    norm = {k: math.sqrt(dotseq(v, v)) for k, v in vecs.items()}
+    return vecs, norm, dotseq
+
+
+def test_q85_bruteforce_ann_matches_naive_reference(spark, sf_dir):
+    """Brute-force cosine top-k against a naive Python reference: for each
+    query vector (vec_id < N_QUERIES), every other vector scored, top-k by
+    (cos desc, neighbor_id asc). Exact rank equality — the tie order is
+    part of the contract."""
+    from hdfs_hive_sql_playground_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    vecs, norm, dotseq = _naive_cos_tools(spark, sf_dir)
+    want = {}
+    for qid in [v for v in vecs if v < N_QUERIES]:
+        scored = sorted(
+            (
+                (-dotseq(vecs[qid], vecs[n]) / (norm[qid] * norm[n]), n)
+                for n in vecs
+                if n != qid
+            ),
+        )[:TOP_K]
+        for rnk, (negcos, n) in enumerate(scored, 1):
+            want[(qid, n, rnk)] = _round6_half_up(-negcos)
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk): r.cos_r6
+        for r in SPECS["q85_ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, cos in got.items():
+        assert abs(cos - want[key]) <= 1e-9, key
+
+
+def test_q86_ivf_ann_matches_naive_reference(spark, sf_dir):
+    """IVF-probed ANN against a naive Python reference: vectors assigned to
+    their argmax-cosine centroid (ties to lowest cid), each query probes
+    its PROBE_CELLS nearest cells, candidates ranked by exact cosine with
+    the same tie order. Exact output equality — including which neighbors
+    the probe set can and cannot reach."""
+    from hdfs_hive_sql_playground_spark.queries.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        PROBE_CELLS,
+        TOP_K,
+    )
+
+    vecs, norm, dotseq = _naive_cos_tools(spark, sf_dir)
+    cents = {cid: vecs[cid] for cid in vecs if cid < N_CELLS}
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            (dotseq(v, cents[c]) / (norm[vid] * norm[c]), -c) for c in sorted(cents)
+        )
+        assign.setdefault(-best[1], []).append(vid)
+    want = {}
+    for qid in [v for v in vecs if v < N_QUERIES]:
+        probe = sorted(
+            ((-dotseq(vecs[qid], cents[c]) / (norm[qid] * norm[c]), c) for c in cents),
+        )[:PROBE_CELLS]
+        cand = [n for _, c in probe for n in assign.get(c, []) if n != qid]
+        scored = sorted(
+            ((-dotseq(vecs[qid], vecs[n]) / (norm[qid] * norm[n]), n) for n in cand),
+        )[:TOP_K]
+        for rnk, (negcos, n) in enumerate(scored, 1):
+            want[(qid, n, rnk)] = _round6_half_up(-negcos)
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk): r.cos_r6
+        for r in SPECS["q86_ivf_ann_topk"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, cos in got.items():
+        assert abs(cos - want[key]) <= 1e-9, key
+
+
+def test_q87_components_match_naive_bfs_reference(spark, sf_dir):
+    """Near-dup connected components against a third, algorithm-independent
+    implementation: Python BFS over the df-capped share-a-shingle edge
+    graph (the Spark side runs label propagation; the DuckDB oracle a
+    recursive CTE — this reference shares neither). Component label =
+    min doc_id; only docs with at least one edge appear."""
+    import re as _re
+    from collections import deque
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        MAX_SHINGLE_DF,
+        SHINGLE_N,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id < 100")
+        .select("doc_id", "text")
+        .collect()
+    )
+    by_shingle: dict = {}
+    for r in rows:
+        w = _re.split(r"\s+", r.text.strip().lower())
+        if len(w) < SHINGLE_N:
+            continue
+        for s in {
+            " ".join(w[i : i + SHINGLE_N]) for i in range(len(w) - SHINGLE_N + 1)
+        }:
+            by_shingle.setdefault(s, set()).add(r.doc_id)
+    adj: dict = {}
+    for s, docs in by_shingle.items():
+        if len(docs) > MAX_SHINGLE_DF or len(docs) < 2:
+            continue
+        docs = sorted(docs)
+        for i, u in enumerate(docs):
+            for v in docs[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    want = {}
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, queue = [], deque([start])
+        seen.add(start)
+        while queue:
+            u = queue.popleft()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    queue.append(v)
+        label = min(comp)
+        for u in comp:
+            want[u] = label
+    got = {
+        r.doc_id: r.component
+        for r in SPECS["q87_neardup_components"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no near-dup components"
+
+
 def test_q117_novelty_matches_naive_reference(spark, sf_dir):
     """Per-document n-gram novelty against a naive Python reference that
     works on the gram STRINGS directly (the Spark side keys on xxhash64;
