@@ -619,6 +619,67 @@ def test_q86_ivf_ann_matches_naive_reference(spark, sf_dir):
         assert abs(cos - want[key]) <= 1e-9, key
 
 
+def test_q137_kmeans_refine_matches_naive_reference(spark, sf_dir):
+    """One k-means refinement step against a naive Python reference:
+    argmax-cosine assignment, per-(cell, dim) integer partial sums of
+    round(x*1e6) (HALF_UP, like F.round), centroid = sums/(n*1e6),
+    re-assignment by the same tie order, per-cell (n_vecs, sum_cos_e6,
+    moved). Integer columns exact; float path shares the sequential fold
+    so the rounded sums land exactly."""
+    import decimal
+    import math
+
+    from hdfs_hive_sql_playground_spark.queries.similarity import N_CELLS
+
+    def ihalf_up(x: float) -> int:
+        return int(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    vecs, norm, dotseq = _naive_cos_tools(spark, sf_dir)
+    cents0 = {cid: vecs[cid] for cid in vecs if cid < N_CELLS}
+    assign0 = {}
+    for vid, v in vecs.items():
+        best = max(
+            (dotseq(v, cents0[c]) / (norm[vid] * norm[c]), -c)
+            for c in sorted(cents0)
+        )
+        assign0[vid] = -best[1]
+    dims = len(next(iter(vecs.values())))
+    sums: dict = {}
+    sizes: dict = {}
+    for vid, cell in assign0.items():
+        sizes[cell] = sizes.get(cell, 0) + 1
+        s = sums.setdefault(cell, [0] * dims)
+        for i, x in enumerate(vecs[vid]):
+            s[i] += ihalf_up(x * 1000000)
+    cents1 = {
+        cell: [float(s[i]) / float(sizes[cell] * 1000000) for i in range(dims)]
+        for cell, s in sums.items()
+    }
+    ncv = {c: math.sqrt(dotseq(v, v)) for c, v in cents1.items()}
+    want: dict = {}
+    for vid, v in vecs.items():
+        best = max(
+            (dotseq(v, cents1[c]) / (norm[vid] * ncv[c]), -c)
+            for c in sorted(cents1)
+        )
+        cell, rcos = -best[1], best[0]
+        n, sc, mv = want.get(cell, (0, 0, 0))
+        want[cell] = (
+            n + 1,
+            sc + ihalf_up(rcos * 1000000),
+            mv + (1 if cell != assign0[vid] else 0),
+        )
+    got = {
+        r.cell: (r.n_vecs, r.sum_cos_e6, r.moved)
+        for r in SPECS["q137_kmeans_refine"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_q87_components_match_naive_bfs_reference(spark, sf_dir):
     """Near-dup connected components against a third, algorithm-independent
     implementation: Python BFS over the df-capped share-a-shingle edge
