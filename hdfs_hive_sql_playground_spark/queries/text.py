@@ -207,7 +207,7 @@ def _bucketed_hash_order_rank(
     "q90_language_id",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
@@ -300,7 +300,12 @@ def q91_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round((n_chars - n_punct) / n_chars, 6).alias("alnum_ratio"),
+        # try_divide, not /: an EMPTY document has n_chars = 0, and under
+        # ANSI mode a plain divide kills the whole 100 TB job on one such
+        # row; NULL matches the oracle's divide-by-zero result (found by
+        # tests/test_adversarial_corpus.py). n_tokens is never 0 (split of
+        # '' is ['']), so the other ratios keep the plain divide.
+        F.round(F.try_divide(n_chars - n_punct, n_chars), 6).alias("alnum_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(n_chars / n_tokens, 6).alias("mean_token_span"),
         F.when((n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio >= 0.01), 1)
@@ -340,7 +345,7 @@ def q92_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_fingerprint",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
     )
     SELECT
       doc_id,
@@ -380,7 +385,7 @@ def q93_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_tfidf_top_terms",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
       FROM documents WHERE doc_id < 200
     ),
     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -502,7 +507,7 @@ CURATION_QUOTA = 15
       WHERE rn = 1
     ),
     toks AS (
-      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       FROM documents
     ),
     hits AS (
@@ -624,7 +629,7 @@ TOPK_BIGRAMS = 50
     "q100_bigram_topk",
     oracle=f"""
     WITH words AS (
-      SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
     ),
     bi AS (
       SELECT UNNEST(list_transform(range(1, len(w)),
@@ -668,7 +673,7 @@ def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_repetition_signals",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id, ws,
@@ -703,10 +708,22 @@ def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(F.col("text"))
 
     def ngrams(n: int):
+        # Guarded like _doc_ngrams: for a document shorter than n,
+        # sequence(1, size-n+1) DESCENDS (Spark infers step -1), producing
+        # indices past the array and an ANSI element_at crash — one 1-token
+        # doc would kill the whole job (found by
+        # tests/test_adversarial_corpus.py). Empty array matches the
+        # oracle's empty range().
         idx = F.sequence(F.lit(1), F.size(w) - n + 1)
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
-        )
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     def dup_frac(arr):
         total = F.size(arr)
@@ -738,7 +755,7 @@ PACK_BUDGET = 256
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     )
     SELECT doc_id, lang, n_tok,
@@ -775,7 +792,7 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_collapse_repeats",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
     ),
     kept AS (
       SELECT doc_id, ws,
@@ -904,7 +921,7 @@ MIX_TOKEN_BUDGET = 20_000
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     w AS (
@@ -979,7 +996,7 @@ def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     hist AS (
@@ -1298,7 +1315,7 @@ TOPK_BPE_PAIRS = 60
     "q130_bpe_pair_counts",
     oracle=f"""
     WITH words AS (
-      SELECT UNNEST(string_split(lower(trim(text)), ' ')) AS w FROM documents
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
     ),
     pairs AS (
       SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair

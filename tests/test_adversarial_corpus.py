@@ -1,0 +1,115 @@
+"""Cross-engine oracle gate on an ADVERSARIAL mini-corpus.
+
+The synthetic testdata documents are well-behaved (ASCII vocabulary words,
+single spaces, non-empty). Real crawls are not. This suite re-runs the
+documents-only text/dedup operators through the same Spark-vs-DuckDB
+value-hash compare on a corpus built to break string handling: empty and
+whitespace-only texts, unicode (CJK / emoji / combining accents),
+quotes and backslashes, regex metacharacters, HTML-closing tags inside the
+payload (the q142/q143 extraction regex must agree across engines on
+those), pathological repetition, exact duplicates, and a long document.
+
+Any cross-engine divergence on these inputs is a REAL bug one engine would
+ship silently — exactly the class the fixture's distribution can't reach.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hdfs_hive_sql_playground_spark.oracle import compare
+from hdfs_hive_sql_playground_spark.queries import all_queries
+
+SPECS = all_queries()
+
+WORDS30 = " ".join(f"w{i:02d}" for i in range(30))
+
+ADVERSARIAL_DOCS = [
+    # (doc_id, text)
+    (0, ""),  # empty
+    (1, "   "),  # whitespace-only
+    (2, "solo"),  # single word
+    (3, "汉字 漢字 かな カナ 한글 mixed ascii"),  # CJK + Korean
+    (4, "emoji 🙂 🚀 test combining é acute"),  # emoji + combining mark
+    (5, "it's \"quoted\" back\\slash 'single'"),  # quote/backslash soup
+    (6, "regex .* meta [chars] (parens) |pipe| ^caret$ +plus? {brace}"),
+    (7, "html </p> closing <p> tags <script> inside </script> payload"),
+    (8, "dup dup dup dup dup dup dup dup dup dup"),  # pathological repetition
+    (9, WORDS30),  # normal long-ish doc
+    (10, WORDS30),  # exact duplicate of 9
+    (11, " ".join(f"long{i:04d}" for i in range(2000))),  # long doc
+    (12, "tab\tseparated and multi  space   runs"),
+    (13, "MiXeD CaSe TEXT lower UPPER"),
+]
+
+# Documents-only operators whose semantics must survive the corpus above.
+# (Operators needing other tables, fixture-scale caps, or multimodal
+# payload conventions are exercised by the standard gate instead.)
+ADVERSARIAL_QUERIES = (
+    "q80_exact_dedup",
+    "q82_ngram_jaccard_pairs",
+    "q90_language_id",
+    "q91_quality_score",
+    "q105_dup_ngram_spans",
+    "q106_repetition_signals",
+    "q113_collapse_repeats",
+    "q114_pii_redact",
+    "q117_ngram_novelty",
+    "q122_unigram_surprisal",
+    "q130_bpe_pair_counts",
+    "q132_gopher_rules",
+    "q136_segment_dedup_rewrite",
+    "q142_html_boilerplate_strip",
+    "q143_crawl_front_pipeline",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    # documents.parquet must be a single FILE (like the driver's testdata):
+    # the oracle's read_parquet takes the literal path, not a directory.
+    import glob
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("adversarial_sf"))
+    rows = [
+        (doc_id, text, "en" if doc_id % 2 == 0 else "de", f"src{doc_id % 3}", len(text))
+        for doc_id, text in ADVERSARIAL_DOCS
+    ]
+    staging = os.path.join(d, "_staging")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(d, "documents.parquet"),
+    )
+    shutil.rmtree(staging)
+    return d
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
+def test_adversarial_corpus_cross_engine(spark, adversarial_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    r = compare(name, spec.fn(spark, adversarial_dir), spec.oracle, adversarial_dir)
+    assert r.ok, r.report()
+
+
+def test_fixture_tokenizers_agree(spark, sf_dir):
+    """The round-8 oracle alignment (string_split ' ' ->
+    string_split_regex '\\s+' in 20 oracles, matching the Spark side's
+    _words) must be a NO-OP on the driver's fixture: both tokenizations
+    agree on every fixture document (no tabs, newlines, or multi-space
+    runs), so pre-alignment driver-green vintages remain valid
+    attestations for those queries and they don't claim window slots."""
+    import pyspark.sql.functions as F
+
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    diff = d.filter(F.split(t, " ") != F.split(t, r"\s+")).count()
+    assert diff == 0, f"{diff} fixture docs tokenize differently"
