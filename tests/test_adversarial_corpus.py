@@ -49,18 +49,40 @@ ADVERSARIAL_DOCS = [
 # payload conventions are exercised by the standard gate instead.)
 ADVERSARIAL_QUERIES = (
     "q80_exact_dedup",
+    "q81_minhash_lsh_neardup",
     "q82_ngram_jaccard_pairs",
+    "q83_simhash",
+    "q87_neardup_components",
+    "q88_tfidf_top_terms",
     "q90_language_id",
     "q91_quality_score",
+    "q92_token_count",
+    "q93_fingerprint",
+    "q94_stratified_quota",
+    "q98_simhash_banded_neardup",
+    "q100_bigram_topk",
+    "q104_heavy_hitters",
     "q105_dup_ngram_spans",
     "q106_repetition_signals",
+    "q112_sequence_packing",
     "q113_collapse_repeats",
     "q114_pii_redact",
+    "q115_domain_mix_sample",
+    "q116_canonical_per_cluster",
     "q117_ngram_novelty",
+    "q118_length_trim",
+    "q119_hash_split",
+    "q120_budget_select",
+    "q121_pack_stats",
     "q122_unigram_surprisal",
+    "q123_source_overlap",
     "q130_bpe_pair_counts",
     "q132_gopher_rules",
     "q136_segment_dedup_rewrite",
+    "q138_weighted_sample",
+    "q139_leakage_safe_split",
+    "q140_url_canonical_dedup",
+    "q141_target_affinity_select",
     "q142_html_boilerplate_strip",
     "q143_crawl_front_pipeline",
 )
