@@ -47,10 +47,12 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # parquet-footer metadata count instead of an eager d.count()), then
 # (c) backfill with the four stalest r6 rows. Late-round-8 amendment:
 # the adversarial-corpus suite (tests/test_adversarial_corpus.py) found
-# two REAL code bugs fixed this round — q91 (ANSI divide-by-zero on an
-# empty document) and q106 (descending-sequence element_at crash on a
-# sub-n-token document) — so both enter the window as changed, evicting
-# the two newest r6 backfills (q110, q71). The same suite drove a
+# three REAL code bugs fixed this round — q91 (ANSI divide-by-zero on an
+# empty document), q106 (descending-sequence element_at crash on a
+# sub-n-token document), and q60 (ANSI cast crash on a non-numeric JSON
+# value; q60 already sits in the r5 lead block, so it claims no extra
+# slot) — q91 and q106 enter the window as changed, evicting the two
+# newest r6 backfills (q110, q71). The same suite drove a
 # tokenizer alignment in 20 oracles (string_split ' ' ->
 # string_split_regex '\s+', matching the Spark side's _words): that
 # change is PROVABLY a no-op on the driver fixture

@@ -24,19 +24,30 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 @register(
     "q60_json_extract",
     oracle="""
+    WITH e AS (
+      SELECT event_type,
+             TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS k
+      FROM events
+    )
     SELECT
       event_type,
       COUNT(*) AS n,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      CAST(MAX(k) AS BIGINT) AS max_k
+    FROM e
     GROUP BY event_type
     """,
-    doc="get_json_object over a JSON props column + agg (Hive JSON functions).",
+    doc="get_json_object over a JSON props column + agg (Hive JSON functions). "
+    "try_cast, not cast: a single event whose props carry a non-numeric k "
+    "(crawl reality) must contribute NULL, not kill the whole job under "
+    "ANSI mode — found by tests/test_adversarial_corpus.py; TRY_CAST keeps "
+    "the oracle's semantics identical.",
 )
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),

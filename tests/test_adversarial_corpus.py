@@ -135,3 +135,76 @@ def test_fixture_tokenizers_agree(spark, sf_dir):
     t = F.lower(F.trim(F.col("text")))
     diff = d.filter(F.split(t, " ") != F.split(t, r"\s+")).count()
     assert diff == 0, f"{diff} fixture docs tokenize differently"
+
+
+EVENT_QUERIES = (
+    "q60_json_extract",
+    "q61_tumbling_window",
+    "q62_sessionize",
+    "q63_pivot",
+    "q64_session_window",
+    "q65_asof_join",
+    "q66_range_join_bucketed",
+    "q67_multires_rollup",
+    "q68_keep_latest_per_key",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    """Events the synthetic fixture can't produce: malformed / empty / null
+    JSON props, non-numeric k values, TIED timestamps for one user (the
+    tie-determinism hazard for sessionize / as-of / keep-latest), epoch 0,
+    a far-past and far-future timestamp, empty event_type, and null
+    value doubles."""
+    import datetime
+    import glob
+    import shutil
+
+    t0 = datetime.datetime(2026, 3, 1, 10, 0, 0)
+
+    def ts(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (1, ts(), 1, "click", 1.0, '{"k": 5}'),
+        (2, ts(minutes=1), 1, "click", 2.0, "not json at all"),
+        (3, ts(minutes=2), 1, "view", 3.0, ""),
+        (4, ts(minutes=3), 1, "view", None, None),
+        (5, ts(minutes=4), 1, "buy", 4.0, '{"k": "notanum"}'),
+        (6, ts(minutes=5), 1, "buy", 5.0, '{"nested": {"k": 7}}'),
+        # tied timestamps, same user: two events at the identical instant
+        (7, ts(hours=2), 2, "click", 1.5, '{"k": 1}'),
+        (8, ts(hours=2), 2, "view", 2.5, '{"k": 2}'),
+        # epoch boundary and extremes
+        (9, datetime.datetime(1970, 1, 1, 0, 0, 0), 3, "click", 0.0, '{"k": 0}'),
+        (10, datetime.datetime(1969, 12, 31, 23, 59, 59), 3, "view", -1.0, '{"k": -9}'),
+        (11, datetime.datetime(2100, 1, 1, 0, 0, 0), 3, "buy", 9.0, '{"k": 99}'),
+        # empty event_type; unicode type
+        (12, ts(hours=3), 4, "", 1.0, '{"k": 3}'),
+        (13, ts(hours=3, minutes=1), 4, "点击", 2.0, '{"k": 4}'),
+    ]
+    d = str(tmp_path_factory.mktemp("adversarial_events"))
+    staging = os.path.join(d, "_staging")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(staging)
+    return d
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_cross_engine(spark, adversarial_events_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    r = compare(
+        name, spec.fn(spark, adversarial_events_dir), spec.oracle, adversarial_events_dir
+    )
+    assert r.ok, r.report()
