@@ -208,3 +208,40 @@ def test_adversarial_events_cross_engine(spark, adversarial_events_dir, name):
         name, spec.fn(spark, adversarial_events_dir), spec.oracle, adversarial_events_dir
     )
     assert r.ok, r.report()
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN zero-norm divergence, round-9 work: Spark IEEE float "
+    "division gives cos=NaN for a zero-norm embedding and NaN sorts FIRST "
+    "in a DESC rank (a zero vector tops every ANN list), while DuckDB "
+    "float division by zero yields NULL which sorts LAST — the similarity "
+    "family (q84-q86, q97, q103, q124, q137) should move to try_divide "
+    "(NULL, matching the oracle) with a full verification cycle; this "
+    "test flips to a hard failure the moment that fix lands, forcing its "
+    "promotion to a real contract test.",
+)
+def test_zero_norm_embedding_known_divergence(spark, tmp_path):
+    import glob
+    import shutil
+
+    d = str(tmp_path / "adversarial_emb")
+    rows = [
+        (i, [float(i + j + 1) for j in range(64)], "a") for i in range(8)
+    ] + [
+        (8, [0.0] * 64, "zero"),  # the zero-norm vector
+        (9, [1e-300] * 64, "tiny"),
+    ]
+    staging = os.path.join(d, "_staging")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(d, exist_ok=True)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(d, "embeddings.parquet"),
+    )
+    shutil.rmtree(staging)
+    spec = SPECS["q85_ann_bruteforce_topk"]
+    r = compare("q85", spec.fn(spark, d), spec.oracle, d)
+    assert r.ok, r.report()
