@@ -82,7 +82,12 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cos(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide, not `/`: a zero-norm embedding (padding row, all-stopword
+    # doc) must yield NULL — which sorts LAST under any DESC rank, matching
+    # DuckDB's divide-by-zero semantics — instead of an ANSI DIVIDE_BY_ZERO
+    # crash (or, with ANSI off, a NaN that sorts FIRST and tops every ANN
+    # list). Value is bit-identical to plain division for nonzero norms.
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +124,14 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     At a production-scale codebook the per-row scan over N_CELLS
     centroids is the same n x N_CELLS dot cost either path pays;
     past ~10^5 cells swap in a two-level (coarse-then-fine) codebook,
-    not a shuffle."""
+    not a shuffle.
+
+    Zero-norm rows: ccos is try_divide -> NULL, and a NULL struct field
+    sorts SMALLEST under array_max, so a zero-norm vector (all-NULL
+    scores) falls through to the cid tiebreak (cell 0) and a zero-norm
+    CENTROID can never win a non-null score — both exactly what the
+    oracle's ORDER BY ccos DESC (NULLS LAST), cid produces. Contract-
+    tested on the zero/underflow fixture in test_adversarial_corpus."""
     e = _embeddings(spark, sf_dir).withColumn(
         "__nv", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
@@ -136,9 +148,9 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (_dot(F.col("v"), c["cv"]) / (F.col("__nv") * c["__ncv"])).alias(
-                    "ccos"
-                ),
+                F.try_divide(
+                    _dot(F.col("v"), c["cv"]), F.col("__nv") * c["__ncv"]
+                ).alias("ccos"),
                 (-c["cid"]).alias("__negcid"),
                 c["cid"].alias("cid"),
             ),
@@ -211,7 +223,9 @@ def q84_embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"),
         F.col("__nv").alias("__nb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+    cos = F.try_divide(
+        _dot(F.col("va"), F.col("vb")), F.col("__na") * F.col("__nb")
+    )
     pairs = (
         a.select(
             F.col("vec_id").alias("vec_a"),
@@ -268,8 +282,8 @@ def q85_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))
+            F.try_divide(
+                _dot(F.col("qv"), F.col("v")), F.col("__nq") * F.col("__nv")
             ).alias("cos"),
         )
     )
@@ -351,8 +365,8 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv"))
+            F.try_divide(
+                _dot(F.col("qv"), F.col("v")), F.col("__nq") * F.col("__nv")
             ).alias("cos"),
         )
     )
@@ -464,7 +478,11 @@ def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # NaN-guarded normalize: a zero-norm row stays all-NaN (instead of a
+    # divide RuntimeWarning), and NaN cosines become NULL downstream so a
+    # zero vector ranks LAST, matching the oracle's divide-by-zero NULL.
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = np.divide(qm, qn, out=np.full_like(qm, np.nan), where=qn != 0.0)
 
     def score_batches(batches):
         for pdf in batches:
@@ -472,7 +490,8 @@ def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            m = np.divide(m, n, out=np.full_like(m, np.nan), where=n != 0.0)
             s = m @ qm.T  # (batch, queries) cosine matrix
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
@@ -482,7 +501,15 @@ def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = min(TOP_K, len(cand_ids))
                 if k == 0:
                     continue
-                part = np.argpartition(-cand_cos, k - 1)[:k]
+                # lexsort, not argpartition: primary key -cos ascending
+                # (= cos DESC, NaN sorts last like the oracle's NULL),
+                # ties broken by neighbor_id ASC — so each batch's top-k
+                # is the batch prefix of the GLOBAL (cos DESC NULLS LAST,
+                # id ASC) order and the union provably contains the global
+                # top-k even with tied or NaN cosines. The matmul still
+                # dominates the stage; the sort is per (batch, query) over
+                # the batch only.
+                part = np.lexsort((cand_ids, -cand_cos))[:k]
                 out_q.append(np.full(k, qids[j]))
                 out_n.append(cand_ids[part])
                 out_c.append(cand_cos[part])
@@ -497,6 +524,12 @@ def q97_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partial = e.select("vec_id", "embedding").mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, cos double"
+    )
+    # NaN -> NULL before the exact rank: Spark orders NaN ABOVE every
+    # double (it would top a DESC rank) while the oracle's zero-norm
+    # cosine is NULL and sorts last; desc() is already NULLS LAST.
+    partial = partial.withColumn(
+        "cos", F.when(F.isnan("cos"), F.lit(None)).otherwise(F.col("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -639,7 +672,8 @@ def q103_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one fold per verified pair; order-identical to _cos
     cos_r6 = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+        F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("__na") * F.col("__nb")),
+        6,
     )
     return pairs.select("vec_a", "vec_b", cos_r6.alias("cos_r6")).filter(
         F.col("cos_r6") >= NEARDUP_COS
@@ -737,7 +771,9 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates per candidate pair — 3x the hot-stage arithmetic).
     # sqrt/multiply/divide order is identical to _cos, so the value —
     # and the oracle hash — is bit-identical.
-    pair_cos = _dot(F.col("v"), F.col("bv")) / (F.col("__nv") * F.col("__nb"))
+    pair_cos = F.try_divide(
+        _dot(F.col("v"), F.col("bv")), F.col("__nv") * F.col("__nb")
+    )
     dominates = (F.col("b_ccos") > F.col("ccos")) | (
         (F.col("b_ccos") == F.col("ccos")) & (F.col("b_id") < F.col("vec_id"))
     )
@@ -920,9 +956,9 @@ def q137_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (_dot(F.col("v"), c["cv"]) / (F.col("__nv") * c["__ncv"])).alias(
-                    "rcos"
-                ),
+                F.try_divide(
+                    _dot(F.col("v"), c["cv"]), F.col("__nv") * c["__ncv"]
+                ).alias("rcos"),
                 (-c["cid"]).alias("__negcid"),
                 c["cid"].alias("cid"),
             ),

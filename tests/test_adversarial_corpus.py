@@ -210,38 +210,64 @@ def test_adversarial_events_cross_engine(spark, adversarial_events_dir, name):
     assert r.ok, r.report()
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN zero-norm divergence, round-9 work: Spark IEEE float "
-    "division gives cos=NaN for a zero-norm embedding and NaN sorts FIRST "
-    "in a DESC rank (a zero vector tops every ANN list), while DuckDB "
-    "float division by zero yields NULL which sorts LAST — the similarity "
-    "family (q84-q86, q97, q103, q124, q137) should move to try_divide "
-    "(NULL, matching the oracle) with a full verification cycle; this "
-    "test flips to a hard failure the moment that fix lands, forcing its "
-    "promotion to a real contract test.",
+# The r8 strict-xfail zero-norm divergence is FIXED (round 9): every
+# cosine in the similarity family is now F.try_divide (NULL on a zero
+# norm, sorting LAST under DESC rank like the oracle's divide-by-zero
+# NULL) and q97's numpy path NaN-guards its normalize + converts NaN to
+# NULL before the exact rank. This is the promoted hard contract test,
+# widened from q85 alone to the whole embeddings-only family.
+EMBEDDING_QUERIES = (
+    "q84_embedding_neardup_cells",
+    "q85_ann_bruteforce_topk",
+    "q86_ivf_ann_topk",
+    "q97_ann_pandas_topk",
+    "q103_srp_lsh_neardup",
+    "q124_semdedup_prune",
+    "q137_kmeans_refine",
 )
-def test_zero_norm_embedding_known_divergence(spark, tmp_path):
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_dir(spark, tmp_path_factory):
+    """Embeddings the synthetic fixture can't produce: a zero-norm vector
+    (padding rows / all-stopword docs zero out real embeddings), a
+    denormal-underflow vector whose norm computes as exactly 0.0 in
+    float64 (64 * (1e-300)^2 underflows), an antipodal pair (cos -1), and
+    an exact-duplicate pair (cos 1, tie-determinism)."""
     import glob
     import shutil
 
-    d = str(tmp_path / "adversarial_emb")
     rows = [
         (i, [float(i + j + 1) for j in range(64)], "a") for i in range(8)
     ] + [
         (8, [0.0] * 64, "zero"),  # the zero-norm vector
-        (9, [1e-300] * 64, "tiny"),
+        (9, [1e-300] * 64, "tiny"),  # norm underflows to 0.0
+        (10, [-(float(j + 1)) for j in range(64)], "anti"),  # -vec_0
+        (11, [float(j + 1) for j in range(64)], "dup"),  # == vec_0
     ]
+    d = str(tmp_path_factory.mktemp("adversarial_emb"))
     staging = os.path.join(d, "_staging")
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label string"
     ).coalesce(1).write.mode("overwrite").parquet(staging)
-    os.makedirs(d, exist_ok=True)
     shutil.move(
         glob.glob(os.path.join(staging, "part-*.parquet"))[0],
         os.path.join(d, "embeddings.parquet"),
     )
     shutil.rmtree(staging)
-    spec = SPECS["q85_ann_bruteforce_topk"]
-    r = compare("q85", spec.fn(spark, d), spec.oracle, d)
+    return d
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_adversarial_embeddings_cross_engine(
+    spark, adversarial_embeddings_dir, name
+):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    r = compare(
+        name,
+        spec.fn(spark, adversarial_embeddings_dir),
+        spec.oracle,
+        adversarial_embeddings_dir,
+    )
     assert r.ok, r.report()
