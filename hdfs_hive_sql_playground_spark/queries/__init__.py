@@ -35,31 +35,26 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  This round-8 window executes the rotation round 7
+# insertion order.  This round-9 window executes the rotation round 8
 # committed to (computed by scripts/propose_window.py, stalest-first):
-# (a) ALL 43 round-5-vintage greens — 3 rounds stale at r8, the oldest
-# hash-checked rows in the registry (the events/time-series family
-# q59-q68, the join family q13-q18 + custdist/top-volume, the r5
-# function/HOF tail q125-q134, recursive CTE, novelty/overlap, the
-# curation/mixing family q94/q112/q115/q118-q122, Gopher/BPE, and the
-# pandas UDAF) — then (b) the one query whose implementation changed this
-# round (q136: the rewrite-join strategy probe is now a cached
-# parquet-footer metadata count instead of an eager d.count()), then
-# (c) backfill with the four stalest r6 rows. Late-round-8 amendment:
-# the adversarial-corpus suite (tests/test_adversarial_corpus.py) found
-# three REAL code bugs fixed this round — q91 (ANSI divide-by-zero on an
-# empty document), q106 (descending-sequence element_at crash on a
-# sub-n-token document), and q60 (ANSI cast crash on a non-numeric JSON
-# value; q60 already sits in the r5 lead block, so it claims no extra
-# slot) — q91 and q106 enter the window as changed, evicting the two
-# newest r6 backfills (q110, q71). The same suite drove a
-# tokenizer alignment in 20 oracles (string_split ' ' ->
-# string_split_regex '\s+', matching the Spark side's _words): that
-# change is PROVABLY a no-op on the driver fixture
-# (test_adversarial_corpus.py::test_fixture_tokenizers_agree machine-
-# checks that both tokenizations agree on every fixture document), so
-# prior driver-green vintages remain valid attestations and those 20
-# queries do not claim window slots.
+# (a) the 43 stalest r6-vintage greens — 3 rounds stale at r9, the oldest
+# hash-checked rows left in the registry (the m33 roundtrips q71/q73/q74,
+# range-layout scan, multimodal features, the window/set-op/sampling
+# family q22-q24/q30-q33, the scalar-function tail q40-q53, stats
+# aggregates, quantization, LID/token/fingerprint/TF-IDF, the composed
+# q99 pipeline, bigrams, weighted sample, target-affinity select, and
+# boilerplate strip — plus the six next-stalest r7 rows to fill the
+# block) — then (b) the SEVEN queries whose implementation changed this
+# round: the whole embeddings-cosine family (q84, q85, q86, q97, q103,
+# q124, q137) moved from raw `/` to F.try_divide (and q97's numpy path
+# to a NaN-guarded normalize + lexsort top-k) so a zero-norm embedding
+# yields NULL that ranks LAST, matching the oracle, instead of an ANSI
+# DIVIDE_BY_ZERO crash — the r8 strict-xfail now a hard 7-query contract
+# test (tests/test_adversarial_corpus.py::test_adversarial_embeddings_
+# cross_engine). try_divide equals `/` bit-for-bit on every nonzero
+# norm and the driver fixture has no zero-norm embedding, so prior
+# vintages for the five unchanged-result queries remain valid
+# attestations; the window re-proves all seven anyway.
 #
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose code changed that
@@ -67,66 +62,66 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # > 2x window, so the full cycle is ~3 rounds — report vintage honestly,
 # and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window the
-# stalest rows are the r6/r7-vintage greens that debuted earliest (the
-# remaining r6 formats/curation rows, then the big r7 block), which must
-# lead round 9 — run scripts/propose_window.py to compute the exact list
-# and scripts/preflight_window.py before every end-of-round snapshot.
+# stalest rows are the r7-vintage greens (the big r7 block: joins
+# q10-q12/q78, aggregation q01-q09, the lateral/subquery family, script
+# transform, formats q75-q77, MERGE/SCD2 q101-q102, curation q108-q109,
+# q111, q116, q143), which must lead round 10 — run
+# scripts/propose_window.py to compute the exact list and
+# scripts/preflight_window.py before every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) all 43 r5-vintage greens, stalest-first per propose_window.py
-    "q17_custdist",
-    "q18_top_volume_orders",
-    "q48_hash_funcs",
-    "q49_map_bitwise",
-    "q59_values_inline",
-    "q135_recursive_hierarchy",
-    "q117_ngram_novelty",
-    "q123_source_overlap",
-    "q60_json_extract",
-    "q61_tumbling_window",
-    "q62_sessionize",
-    "q63_pivot",
-    "q64_session_window",
-    "q65_asof_join",
-    "q66_range_join_bucketed",
-    "q67_multires_rollup",
-    "q68_keep_latest_per_key",
-    "q13_semi_join",
-    "q14_anti_join",
-    "q15_outer_join_coalesce",
-    "q16_theta_self_join",
-    "q20_window_rank",
-    "q21_window_running_sum",
-    "q17_full_outer_join",
-    "q18_join_hints",
-    "q125_url_funcs",
-    "q126_fuzzy_string_funcs",
-    "q127_xpath_funcs",
-    "q129_bit_bool_aggs",
-    "q131_width_bucket_histogram",
-    "q133_array_hof_funcs",
-    "q134_explode_outer_map_hofs",
-    "q94_stratified_quota",
-    "q112_sequence_packing",
-    "q115_domain_mix_sample",
-    "q118_length_trim",
-    "q119_hash_split",
-    "q120_budget_select",
-    "q121_pack_stats",
-    "q122_unigram_surprisal",
-    "q130_bpe_pair_counts",
-    "q132_gopher_rules",
-    "q19_pandas_udaf_weighted",
-    # (c) backfill: the four stalest r6 rows
-    "q87_neardup_components",
-    "q98_simhash_banded_neardup",
-    "q139_leakage_safe_split",
-    "q140_url_canonical_dedup",
-    # (b) implementation changed this round: q136's strategy probe is now
-    # a cached parquet-footer metadata count (no per-build Spark job);
-    # q91 and q106 got adversarial-input crash fixes (see above).
-    "q136_segment_dedup_rewrite",
-    "q91_quality_score",
-    "q106_repetition_signals",
+    # (a) 43 stalest greens (37 r6 + 6 r7), per propose_window.py
+    "q110_range_layout_scan",
+    "q71_m33_schem_agg",
+    "q73_m33_ctas_roundtrip",
+    "q74_m33_jdbc_export_roundtrip",
+    "q95_multimodal_features",
+    "q22_lead_lag",
+    "q23_ntile_first_last",
+    "q30_topk_orders",
+    "q31_set_ops",
+    "q40_string_funcs",
+    "q41_split_array_cast",
+    "q42_conditional",
+    "q43_math_funcs",
+    "q44_date_funcs",
+    "q45_field_function",
+    "q50_explode_tokens",
+    "q51_scalar_subquery",
+    "q52_correlated_exists",
+    "q53_in_subquery",
+    "q46_array_map_funcs",
+    "q47_json_tuple",
+    "q32_distribute_cluster_by",
+    "q24_range_frame_window",
+    "q48_date_arithmetic",
+    "q49_string_padding",
+    "q33_set_ops_all",
+    "q128_stats_aggregates",
+    "q89_embedding_quantize",
+    "q90_language_id",
+    "q92_token_count",
+    "q93_fingerprint",
+    "q88_tfidf_top_terms",
+    "q99_curation_pipeline",
+    "q100_bigram_topk",
+    "q138_weighted_sample",
+    "q141_target_affinity_select",
+    "q142_html_boilerplate_strip",
+    "q24_percent_rank_cume_dist",
+    "q25_ignore_nulls_window",
+    "q33_pivot_status",
+    "q34_unpivot_stack",
+    "q54_cte_multi_ref",
+    "q57_script_transform",
+    # (b) implementation changed this round: the embeddings-cosine
+    # family's zero-norm fix (try_divide / NaN-guarded numpy)
+    "q84_embedding_neardup_cells",
+    "q85_ann_bruteforce_topk",
+    "q86_ivf_ann_topk",
+    "q97_ann_pandas_topk",
+    "q103_srp_lsh_neardup",
+    "q124_semdedup_prune",
+    "q137_kmeans_refine",
 )
 
 
