@@ -4,7 +4,10 @@ BASELINE.md-comparable m33 pipeline at the reference's own data scale
 (2.8 M rows / ~73 MB raw text — the exact workload behind the reference's
 50.1 s CTAS, 147.8 s Sqoop export, and 1.387 s LIMIT-100 numbers), and
 prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} — the m33 headline keys deliberately
+LAST in the dict, followed by one compact headline-only JSON line, so the
+driver's 2000-char stdout tail always carries the four BASELINE.md-
+comparable numbers in parseable form.
 
 Timing is per-query wall time of a full execution (noop-write action that
 materializes every row without driver collection). The full-scale m33
@@ -826,13 +829,39 @@ def main() -> None:
         ),
         4,
     )
+    # The driver records only the LAST 2000 chars of stdout, and the full
+    # line (~70 keys) overflows that window — round 8's artifact lost the
+    # four BASELINE.md-comparable m33 headlines entirely. Emit the dict
+    # with those headlines LAST (dict order is insertion order, json.dumps
+    # preserves it) so the visible tail always carries them, and follow
+    # with one compact headline-only JSON line so any tail-parse recovers
+    # a valid record even when the full line is truncated.
+    headline_keys = [
+        "m33_ctas_2800k",
+        "m33_jdbc_export_2800k",
+        "m33_limit100_raw_view",
+        "m33_limit100_warehouse",
+    ]
+    ordered = {k: v for k, v in timings.items() if k not in headline_keys}
+    ordered.update({k: timings[k] for k in headline_keys if k in timings})
     print(
         json.dumps(
             {
                 "metric": "bench_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": ordered,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_m33_headlines",
+                "unit": "sec",
+                "queries": {k: timings[k] for k in headline_keys if k in timings},
+                "total": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
