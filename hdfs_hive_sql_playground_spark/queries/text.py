@@ -547,23 +547,26 @@ CURATION_QUOTA = 15
     "keys and small payloads, never widened rows; the lexicon join is a "
     "broadcast; the quota stage's two consumers share the upstream work "
     "through runtime exchange reuse (a persist was A/B-measured slower — "
-    "see the in-function comment). Round-8 per-stage attribution at "
+    "see the in-function comment). Round-9 per-stage attribution at "
     "sf0.1 (scripts/diag_q99_stages.py — cumulative noop-write walls, "
     "min-of-5, quiet fresh JVM, final stage asserted row-identical to "
-    "this function): quality gate 0.15 s; +content-hash dedup window "
+    "this function): quality gate 0.13 s; +content-hash dedup window "
     "0.21 s; the independent LID branch (token explode + broadcast "
-    "lexicon join + per-doc argmax) 0.56 s; +canon-best join 0.65 s; "
-    "full pipeline with quota rank 1.01 s. The token-explode LID branch "
+    "lexicon join + per-doc argmax) 0.67 s; +canon-best join 0.69 s; "
+    "full pipeline with quota rank 0.87 s. The token-explode LID branch "
     "is the cost center (as it should be — it reads every token once). "
     "The bench headline runs in a FRESH subprocess JVM "
-    "(bench.SUBPROCESS_REGISTRY_LEGS) after the r5-r7 in-session walls "
-    "crept 1.30 -> 1.60 s from session heap history; measured residual "
-    "gap vs the stage profile: a cold JVM's draws decline 1.95 -> "
-    "~1.25 s steady state over ~5 executions (JIT tiering of the "
-    "generated code — the stage profile's final stage runs after ~25 "
-    "warm executions of its shared subplans), so the headline's deep-warm "
-    "protocol lands ~1.2-1.4 s: compile depth, not plan cost or heap "
-    "noise.",
+    "(bench.SUBPROCESS_REGISTRY_LEGS). Headline-vs-profile "
+    "reconciliation, MEASURED (diag_q99_stages.py --trajectory, same "
+    "plan, one fresh JVM, 12 sequential draws): the wall is a function "
+    "of JIT tiering depth alone — draws 3-5, the depth the bench "
+    "child's min-of-3-after-2-full-warms samples, min 1.45 s; draws "
+    "8-12 plateau 1.21 s; the stage profile's final row (depth ~21-25 "
+    "because the prefix stages re-execute its shared subplans, plus "
+    "inter-draw System.gc) 0.87 s. The profile's absolute seconds are "
+    "therefore comparable only WITHIN the profile (relative shares); "
+    "the headline's ~1.2-1.6 s band is the depth-3-5 sample of the "
+    "same plan, not unattributed overhead.",
 )
 def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

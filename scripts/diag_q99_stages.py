@@ -12,6 +12,19 @@ The stage definitions mirror queries/text.py::q99_curation_pipeline
 line-for-line — if the pipeline changes, change them here too (the final
 stage is asserted row-identical to the registry function so drift fails
 loudly instead of silently attributing a different plan).
+
+``--trajectory`` runs the RECONCILIATION experiment instead: only the
+full pipeline, 12 sequential noop-write draws in a fresh JVM after the
+bench child's exact warm-up (one sf0.001 pass), printing every draw.
+This is the measured explanation of why the bench headline exceeds the
+stage profile's final row: the SAME plan's wall is a function of how
+many times its generated code has executed (JIT tiering depth), not of
+any cost the per-stage sum misses — the stage profile's final row IS
+the whole pipeline, just sampled ~20 executions deeper because the
+prefix stages re-execute its shared subplans. Round-9 numbers at sf0.1
+(quiet box): draws 3-5 (what the bench child's min-of-3-after-2-full-
+warms samples) min 1.45 s; draws 8-12 plateau 1.21 s; the stage
+profile's final row (depth ~21-25, inter-draw System.gc) 0.87 s.
 """
 
 from __future__ import annotations
@@ -86,11 +99,43 @@ def stages(spark, sf_dir):
     ]
 
 
+def trajectory(sf_dir: str) -> int:
+    """Fresh-JVM draw-depth curve for the FULL pipeline only (see module
+    docstring): replicates the bench child's warm-up, then 12 timed
+    draws so the JIT-tiering decline and its plateau are both visible."""
+    import time
+
+    from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+    from hdfs_hive_sql_playground_spark.session import get_spark
+
+    spark = get_spark(app_name="diag-q99-trajectory")
+    fn = all_queries()["q99_curation_pipeline"].fn
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_sf):
+        fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+        release_tracked_caches()
+    walls = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 3))
+        release_tracked_caches()
+    print(f"draws={walls}")
+    print(f"bench_protocol_depth_3_5_min={min(walls[2:5]):.3f}")
+    print(f"plateau_depth_8_12_min={min(walls[7:]):.3f}")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_draws = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    args = [a for a in sys.argv[1:] if a != "--trajectory"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n_draws = int(args[1]) if len(args) > 1 else 5
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    if "--trajectory" in sys.argv:
+        return trajectory(sf_dir)
     from hdfs_hive_sql_playground_spark.caching import release_tracked_caches
     from hdfs_hive_sql_playground_spark.queries import all_queries
     from hdfs_hive_sql_playground_spark.session import get_spark
