@@ -63,6 +63,17 @@ def _sql_shell(eng, n: int = 20, url: str | None = None) -> None:
     def connect(to_url: str) -> None:
         from hdfs_hive_sql_playground_spark.thrift import WireClient
 
+        # Retargeting must close the previous wire session first, or each
+        # !connect leaks a server-side HiveServer2 session (plus its temp
+        # views / SET state) for the life of the server. Best-effort: a
+        # half-dead old session must not block the new connection
+        # (survive-on-error, the shell's standing contract).
+        old = state["client"]
+        if old is not None:
+            try:
+                old.close()
+            except Exception:  # noqa: BLE001 — old session may already be dead
+                pass
         state["client"] = WireClient(eng.spark, to_url)
         state["url"] = to_url
 

@@ -24,12 +24,17 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 @register(
     "q60_json_extract",
     oracle="""
-    WITH e AS (
+    WITH raw AS (
       SELECT event_type,
-             TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                           THEN json_extract_string(props, '$.k') END
-                      AS BIGINT) AS k
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS kstr
       FROM events
+    ),
+    e AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(trim(kstr), '^[+-]?[0-9]+$')
+                  THEN TRY_CAST(trim(kstr) AS BIGINT) END AS k
+      FROM raw
     )
     SELECT
       event_type,
@@ -42,8 +47,16 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     doc="get_json_object over a JSON props column + agg (Hive JSON functions). "
     "try_cast, not cast: a single event whose props carry a non-numeric k "
     "(crawl reality) must contribute NULL, not kill the whole job under "
-    "ANSI mode — found by tests/test_adversarial_corpus.py; TRY_CAST keeps "
-    "the oracle's semantics identical.",
+    "ANSI mode — found by tests/test_adversarial_corpus.py. The oracle "
+    "gates its TRY_CAST behind an integral regexp on the trimmed string "
+    "because the engines' string->BIGINT accept sets differ exactly on "
+    "fractional text: Spark try_cast('3.5' AS BIGINT) is NULL while "
+    "DuckDB rounds to 4 (likewise '2.0'->2, '1000.0'->1000) — a "
+    "non-integral k is REJECTED, the right contract for an integer "
+    "count, and the regexp ('^[+-]?[0-9]+$' after trim) reproduces "
+    "Spark's accept set ('+7', ' 3 ' accepted; '3.5', '7.', '1e3', '' "
+    "rejected) — fractional/padded/sign rows are pinned by the "
+    "adversarial events gate.",
 )
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -331,9 +331,28 @@ def incremental_ingest_stream(
     # Spark disallows REDEFINING a watermark downstream of a stateful
     # operator, and the chained full-pipeline case (crawl_front_stream →
     # here) arrives already watermarked on the same event-time column.
-    already_watermarked = "EventTimeWatermark" in (
-        docs._jdf.queryExecution().analyzed().toString()
+    # Parse WHICH attribute carries it (Spark 4.x plan line:
+    # "EventTimeWatermark <node-uuid>, <col>#<exprId>: timestamp,
+    # <delay>"; the uuid segment is absent in older plan renderings) —
+    # an input watermarked on a DIFFERENT column would otherwise
+    # silently bound dropDuplicatesWithinWatermark's state by the wrong
+    # event-time clock; that must fail loudly, not pass the substring
+    # check.
+    import re
+
+    plan = docs._jdf.queryExecution().analyzed().toString()
+    wm_cols = re.findall(
+        r"EventTimeWatermark (?:[0-9a-fA-F-]+, )?([A-Za-z_][A-Za-z0-9_]*)#\d+",
+        plan,
     )
+    already_watermarked = bool(wm_cols)
+    if already_watermarked and ts_col not in wm_cols:
+        raise ValueError(
+            f"incremental_ingest_stream: input already watermarked on "
+            f"{sorted(set(wm_cols))!r}, but ts_col={ts_col!r} — dedup state "
+            f"would be bounded by the wrong event-time clock; watermark the "
+            f"input on {ts_col!r} (or pass ts_col={wm_cols[0]!r})."
+        )
     staged = docs.withColumn(
         "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
     ).join(corpus_hashes.select("content_hash"), "content_hash", "left_anti")

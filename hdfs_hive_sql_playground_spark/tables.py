@@ -65,7 +65,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-@functools.lru_cache(maxsize=None)
 def parquet_row_count(path: str) -> int:
     """Total row count of a parquet file or directory from FOOTER METADATA
     only — no data pages read, no Spark job scheduled.
@@ -78,21 +77,32 @@ def parquet_row_count(path: str) -> int:
     query keeps. A parquet footer is a few KB per file regardless of data
     size, so this stays O(#files) metadata reads at 100 TB (and on a real
     cluster the same number would come from catalog stats / manifest
-    files). Cached per path — testdata fixtures are immutable; callers with
-    mutable inputs should use catalog statistics instead.
+    files). Cached per (path, file-list fingerprint): the fingerprint
+    (sorted names + sizes + mtime_ns, pure os.stat — no footer reads)
+    invalidates the entry when a path is rewritten in-process (e.g. a
+    regenerated .bench_data trend fixture after a partial prior run), so a
+    stale count can never silently flip q136's broadcast-vs-shuffle pick.
     """
-    import pyarrow.parquet as pq
-
     if os.path.isdir(path):
-        files = [
+        files = sorted(
             os.path.join(root, fn)
             for root, _dirs, fns in os.walk(path)
             for fn in fns
             if fn.endswith(".parquet") and not fn.startswith(("_", "."))
-        ]
+        )
     else:
         files = [path]
-    return sum(pq.read_metadata(f).num_rows for f in files)
+    stats = tuple(
+        (f, st.st_size, st.st_mtime_ns) for f in files for st in (os.stat(f),)
+    )
+    return _footer_row_count(stats)
+
+
+@functools.lru_cache(maxsize=None)
+def _footer_row_count(stats: tuple[tuple[str, int, int], ...]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f, _size, _mtime in stats)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

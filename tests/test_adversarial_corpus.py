@@ -184,6 +184,15 @@ def adversarial_events_dir(spark, tmp_path_factory):
         # empty event_type; unicode type
         (12, ts(hours=3), 4, "", 1.0, '{"k": 3}'),
         (13, ts(hours=3, minutes=1), 4, "点击", 2.0, '{"k": 4}'),
+        # the string->BIGINT accept-set divergence class (q60): fractional
+        # JSON numbers (Spark try_cast NULL vs raw DuckDB TRY_CAST rounds),
+        # scientific notation (both engines extract '1000.0'), and the
+        # padded/signed strings both engines DO accept.
+        (14, ts(hours=4), 5, "click", 1.0, '{"k": 3.5}'),
+        (15, ts(hours=4, minutes=1), 5, "click", 2.0, '{"k": 2.0}'),
+        (16, ts(hours=4, minutes=2), 5, "view", 3.0, '{"k": 1e3}'),
+        (17, ts(hours=4, minutes=3), 5, "view", 4.0, '{"k": " 3 "}'),
+        (18, ts(hours=4, minutes=4), 5, "buy", 5.0, '{"k": "+7"}'),
     ]
     d = str(tmp_path_factory.mktemp("adversarial_events"))
     staging = os.path.join(d, "_staging")

@@ -170,6 +170,57 @@ def test_cli_sql_shell_wire_mode_persistent_session():
     assert "top_v\n41" in out, out  # ...and the session survived it (TOP shim too)
 
 
+def test_cli_shell_connect_closes_previous_wire_session(monkeypatch, capsys):
+    """!connect on an already-connected shell must close the old WireClient
+    before replacing it — otherwise every retarget leaks a server-side
+    HiveServer2 session (and its temp views / SET state) for the life of
+    the server. Also pins survive-on-error: a close() that raises (old
+    session already dead) must not block the new connection."""
+    import io
+    import sys as _sys
+
+    from hdfs_hive_sql_playground_spark import cli, thrift
+
+    events: list[str] = []
+
+    class FakeWire:
+        def __init__(self, spark, url):
+            self.url = url
+            events.append(f"open:{url}")
+
+        def close(self):
+            events.append(f"close:{self.url}")
+            if self.url == "jdbc:hive2://h/2":
+                raise RuntimeError("session already dead")
+
+        def sql_with_names(self, stmt):
+            return ["c"], [(1,)]
+
+    monkeypatch.setattr(thrift, "WireClient", FakeWire)
+
+    class FakeEng:
+        spark = None
+
+    stdin0 = _sys.stdin
+    _sys.stdin = io.StringIO(
+        "!connect jdbc:hive2://h/1\n"
+        "!connect jdbc:hive2://h/2\n"
+        "!connect jdbc:hive2://h/3\n"
+        "!quit\n"
+    )
+    try:
+        cli._sql_shell(FakeEng(), n=5)
+    finally:
+        _sys.stdin = stdin0
+    assert events == [
+        "open:jdbc:hive2://h/1",
+        "close:jdbc:hive2://h/1",  # retarget 1 -> 2 closed the old session
+        "open:jdbc:hive2://h/2",
+        "close:jdbc:hive2://h/2",  # raised — and the shell survived it
+        "open:jdbc:hive2://h/3",
+    ], events
+
+
 def test_cli_validate_helper_reports_pass_rowsonly_unknown(spark, sf_dir, capsys):
     """The validate verb's engine: a hash-checked query prints PASS, the
     rows-only-by-design query prints ROWSONLY, an unknown name prints

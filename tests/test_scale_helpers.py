@@ -339,8 +339,16 @@ def test_parquet_row_count_file_and_directory(spark, tmp_path):
     import pyarrow.parquet as pq
 
     assert parquet_row_count(part) == pq.read_metadata(part).num_rows
-    # cached per path: a second call must not re-walk (same object identity
-    # not observable; assert the lru cache registered the hit)
-    before = parquet_row_count.cache_info().hits
+    # cached per (path, file fingerprint): a repeat call hits the footer
+    # cache instead of re-reading metadata...
+    from hdfs_hive_sql_playground_spark.tables import _footer_row_count
+
+    before = _footer_row_count.cache_info().hits
     parquet_row_count(d)
-    assert parquet_row_count.cache_info().hits == before + 1
+    assert _footer_row_count.cache_info().hits == before + 1
+    # ...but an IN-PROCESS rewrite of the same path (regenerated trend
+    # fixture, the round-8 ADVICE hazard) changes the fingerprint and the
+    # count follows the new data instead of silently flipping q136's
+    # broadcast-vs-shuffle pick off a stale entry.
+    spark.range(77).repartition(3).write.mode("overwrite").parquet(d)
+    assert parquet_row_count(d) == 77

@@ -699,6 +699,41 @@ def test_streaming_incremental_ingest_plan_shape(spark, tmp_path):
     assert plan.count("Join") == 1, plan
 
 
+def test_streaming_incremental_ingest_rejects_foreign_watermark(spark, tmp_path):
+    """An input already watermarked on a DIFFERENT column than ts_col must
+    raise, not silently inherit: dropDuplicatesWithinWatermark would bound
+    its dedup state by the wrong event-time clock (the round-8 substring
+    check accepted any EventTimeWatermark anywhere in the plan)."""
+    import pytest
+
+    src = str(tmp_path / "foreign_wm_src")
+    spark.createDataFrame(
+        [(1, "t", None, None)],
+        "doc_id long, text string, ts timestamp, other_ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, ts timestamp, other_ts timestamp"
+        )
+        .parquet(src)
+        .withWatermark("other_ts", "10 minutes")
+    )
+    corpus = spark.createDataFrame([("h",)], "content_hash string")
+    with pytest.raises(ValueError, match="other_ts"):
+        streaming.incremental_ingest_stream(docs, corpus)
+    # and the matching-column case still chains without redefinition
+    docs_ok = (
+        spark.readStream.schema(
+            "doc_id long, text string, ts timestamp, other_ts timestamp"
+        )
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    ok = streaming.incremental_ingest_stream(docs_ok, corpus)
+    plan = ok._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 1, plan
+
+
 def test_streaming_full_live_pipeline_chains_both_halves(spark, tmp_path):
     """The full live pipeline = crawl_front_stream → incremental_ingest_
     stream chained into ONE streaming plan, exactly as DEPLOYMENT_100TB §8
