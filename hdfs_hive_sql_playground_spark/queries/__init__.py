@@ -37,24 +37,27 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  This round-9 window executes the rotation round 8
 # committed to (computed by scripts/propose_window.py, stalest-first):
-# (a) the 43 stalest r6-vintage greens — 3 rounds stale at r9, the oldest
+# (a) the 40 stalest greens (36 r6-vintage — 3 rounds stale at r9 — plus
+# the 4 next-stalest r7 rows), the oldest
 # hash-checked rows left in the registry (the m33 roundtrips q71/q73/q74,
-# range-layout scan, multimodal features, the window/set-op/sampling
+# range-layout scan, the window/set-op/sampling
 # family q22-q24/q30-q33, the scalar-function tail q40-q53, stats
 # aggregates, quantization, LID/token/fingerprint/TF-IDF, the composed
 # q99 pipeline, bigrams, weighted sample, target-affinity select, and
-# boilerplate strip — plus the six next-stalest r7 rows to fill the
-# block) — then (b) the SEVEN queries whose implementation changed this
+# boilerplate strip) — then (b) the TEN queries whose implementation changed this
 # round: the whole embeddings-cosine family (q84, q85, q86, q97, q103,
 # q124, q137) moved from raw `/` to F.try_divide (and q97's numpy path
 # to a NaN-guarded normalize + lexsort top-k) so a zero-norm embedding
 # yields NULL that ranks LAST, matching the oracle, instead of an ANSI
 # DIVIDE_BY_ZERO crash — the r8 strict-xfail now a hard 7-query contract
 # test (tests/test_adversarial_corpus.py::test_adversarial_embeddings_
-# cross_engine). try_divide equals `/` bit-for-bit on every nonzero
-# norm and the driver fixture has no zero-norm embedding, so prior
-# vintages for the five unchanged-result queries remain valid
-# attestations; the window re-proves all seven anyway.
+# cross_engine) — plus the multimodal trio (q95, q96, q107) whose
+# payload convention changed (NULL payload = zero-length asset; the
+# round-9 multimodal gate found a real None-crash in the Arrow UDFs).
+# try_divide equals `/` bit-for-bit on every nonzero norm and the
+# driver fixture has no zero-norm embedding or NULL payload, so prior
+# vintages for the unchanged-result queries remain valid attestations;
+# the window re-proves all ten anyway.
 #
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose code changed that
@@ -69,12 +72,11 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # scripts/propose_window.py to compute the exact list and
 # scripts/preflight_window.py before every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) 43 stalest greens (37 r6 + 6 r7), per propose_window.py
+    # (a) 40 stalest greens (36 r6 + 4 r7), per propose_window.py
     "q110_range_layout_scan",
     "q71_m33_schem_agg",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
-    "q95_multimodal_features",
     "q22_lead_lag",
     "q23_ntile_first_last",
     "q30_topk_orders",
@@ -111,8 +113,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q25_ignore_nulls_window",
     "q33_pivot_status",
     "q34_unpivot_stack",
-    "q54_cte_multi_ref",
-    "q57_script_transform",
     # (b) implementation changed this round: the embeddings-cosine
     # family's zero-norm fix (try_divide / NaN-guarded numpy)
     "q84_embedding_neardup_cells",
@@ -122,6 +122,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q103_srp_lsh_neardup",
     "q124_semdedup_prune",
     "q137_kmeans_refine",
+    # (b cont.) the multimodal payload-convention fix: NULL payload ->
+    # zero-length asset (coalesce at assets(), fillna in the Arrow UDFs,
+    # COALESCE in the oracles; empty-prefix checksum pinned to 0)
+    "q95_multimodal_features",
+    "q96_multimodal_meta_agg",
+    "q107_frame_sample",
 )
 
 

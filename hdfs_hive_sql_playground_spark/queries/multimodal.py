@@ -52,9 +52,17 @@ def decode_media(blob: bytes, media_type: str):
 def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal asset table: binary payload + typed metadata struct
     (media_type, n_bytes) — the schema a mixed image/audio/text corpus
-    shares at rest."""
+    shares at rest.
+
+    Payload convention (pinned by the adversarial multimodal gate): a
+    MISSING payload (NULL text / NULL blob) is a ZERO-LENGTH asset —
+    coalesced to empty bytes here at the table boundary, so n_bytes is 0
+    (never NULL), downstream frame math yields 0 frames, and the Arrow
+    UDFs never see None in a bytes column (a raw None crashed the
+    b''.join packing — found by the round-9 gate). The oracles apply the
+    same COALESCE(text, '')."""
     d = load(spark, sf_dir, "documents")
-    blob = F.encode(F.col("text"), "utf-8")
+    blob = F.coalesce(F.encode(F.col("text"), "utf-8"), F.lit(b""))
     return d.select(
         "doc_id",
         blob.alias("blob"),
@@ -81,7 +89,9 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        blobs = pdf["blob"]
+        # None -> b"": assets() already coalesces, but direct callers may
+        # not — the zero-length-asset convention holds at both layers.
+        blobs = pdf["blob"].fillna(b"")
         nb = blobs.str.len().to_numpy(dtype="int64")
         buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
         ends = nb.cumsum()
@@ -116,16 +126,18 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "q95_multimodal_features",
     bench=True,
     oracle=f"""
+    WITH a AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
     SELECT
       doc_id,
-      CAST(length(text) AS BIGINT) AS n_bytes,
-      CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
-      CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS INTEGER) AS last_byte,
-      CAST(list_sum(list_transform(range(1, least(length(text), {CHECKSUM_PREFIX}) + 1),
-                                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum_prefix,
-      CAST(ceil(length(text) * 1.0 / {FRAME_BYTES}) AS BIGINT) AS n_frames,
-      CAST(length(text) - (ceil(length(text) * 1.0 / {FRAME_BYTES}) - 1) * {FRAME_BYTES} AS BIGINT) AS last_frame_len
-    FROM documents
+      CAST(length(t) AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN length(t) > 0 THEN ascii(substr(t, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+      CAST(CASE WHEN length(t) > 0 THEN ascii(substr(t, length(t), 1)) ELSE -1 END AS INTEGER) AS last_byte,
+      CAST(COALESCE(list_sum(list_transform(range(1, least(length(t), {CHECKSUM_PREFIX}) + 1),
+                                            i -> ascii(substr(t, CAST(i AS INTEGER), 1)))), 0)
+           AS BIGINT) AS checksum_prefix,
+      CAST(ceil(length(t) * 1.0 / {FRAME_BYTES}) AS BIGINT) AS n_frames,
+      CAST(length(t) - (ceil(length(t) * 1.0 / {FRAME_BYTES}) - 1) * {FRAME_BYTES} AS BIGINT) AS last_frame_len
+    FROM a
     """,
     doc="Multimodal feature extraction through the real Arrow/mapInPandas "
     "plumbing (binary payload + metadata struct -> per-batch vectorized "
@@ -143,9 +155,9 @@ def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       CAST(COUNT(*) AS BIGINT) AS n_assets,
-      CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-      CAST(MAX(length(text)) AS BIGINT) AS max_bytes,
-      CAST(SUM(ceil(length(text) * 1.0 / {FRAME_BYTES})) AS BIGINT) AS total_frames
+      CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_bytes,
+      CAST(MAX(length(COALESCE(text, ''))) AS BIGINT) AS max_bytes,
+      CAST(SUM(ceil(length(COALESCE(text, '')) * 1.0 / {FRAME_BYTES})) AS BIGINT) AS total_frames
     FROM documents
     """,
     doc="Metadata-only rollup over the asset table: storage/frame budgeting "
@@ -179,7 +191,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        blobs = pdf["blob"]
+        blobs = pdf["blob"].fillna(b"")  # zero-length-asset convention
         nb = blobs.str.len().to_numpy(dtype="int64")
         n_frames = -(-nb // FRAME_BYTES)
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype="int64"), n_frames)
@@ -206,11 +218,12 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "q107_frame_sample",
     oracle=f"""
-    WITH f AS (
+    WITH a AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    f AS (
       SELECT doc_id, text, length(text) AS nb,
              UNNEST(range(0, CAST(ceil(length(text) * 1.0 / {FRAME_BYTES}) AS BIGINT)))
                AS fi
-      FROM documents
+      FROM a
     )
     SELECT doc_id,
            fi AS frame_idx,

@@ -219,6 +219,71 @@ def test_adversarial_events_cross_engine(spark, adversarial_events_dir, name):
     assert r.ok, r.report()
 
 
+# Multimodal payload conventions (round 9): the binary-asset plumbing
+# must survive payloads the synthetic fixture never produces — a NULL
+# payload (missing asset; the zero-length-asset convention pins it to 0
+# bytes / 0 frames — a raw None CRASHED the b''.join packing in
+# fake_features/sample_frames before this gate), zero-length payloads,
+# and every frame/checksum boundary: 1, FRAME_BYTES-1, FRAME_BYTES,
+# FRAME_BYTES+1 (1-byte truncated last frame), exact 2-frame multiples,
+# CHECKSUM_PREFIX boundaries, and control bytes (still ASCII so DuckDB
+# char == byte holds).
+MULTIMODAL_QUERIES = (
+    "q95_multimodal_features",
+    "q96_multimodal_meta_agg",
+    "q107_frame_sample",
+)
+
+ADVERSARIAL_PAYLOADS = [
+    (0, None),  # missing asset -> zero-length by convention
+    (1, ""),  # zero-length payload
+    (2, "a"),  # single byte
+    (3, "b" * 31),  # FRAME_BYTES - 1
+    (4, "c" * 32),  # exactly one frame
+    (5, "d" * 33),  # truncated 1-byte last frame
+    (6, "e" * 63),  # CHECKSUM_PREFIX - 1
+    (7, "f" * 64),  # exactly CHECKSUM_PREFIX (= 2 frames)
+    (8, "g" * 65),  # prefix boundary + 1
+    (9, "\x01\x7f" * 20),  # control bytes, 40-byte payload
+    (10, "h" * 2000),  # long payload, many frames
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_assets_dir(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("adversarial_assets"))
+    rows = [
+        (doc_id, text, "en", "src0", len(text) if text else 0)
+        for doc_id, text in ADVERSARIAL_PAYLOADS
+    ]
+    staging = os.path.join(d, "_staging")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(d, "documents.parquet"),
+    )
+    shutil.rmtree(staging)
+    return d
+
+
+@pytest.mark.parametrize("name", MULTIMODAL_QUERIES)
+def test_adversarial_multimodal_cross_engine(spark, adversarial_assets_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    r = compare(
+        name,
+        spec.fn(spark, adversarial_assets_dir),
+        spec.oracle,
+        adversarial_assets_dir,
+    )
+    assert r.ok, r.report()
+
+
 # The r8 strict-xfail zero-norm divergence is FIXED (round 9): every
 # cosine in the similarity family is now F.try_divide (NULL on a zero
 # norm, sorting LAST under DESC rank like the oracle's divide-by-zero
