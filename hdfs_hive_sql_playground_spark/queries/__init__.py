@@ -37,14 +37,14 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  This round-9 window executes the rotation round 8
 # committed to (computed by scripts/propose_window.py, stalest-first):
-# (a) the 40 stalest greens (36 r6-vintage — 3 rounds stale at r9 — plus
-# the 4 next-stalest r7 rows), the oldest
+# (a) the 39 stalest greens (36 r6-vintage — 3 rounds stale at r9 — plus
+# the 3 next-stalest r7 rows), the oldest
 # hash-checked rows left in the registry (the m33 roundtrips q71/q73/q74,
 # range-layout scan, the window/set-op/sampling
 # family q22-q24/q30-q33, the scalar-function tail q40-q53, stats
 # aggregates, quantization, LID/token/fingerprint/TF-IDF, the composed
 # q99 pipeline, bigrams, weighted sample, target-affinity select, and
-# boilerplate strip) — then (b) the TEN queries whose implementation changed this
+# boilerplate strip) — then (b) the ELEVEN queries whose implementation changed this
 # round: the whole embeddings-cosine family (q84, q85, q86, q97, q103,
 # q124, q137) moved from raw `/` to F.try_divide (and q97's numpy path
 # to a NaN-guarded normalize + lexsort top-k) so a zero-norm embedding
@@ -53,7 +53,10 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # test (tests/test_adversarial_corpus.py::test_adversarial_embeddings_
 # cross_engine) — plus the multimodal trio (q95, q96, q107) whose
 # payload convention changed (NULL payload = zero-length asset; the
-# round-9 multimodal gate found a real None-crash in the Arrow UDFs).
+# round-9 multimodal gate found a real None-crash in the Arrow UDFs)
+# — plus q102, whose SCD2 window now pins NULLS FIRST explicitly on
+# both sides (the adversarial warehouse gate caught a NULL change date
+# becoming the CURRENT row under DuckDB's nulls-last default).
 # try_divide equals `/` bit-for-bit on every nonzero norm and the
 # driver fixture has no zero-norm embedding or NULL payload, so prior
 # vintages for the unchanged-result queries remain valid attestations;
@@ -72,7 +75,7 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # scripts/propose_window.py to compute the exact list and
 # scripts/preflight_window.py before every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) 40 stalest greens (36 r6 + 4 r7), per propose_window.py
+    # (a) 39 stalest greens (36 r6 + 3 r7), per propose_window.py
     "q110_range_layout_scan",
     "q71_m33_schem_agg",
     "q73_m33_ctas_roundtrip",
@@ -112,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q24_percent_rank_cume_dist",
     "q25_ignore_nulls_window",
     "q33_pivot_status",
-    "q34_unpivot_stack",
     # (b) implementation changed this round: the embeddings-cosine
     # family's zero-norm fix (try_divide / NaN-guarded numpy)
     "q84_embedding_neardup_cells",
@@ -128,6 +130,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q95_multimodal_features",
     "q96_multimodal_meta_agg",
     "q107_frame_sample",
+    # (b cont.) q102: SCD2 NULL-change-date ordering pinned NULLS FIRST
+    # on both sides (the engines' ASC null-order defaults differ; found
+    # by the round-9 adversarial warehouse gate)
+    "q102_scd2_build",
 )
 
 

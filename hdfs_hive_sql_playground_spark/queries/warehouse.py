@@ -105,21 +105,30 @@ def q101_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS is_current
     FROM orders
     WHERE o_custkey < 500
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
     doc="SCD Type-2 dimension build: each change record becomes a validity "
     "interval [valid_from, valid_to) via lead() over the per-key change "
     "sequence; the open interval is flagged current. ONE shuffle on the "
     "dimension key builds the whole history — no self-join, no per-row "
     "lookups — which is the shape that survives a 100 TB change log. "
-    "Ties broken by (date, orderkey) so intervals are engine-deterministic. "
+    "Ties broken by (date, orderkey) so intervals are engine-deterministic, "
+    "and a NULL change date is pinned NULLS FIRST on both sides (unknown "
+    "start = beginning of history, never the CURRENT row — the engines' "
+    "defaults differ exactly here: Spark ASC is nulls-first, DuckDB "
+    "nulls-last; found by the round-9 adversarial warehouse gate). "
     "Hive-parity target: dimension-maintenance DML workflows.",
 )
 def q102_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_first explicit (Spark's default, DuckDB's is not): a NULL
+    # change date opens the history, it never becomes the current row.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+    )
     valid_to = F.lead("o_orderdate").over(w)
     return o.select(
         F.col("o_custkey").alias("cust_key"),

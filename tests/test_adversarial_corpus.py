@@ -219,6 +219,89 @@ def test_adversarial_events_cross_engine(spark, adversarial_events_dir, name):
     assert r.ok, r.report()
 
 
+# Warehouse/MERGE conventions (round 9): the upsert and SCD2 operators
+# must survive the change-feed pathologies a real CDC stream carries —
+# NULL merge keys on BOTH sides (SQL null-never-matches semantics: a
+# NULL-key source row inserts, a NULL-key target row keeps), duplicate
+# TARGET keys (a corrupt dimension: the join fans out, it must not
+# dedup silently), a source key colliding with the insert branch's
+# offset keyspace (duplicate source keys reaching the same merge key),
+# NULL measures, and NULL/tied change dates (SCD2 interval ordering
+# must be engine-deterministic).
+WAREHOUSE_QUERIES = (
+    "q101_merge_upsert",
+    "q102_scd2_build",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_warehouse_dir(spark, tmp_path_factory):
+    import datetime
+    import glob
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("adversarial_wh"))
+
+    day = lambda n: datetime.datetime(2026, 2, 1) + datetime.timedelta(days=n)  # noqa: E731
+    orders = [
+        # o_orderkey, o_custkey, o_totalprice, o_orderdate
+        (1, 1, 100.0, day(0)),
+        (2, 1, 250.5, day(1)),       # same cust, later change
+        (3, 2, 75.25, day(0)),
+        (4, None, 500.0, day(2)),    # NULL merge key in the feed
+        (5, 1_000_003, 10.0, day(3)),  # collides with insert-branch key of cust 3
+        (6, 3, 33.33, day(4)),       # generates insert key 1_000_003 too
+        (7, 2, None, day(5)),        # NULL measure
+        (8, 4, 60.0, None),          # NULL change date (SCD2 ordering)
+        (9, 4, 70.0, day(6)),
+        (10, 5, 1.0, day(7)),        # tied change date, tie broken by orderkey
+        (11, 5, 2.0, day(7)),
+        (12, 6, -9.99, day(8)),      # negative measure, cust absent from target
+    ]
+    customer = [
+        # c_custkey, c_acctbal
+        (1, 1000.0),
+        (2, 2000.0),
+        (3, None),     # NULL measure on the target side
+        (4, 4000.0),
+        (4, 4444.0),   # duplicate TARGET key — corrupt dim must fan out
+        (None, 9.0),   # NULL key on the target side -> 'K'
+        (7, 700.0),    # untouched -> 'K'
+    ]
+
+    def write_single(rows, schema, name):
+        staging = os.path.join(d, f"_staging_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.move(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            os.path.join(d, f"{name}.parquet"),
+        )
+        shutil.rmtree(staging)
+
+    write_single(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        "orders",
+    )
+    write_single(customer, "c_custkey long, c_acctbal double", "customer")
+    return d
+
+
+@pytest.mark.parametrize("name", WAREHOUSE_QUERIES)
+def test_adversarial_warehouse_cross_engine(spark, adversarial_warehouse_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    r = compare(
+        name,
+        spec.fn(spark, adversarial_warehouse_dir),
+        spec.oracle,
+        adversarial_warehouse_dir,
+    )
+    assert r.ok, r.report()
+
+
 # Multimodal payload conventions (round 9): the binary-asset plumbing
 # must survive payloads the synthetic fixture never produces — a NULL
 # payload (missing asset; the zero-length-asset convention pins it to 0
