@@ -771,3 +771,207 @@ def test_streaming_full_live_pipeline_chains_both_halves(spark, tmp_path):
     sink = streaming.run_to_memory(live, "t_live_pipeline", output_mode="append")
     got = {r.canonical_url for r in sink.collect()}
     assert got == {"https://www.example.com/b?id=2"}, got
+
+
+# ---------------------------------------------------------------------------
+# Adversarial arrival-order gate (round 9): late / duplicate / out-of-order
+# events fed as THREE deterministic microbatches (maxFilesPerTrigger=1,
+# file mtimes ordered) against the batch duals. Pins the watermark
+# contract precisely instead of assuming it:
+#   - COMPLETE-mode aggregations retain ALL input (late rows are NOT
+#     dropped — state is never finalized), so complete == batch-on-all.
+#   - APPEND-mode windowed aggregation: the watermark is a RETENTION
+#     bound, not an input filter — a late row whose window state is
+#     still live (its finalizing batch hasn't ended) merges in; only a
+#     row arriving AFTER its window was finalized-and-evicted is
+#     dropped. So append == batch over rows-that-arrived-before-their-
+#     window-closed, restricted to finalized windows. (Measured on
+#     Spark 4.1: a 10:10 row in the same batch where wm=11:30
+#     finalizes [10,11) still counts; arriving one batch later it
+#     does not.)
+#   - dropDuplicatesWithinWatermark: an in-watermark duplicate key is
+#     collapsed; after the watermark passes key_ts + delay the state is
+#     EVICTED and the key re-admits (the documented bounded-state
+#     tradeoff); a NON-duplicate below the effective watermark is
+#     dropped by the operator's late filter.
+#   - session_window merges in-watermark out-of-order fragments across
+#     microbatches, but drops below-watermark input EVEN IN COMPLETE
+#     MODE (unlike the tumbling agg — session merge depends on
+#     eviction).
+# All "effective watermark" filters apply with a one-batch lag: the
+# filter in batch N uses the eviction watermark of batch N-1 (measured;
+# this is why a late row in the same batch that finalizes its window
+# still merges, while the identical row one batch later is dropped).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_stream_dir(spark, tmp_path_factory):
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    T = lambda h, m: datetime.datetime(2026, 3, 1, h, m)  # noqa: E731
+    batches = {
+        # batch A: on-time events; an IN-BATCH duplicate pair (id 100);
+        # max ts 12:30 -> watermark for batch B is 11:30
+        "a": [
+            (1, T(10, 0), 1, "click", 1.0, None),
+            (2, T(10, 20), 1, "click", 1.0, None),
+            (100, T(10, 30), 2, "view", 1.0, None),
+            (100, T(10, 30), 2, "view", 1.0, None),
+            (3, T(12, 30), 3, "buy", 1.0, None),
+        ],
+        # batch B: out-of-order-but-in-watermark (11:50 >= 11:30), a
+        # cross-batch duplicate (id 100, state still live), and a
+        # watermark push to 13:00 (ts 14:00). Batch B's end finalizes
+        # the [10,11) and [11,12) windows under wm 11:30.
+        "b": [
+            (4, T(11, 50), 1, "click", 1.0, None),
+            (100, T(11, 45), 2, "view", 1.0, None),
+            (6, T(14, 0), 3, "buy", 1.0, None),
+        ],
+        # batch C: a TOO-LATE row (10:10, its [10,11) window was
+        # finalized and evicted at batch B's end) -> dropped by the
+        # append-mode agg; id 100 re-appears AFTER its dedup state was
+        # evicted (watermark 13:00 > 10:30 + 1 h) -> re-admitted
+        "c": [
+            (5, T(10, 10), 4, "click", 1.0, None),
+            (100, T(13, 30), 2, "view", 1.0, None),
+            (7, T(13, 40), 5, "click", 1.0, None),
+        ],
+    }
+    d = str(tmp_path_factory.mktemp("adversarial_stream"))
+    now = time.time()
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = os.path.join(d, "_staging")
+        spark.createDataFrame(rows, streaming.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.move(glob.glob(os.path.join(staging, "part-*.parquet"))[0], dst)
+        shutil.rmtree(staging)
+        # file-source batch order = modification time: one file per trigger
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+    return d
+
+
+def _one_file_per_batch(spark, d):
+    return (
+        spark.readStream.schema(streaming.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _batch_events(spark, d):
+    return spark.read.schema(streaming.EVENT_SCHEMA).parquet(d)
+
+
+def test_adversarial_stream_complete_mode_keeps_late_rows(
+    spark, adversarial_stream_dir
+):
+    sink = streaming.run_to_memory(
+        streaming.windowed_counts(_one_file_per_batch(spark, adversarial_stream_dir)),
+        "t_adv_win_complete",
+    )
+    got = sorted((r.window_start, r.event_type, r.n) for r in sink.collect())
+    want = sorted(
+        (r.window_start, r.event_type, r.n)
+        for r in _batch_events(spark, adversarial_stream_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want  # complete mode == batch dual over ALL rows
+    # ...including the too-late row: 10:00 click counts 1, 2 AND 5
+    import datetime
+
+    assert (datetime.datetime(2026, 3, 1, 10, 0), "click", 3) in got
+
+
+def test_adversarial_stream_append_mode_drops_late_row(
+    spark, adversarial_stream_dir
+):
+    sink = streaming.run_to_memory(
+        streaming.windowed_counts(_one_file_per_batch(spark, adversarial_stream_dir)),
+        "t_adv_win_append",
+        output_mode="append",
+    )
+    got = sorted((r.window_start, r.event_type, r.n) for r in sink.collect())
+    # batch dual over rows that arrived before their window closed
+    # (event 5's [10,11) window was finalized a batch earlier),
+    # restricted to windows finalized by the final 13:00 watermark
+    # (window end <= 13:00)
+    import datetime
+
+    final_wm = datetime.datetime(2026, 3, 1, 13, 0)
+    want = sorted(
+        (r.window_start, r.event_type, r.n)
+        for r in _batch_events(spark, adversarial_stream_dir)
+        .filter(F.col("event_id") != 5)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.window_start + datetime.timedelta(hours=1) <= final_wm
+    )
+    assert got == want, (got, want)
+    # the drop is observable: the 10:00 click window finalized at 2, not 3
+    assert (datetime.datetime(2026, 3, 1, 10, 0), "click", 2) in got
+
+
+def test_adversarial_stream_dedup_eviction_and_readmission(
+    spark, adversarial_stream_dir
+):
+    sink = streaming.run_to_memory(
+        streaming.dedup_events(_one_file_per_batch(spark, adversarial_stream_dir)),
+        "t_adv_dedup",
+        output_mode="append",
+    )
+    import datetime
+
+    got = sorted((r.event_id, r.ts) for r in sink.collect())
+    T = lambda h, m: datetime.datetime(2026, 3, 1, h, m)  # noqa: E731
+    assert got == [
+        (1, T(10, 0)),
+        (2, T(10, 20)),
+        (3, T(12, 30)),
+        (4, T(11, 50)),
+        # NO (5, 10:10): a non-duplicate row arriving after the watermark
+        # passed it is dropped by the dedup operator's late filter
+        # (measured: the filter uses the PREVIOUS batch's eviction
+        # watermark, 11:30 here — the same row arriving one batch
+        # earlier, before that watermark was effective, passes through)
+        (6, T(14, 0)),
+        (7, T(13, 40)),
+        (100, T(10, 30)),  # first arrival wins (in-batch dup collapsed,
+        # 11:45 cross-batch dup collapsed)
+        (100, T(13, 30)),  # re-admitted after state eviction at wm 13:00
+    ], got
+
+
+def test_adversarial_stream_sessions_merge_out_of_order(
+    spark, adversarial_stream_dir
+):
+    sink = streaming.run_to_memory(
+        streaming.session_counts(_one_file_per_batch(spark, adversarial_stream_dir)),
+        "t_adv_sessions",
+    )
+    got = sorted((r.user_id, r.session_start, r.n_events) for r in sink.collect())
+    # UNLIKE the tumbling-window aggregation, the session operator drops
+    # below-watermark input even in COMPLETE mode (session merging
+    # depends on eviction): event 5 (10:10, arriving under the 11:30
+    # effective watermark) is excluded. In-watermark out-of-order
+    # fragments still merge across microbatches.
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in _batch_events(spark, adversarial_stream_dir)
+        .filter(F.col("event_id") != 5)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+        .collect()
+    )
+    assert got == want
