@@ -377,6 +377,7 @@ EMBEDDING_QUERIES = (
     "q84_embedding_neardup_cells",
     "q85_ann_bruteforce_topk",
     "q86_ivf_ann_topk",
+    "q89_embedding_quantize",  # nullif(mx,0) guard: NULL quants, both engines
     "q97_ann_pandas_topk",
     "q103_srp_lsh_neardup",
     "q124_semdedup_prune",
