@@ -35,32 +35,28 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  This round-9 window executes the rotation round 8
+# insertion order.  This round-10 window executes the rotation round 9
 # committed to (computed by scripts/propose_window.py, stalest-first):
-# (a) the 39 stalest greens (36 r6-vintage — 3 rounds stale at r9 — plus
-# the 3 next-stalest r7 rows), the oldest
-# hash-checked rows left in the registry (the m33 roundtrips q71/q73/q74,
-# range-layout scan, the window/set-op/sampling
-# family q22-q24/q30-q33, the scalar-function tail q40-q53, stats
-# aggregates, quantization, LID/token/fingerprint/TF-IDF, the composed
-# q99 pipeline, bigrams, weighted sample, target-affinity select, and
-# boilerplate strip) — then (b) the ELEVEN queries whose implementation changed this
-# round: the whole embeddings-cosine family (q84, q85, q86, q97, q103,
-# q124, q137) moved from raw `/` to F.try_divide (and q97's numpy path
-# to a NaN-guarded normalize + lexsort top-k) so a zero-norm embedding
-# yields NULL that ranks LAST, matching the oracle, instead of an ANSI
-# DIVIDE_BY_ZERO crash — the r8 strict-xfail now a hard 7-query contract
-# test (tests/test_adversarial_corpus.py::test_adversarial_embeddings_
-# cross_engine) — plus the multimodal trio (q95, q96, q107) whose
-# payload convention changed (NULL payload = zero-length asset; the
-# round-9 multimodal gate found a real None-crash in the Arrow UDFs)
-# — plus q102, whose SCD2 window now pins NULLS FIRST explicitly on
-# both sides (the adversarial warehouse gate caught a NULL change date
-# becoming the CURRENT row under DuckDB's nulls-last default).
-# try_divide equals `/` bit-for-bit on every nonzero norm and the
-# driver fixture has no zero-norm embedding or NULL payload, so prior
-# vintages for the unchanged-result queries remain valid attestations;
-# the window re-proves all ten anyway.
+# (a) the 41 r7-vintage greens — 3 rounds stale at r10, the oldest
+# hash-checked rows left in the registry: the unpivot/CTE/script-
+# transform/lateral family (q34, q54, q57, q58), sampling/collect/null-
+# ordering (q35, q36, q39), the join block (q10-q12, q37, q78), window
+# tails (q38), the dedup family (q80-q83, q105, q108, q109, q116), the
+# format roundtrips (q75-q77), the m33 view/limit legs (q70, q72), the
+# aggregation block (q01-q05, q06b, q07, q08), heavy hitters (q104),
+# collapse-repeats/PII (q113, q114), the composed crawl-front pipeline
+# (q143), the pandas-UDF pair (q09, q111), and MERGE upsert (q101) —
+# then (b) the FOUR queries whose implementation or oracle changed this
+# round: q60 (the oracle's whitespace-strip class widened from SQL
+# trim()'s space-only to Spark try_cast's full [\x00-\x20] trim class —
+# the tab/newline/control-padded JSON-string divergence found by round-9
+# ADVICE, pinned by new adversarial-events fixture rows) and the
+# multimodal trio q95/q96/q107 (empty payloads now report
+# last_frame_len=0 instead of the formula's +FRAME_BYTES artifact, on
+# both the numpy side and the q95 oracle) — then (c) backfill with the
+# five stalest r8 greens (q17, q18, q48_hash_funcs, q49_map_bitwise,
+# q59).  q96/q107 share q95's payload convention and gate, so they ride
+# along per round-9 ADVICE even though only q95's formula changed.
 #
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose code changed that
@@ -68,72 +64,68 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # > 2x window, so the full cycle is ~3 rounds — report vintage honestly,
 # and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window the
-# stalest rows are the r7-vintage greens (the big r7 block: joins
-# q10-q12/q78, aggregation q01-q09, the lateral/subquery family, script
-# transform, formats q75-q77, MERGE/SCD2 q101-q102, curation q108-q109,
-# q111, q116, q143), which must lead round 10 — run
+# stalest rows are the 50 r8-vintage greens (the join/agg/window refresh
+# block q13-q21, q125-q135, the events family q59-q68, and the curation
+# block q94/q112/q115/q118-q121), which must lead round 11 — run
 # scripts/propose_window.py to compute the exact list and
 # scripts/preflight_window.py before every end-of-round snapshot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) 39 stalest greens (36 r6 + 3 r7), per propose_window.py
-    "q110_range_layout_scan",
-    "q71_m33_schem_agg",
-    "q73_m33_ctas_roundtrip",
-    "q74_m33_jdbc_export_roundtrip",
-    "q22_lead_lag",
-    "q23_ntile_first_last",
-    "q30_topk_orders",
-    "q31_set_ops",
-    "q40_string_funcs",
-    "q41_split_array_cast",
-    "q42_conditional",
-    "q43_math_funcs",
-    "q44_date_funcs",
-    "q45_field_function",
-    "q50_explode_tokens",
-    "q51_scalar_subquery",
-    "q52_correlated_exists",
-    "q53_in_subquery",
-    "q46_array_map_funcs",
-    "q47_json_tuple",
-    "q32_distribute_cluster_by",
-    "q24_range_frame_window",
-    "q48_date_arithmetic",
-    "q49_string_padding",
-    "q33_set_ops_all",
-    "q128_stats_aggregates",
-    "q89_embedding_quantize",
-    "q90_language_id",
-    "q92_token_count",
-    "q93_fingerprint",
-    "q88_tfidf_top_terms",
-    "q99_curation_pipeline",
-    "q100_bigram_topk",
-    "q138_weighted_sample",
-    "q141_target_affinity_select",
-    "q142_html_boilerplate_strip",
-    "q24_percent_rank_cume_dist",
-    "q25_ignore_nulls_window",
-    "q33_pivot_status",
-    # (b) implementation changed this round: the embeddings-cosine
-    # family's zero-norm fix (try_divide / NaN-guarded numpy)
-    "q84_embedding_neardup_cells",
-    "q85_ann_bruteforce_topk",
-    "q86_ivf_ann_topk",
-    "q97_ann_pandas_topk",
-    "q103_srp_lsh_neardup",
-    "q124_semdedup_prune",
-    "q137_kmeans_refine",
-    # (b cont.) the multimodal payload-convention fix: NULL payload ->
-    # zero-length asset (coalesce at assets(), fillna in the Arrow UDFs,
-    # COALESCE in the oracles; empty-prefix checksum pinned to 0)
+    # (a) the 41 r7-vintage stale greens, per propose_window.py
+    "q34_unpivot_stack",
+    "q54_cte_multi_ref",
+    "q57_script_transform",
+    "q58_posexplode_lateral",
+    "q35_hash_sample",
+    "q36_collect_agg",
+    "q37_global_sales_opportunity",
+    "q38_nth_value_window",
+    "q39_null_ordering",
+    "q80_exact_dedup",
+    "q81_minhash_lsh_neardup",
+    "q82_ngram_jaccard_pairs",
+    "q83_simhash",
+    "q116_canonical_per_cluster",
+    "q105_dup_ngram_spans",
+    "q108_decontaminate",
+    "q109_incremental_dedup",
+    "q75_orc_roundtrip",
+    "q76_json_roundtrip",
+    "q77_csv_roundtrip",
+    "q78_bucketed_join",
+    "q70_m33_schem_view",
+    "q72_m33_limit_fetch",
+    "q01_pricing_summary",
+    "q02_distinct_agg",
+    "q03_rollup",
+    "q04_cube",
+    "q05_grouping_sets",
+    "q10_join_chain_revenue",
+    "q11_broadcast_dim_join",
+    "q12_region_revenue",
+    "q06b_hll_exact_check",
+    "q07_exact_percentiles",
+    "q08_salted_agg",
+    "q104_heavy_hitters",
+    "q113_collapse_repeats",
+    "q114_pii_redact",
+    "q143_crawl_front_pipeline",
+    "q09_pandas_udf_scalar",
+    "q111_grouped_map_demean",
+    "q101_merge_upsert",
+    # (b) oracle/implementation changed this round (round-9 ADVICE):
+    # q60's whitespace-trim class; the multimodal empty-payload
+    # last_frame_len=0 convention (q95 formula + oracle; q96/q107 ride
+    # along as the gated trio)
+    "q60_json_extract",
     "q95_multimodal_features",
     "q96_multimodal_meta_agg",
     "q107_frame_sample",
-    # (b cont.) q102: SCD2 NULL-change-date ordering pinned NULLS FIRST
-    # on both sides (the engines' ASC null-order defaults differ; found
-    # by the round-9 adversarial warehouse gate)
-    "q102_scd2_build",
+    # (c) backfill: the five stalest r8 greens
+    "q17_custdist",
+    "q18_top_volume_orders",
+    "q48_hash_funcs",
+    "q49_map_bitwise",
+    "q59_values_inline",
 )
 
 

@@ -30,11 +30,19 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
                   THEN json_extract_string(props, '$.k') END AS kstr
       FROM events
     ),
+    cleaned AS (
+      -- Spark try_cast trims ALL chars <= 0x20 (tab/newline/controls),
+      -- DuckDB trim() strips only spaces: strip the full class explicitly
+      -- so a JSON string value like "3\t" casts to 3 on both engines.
+      SELECT event_type,
+             regexp_replace(kstr, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS kc
+      FROM raw
+    ),
     e AS (
       SELECT event_type,
-             CASE WHEN regexp_matches(trim(kstr), '^[+-]?[0-9]+$')
-                  THEN TRY_CAST(trim(kstr) AS BIGINT) END AS k
-      FROM raw
+             CASE WHEN regexp_matches(kc, '^[+-]?[0-9]+$')
+                  THEN TRY_CAST(kc AS BIGINT) END AS k
+      FROM cleaned
     )
     SELECT
       event_type,
@@ -48,7 +56,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     "try_cast, not cast: a single event whose props carry a non-numeric k "
     "(crawl reality) must contribute NULL, not kill the whole job under "
     "ANSI mode — found by tests/test_adversarial_corpus.py. The oracle "
-    "gates its TRY_CAST behind an integral regexp on the trimmed string "
+    "gates its TRY_CAST behind an integral regexp on the [\\x00-\\x20]-"
+    "stripped string (Spark's try_cast trim class, wider than SQL trim) "
     "because the engines' string->BIGINT accept sets differ exactly on "
     "fractional text: Spark try_cast('3.5' AS BIGINT) is NULL while "
     "DuckDB rounds to 4 (likewise '2.0'->2, '1000.0'->1000) — a "

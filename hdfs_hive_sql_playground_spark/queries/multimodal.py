@@ -108,7 +108,10 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             last = np.full(len(nb), -1, dtype=np.int64)
             checksum = np.zeros(len(nb), dtype=np.int64)
         n_frames = -(-nb // FRAME_BYTES)
-        last_len = nb - (n_frames - 1) * FRAME_BYTES
+        # A 0-frame (empty) asset has no last frame: pin last_frame_len=0
+        # rather than the nb-(n_frames-1)*FRAME_BYTES formula's +FRAME_BYTES
+        # artifact, so the convention stays semantically consistent.
+        last_len = np.where(nb == 0, 0, nb - (n_frames - 1) * FRAME_BYTES)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -136,7 +139,9 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                             i -> ascii(substr(t, CAST(i AS INTEGER), 1)))), 0)
            AS BIGINT) AS checksum_prefix,
       CAST(ceil(length(t) * 1.0 / {FRAME_BYTES}) AS BIGINT) AS n_frames,
-      CAST(length(t) - (ceil(length(t) * 1.0 / {FRAME_BYTES}) - 1) * {FRAME_BYTES} AS BIGINT) AS last_frame_len
+      CAST(CASE WHEN length(t) = 0 THEN 0
+                ELSE length(t) - (ceil(length(t) * 1.0 / {FRAME_BYTES}) - 1) * {FRAME_BYTES}
+           END AS BIGINT) AS last_frame_len
     FROM a
     """,
     doc="Multimodal feature extraction through the real Arrow/mapInPandas "

@@ -346,6 +346,18 @@ def incremental_ingest_stream(
         plan,
     )
     already_watermarked = bool(wm_cols)
+    if "EventTimeWatermark" in plan and not wm_cols:
+        # The plan HAS a watermark node but the attribute name didn't
+        # match the identifier-shaped regex (e.g. a backtick-quoted /
+        # non-word column name): fail loudly instead of silently
+        # re-applying withWatermark on ts_col — the exact silent path
+        # this parse exists to close.
+        raise ValueError(
+            "incremental_ingest_stream: input plan contains an "
+            "EventTimeWatermark node whose attribute could not be parsed "
+            "(non-identifier column name?); rename the event-time column "
+            "to an identifier-shaped name before chaining."
+        )
     if already_watermarked and ts_col not in wm_cols:
         raise ValueError(
             f"incremental_ingest_stream: input already watermarked on "

@@ -69,14 +69,19 @@ CHECKS: dict[str, re.Pattern[str]] = {
         re.IGNORECASE,
     ),
     # env vars outside this repo's own SPARK_GRAFT_*/JAVA_HOME/standard set
+    # — covers os.environ(...), os.environ.get(...), os.environ["..."],
+    # and os.getenv("...") access forms with the same allowlist lookahead
     "private-env": re.compile(
-        r"os\.environ(?:\.get)?\(\s*['\"](?!SPARK_GRAFT_|JAVA_HOME|PATH\b|"
+        r"os\.(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
+        r"\s*['\"](?!SPARK_GRAFT_|JAVA_HOME|PATH\b|"
         r"HOME\b|USER\b|TMPDIR|PYSPARK_|SPARK_|HADOOP_|TZ\b)[A-Z][A-Z0-9_]*"
     ),
 }
 
 SCAN_EXT = {".py", ".md", ".hql", ".sql", ".txt", ".json", ".toml", ".cfg", ".ini"}
-SKIP_FILES = {"LEAKCHECK.json", "PAPERS.md", "SNIPPETS.md"}  # retrieved/artifact
+# retrieved/judge artifacts, not repo source (ADVICE/VERDICT quote
+# placeholder env-access code patterns as findings text)
+SKIP_FILES = {"LEAKCHECK.json", "PAPERS.md", "SNIPPETS.md", "ADVICE.md", "VERDICT.md"}
 
 
 def tracked_files() -> list[str]:

@@ -193,6 +193,14 @@ def adversarial_events_dir(spark, tmp_path_factory):
         (16, ts(hours=4, minutes=2), 5, "view", 3.0, '{"k": 1e3}'),
         (17, ts(hours=4, minutes=3), 5, "view", 4.0, '{"k": " 3 "}'),
         (18, ts(hours=4, minutes=4), 5, "buy", 5.0, '{"k": "+7"}'),
+        # non-space whitespace/control padding (q60): Spark try_cast trims
+        # ALL chars <= 0x20, SQL trim() only spaces — the oracle strips the
+        # full class via regexp. NBSP (U+00A0 > 0x20) is NOT trimmed by
+        # either engine and must stay NULL.
+        (19, ts(hours=4, minutes=5), 5, "buy", 6.0, '{"k": "3\\t"}'),
+        (20, ts(hours=4, minutes=6), 5, "click", 7.0, '{"k": "\\n42\\n"}'),
+        (21, ts(hours=4, minutes=7), 5, "view", 8.0, '{"k": "7\\u000b"}'),
+        (22, ts(hours=4, minutes=8), 5, "buy", 9.0, '{"k": "3\\u00a0"}'),
     ]
     d = str(tmp_path_factory.mktemp("adversarial_events"))
     staging = os.path.join(d, "_staging")

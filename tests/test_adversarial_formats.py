@@ -1,0 +1,308 @@
+"""Adversarial formats gate (round 10): pathological inputs for the
+file-format surface (SURVEY §2 Tier B 'File formats'; reference
+pass-through `playground.py:738-750`) — malformed CSV (unterminated
+quotes, embedded delimiters/newlines, wrong arity), corrupt JSON records
+(PERMISSIVE `_corrupt_record` vs DROPMALFORMED vs FAILFAST), and
+schema-evolution reads (added AND dropped columns across parquet/ORC
+batches in one table).
+
+Like the round-8/9 adversarial gates, every test either finds a real bug
+or PINS the exact recovery contract so a later Spark/DuckDB upgrade that
+changes it fails loudly. Where both engines can read the same bytes the
+pin is cross-engine (DuckDB `ignore_errors`); where recovery semantics
+genuinely diverge (documented inline) the pin is Spark-only.
+
+The operational headline for 100 TB ingest: ONE unterminated quote under
+multiLine=true swallows every subsequent row of the file into a single
+corrupt record — silently, in PERMISSIVE mode. The pin
+(test_csv_multiline_unterminated_quote_swallows_file_tail) is why the
+repo's CSV readers default to multiLine=false line-split recovery unless
+a column genuinely contains newlines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+CSV_SCHEMA = "id int, name string, val int, _corrupt string"
+CSV_TEXT = (
+    "id|name|val\n"
+    "1|alice|10\n"
+    '2|bo"b|20\n'  # stray quote mid-unquoted-field
+    '3|"embedded|delim"|30\n'  # quoted embedded delimiter
+    '4|"multi\nline"|40\n'  # quoted embedded newline
+    "5|toofew\n"  # wrong arity: 2 tokens
+    "6|extra|50|surplus\n"  # wrong arity: 4 tokens
+    '7|"unterminated|60\n'  # quote never closed
+    "8|ok|80\n"
+)
+
+JSON_SCHEMA = "id int, name string, val int, _corrupt string"
+JSON_TEXT = (
+    '{"id": 1, "name": "alice", "val": 10}\n'
+    '{"id": 2, "name": "bob", "val": }\n'  # syntax error
+    "not json at all\n"
+    '{"id": 3, "name": "carol"}\n'  # missing field
+    '{"id": "x4", "name": "dave", "val": 40}\n'  # type mismatch on id
+    '{"id": 5, "name": "eve", "val": 50, "extra": true}\n'  # extra field
+    "\n"  # blank line
+    '{"id": 6, "name": "frank", "val": 60}\n'
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("advformats") / "bad.csv"
+    p.write_text(CSV_TEXT)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def json_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("advformats") / "bad.json"
+    p.write_text(JSON_TEXT)
+    return str(p)
+
+
+def _read_csv(spark, path, mode, multiline):
+    return (
+        spark.read.schema(CSV_SCHEMA)
+        .option("sep", "|")
+        .option("header", True)
+        .option("mode", mode)
+        .option("multiLine", multiline)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
+# --- CSV -------------------------------------------------------------------
+
+
+def test_csv_permissive_linesplit_recovery(spark, csv_path):
+    """PERMISSIVE + multiLine=false: recovery is per-LINE. Good rows parse
+    exactly; each bad line becomes one row with _corrupt carrying the raw
+    text (so a quarantine sink can replay it); arity-wrong rows still
+    yield their parseable prefix."""
+    rows = {r["id"]: r for r in _read_csv(spark, csv_path, "PERMISSIVE", False).collect()}
+    good = {i for i, r in rows.items() if r["_corrupt"] is None}
+    assert good == {1, 2, 3, 8}
+    assert rows[2]["name"] == 'bo"b'  # stray quote kept literally
+    assert rows[3]["name"] == "embedded|delim"  # quoted delimiter kept
+    # arity too few: trailing columns null-filled, row still flagged
+    assert rows[5]["name"] == "toofew" and rows[5]["val"] is None
+    assert rows[5]["_corrupt"] == "5|toofew"
+    # arity too many: prefix parsed, surplus flagged
+    assert rows[6]["val"] == 50 and rows[6]["_corrupt"] == "6|extra|50|surplus"
+    # the embedded-newline row splits into TWO corrupt half-rows — the
+    # price of line-split mode; use multiLine=true when a column really
+    # contains newlines (next test pins that trade-off's other edge)
+    corrupt_raw = {
+        r["_corrupt"]
+        for r in rows.values()
+        if r["_corrupt"] is not None
+    }
+    assert '4|"multi' in corrupt_raw and 'line"|40' in corrupt_raw
+    assert '7|"unterminated|60' in corrupt_raw
+    assert len(corrupt_raw) == 5
+
+
+def test_csv_multiline_unterminated_quote_swallows_file_tail(spark, csv_path):
+    """PERMISSIVE + multiLine=true parses the quoted-newline row correctly
+    — but ONE unterminated quote then swallows every later row of the
+    file into a single corrupt record. Pinned because it is the silent
+    data-loss mode of multiLine CSV at 100 TB: row 8 is well-formed and
+    simply vanishes from the good set."""
+    rows = _read_csv(spark, csv_path, "PERMISSIVE", True).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[4]["name"] == "multi\nline" and by_id[4]["val"] == 40
+    assert 8 not in by_id  # swallowed
+    (tail,) = [r for r in rows if r["id"] == 7]
+    assert "8|ok|80" in tail["_corrupt"]  # the whole file tail, one record
+
+
+def test_csv_dropmalformed_and_failfast(spark, csv_path):
+    survivors = {
+        r["id"] for r in _read_csv(spark, csv_path, "DROPMALFORMED", False).collect()
+    }
+    assert survivors == {1, 2, 3, 8}
+    survivors_ml = {
+        r["id"] for r in _read_csv(spark, csv_path, "DROPMALFORMED", True).collect()
+    }
+    assert survivors_ml == {1, 2, 3, 4}
+    with pytest.raises(Exception, match="MALFORMED"):
+        (
+            spark.read.schema("id int, name string, val int")
+            .option("sep", "|")
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(csv_path)
+            .collect()
+        )
+
+
+def test_csv_cross_engine_agreed_subset(spark, csv_path):
+    """Both engines' recovery modes agree on the strictly-well-formed
+    single-line rows {1,2,3}: identical values. Divergence beyond that is
+    real and documented: DuckDB ignore_errors drops BOTH the quoted-
+    newline row (4) and the post-unterminated-quote tail (8), while Spark
+    line-split DROPMALFORMED recovers 8 — so only the intersection is
+    hash-comparable."""
+    spark_rows = {
+        r["id"]: (r["name"], r["val"])
+        for r in _read_csv(spark, csv_path, "DROPMALFORMED", False).collect()
+    }
+    duck = duckdb.connect()
+    duck_rows = {
+        i: (n, v)
+        for i, n, v in duck.execute(
+            "SELECT id, name, val FROM read_csv(?, delim='|', header=true, "
+            "columns={'id':'INT','name':'VARCHAR','val':'INT'}, "
+            "ignore_errors=true)",
+            [csv_path],
+        ).fetchall()
+    }
+    assert set(duck_rows) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert spark_rows[i] == duck_rows[i]
+
+
+# --- JSON ------------------------------------------------------------------
+
+
+def test_json_permissive_corrupt_record_contract(spark, json_path):
+    """PERMISSIVE JSON: syntax errors and type mismatches populate
+    _corrupt_record (type mismatch still yields the fields that DID
+    parse); a missing field is NOT corrupt (plain null); extra fields are
+    ignored; blank lines are skipped entirely."""
+    rows = (
+        spark.read.schema(JSON_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(json_path)
+        .collect()
+    )
+    assert len(rows) == 7  # 8 lines - 1 blank
+    corrupt = [r for r in rows if r["_corrupt"] is not None]
+    assert len(corrupt) == 3
+    # partial parse on type mismatch: id failed, name/val survived
+    (mismatch,) = [r for r in corrupt if r["name"] == "dave"]
+    assert mismatch["id"] is None and mismatch["val"] == 40
+    # missing field is null, not corrupt
+    (carol,) = [r for r in rows if r["name"] == "carol"]
+    assert carol["val"] is None and carol["_corrupt"] is None
+    # extra field ignored
+    (eve,) = [r for r in rows if r["name"] == "eve"]
+    assert eve["val"] == 50 and eve["_corrupt"] is None
+
+
+def test_json_dropmalformed_failfast_and_cross_engine(spark, json_path):
+    """DROPMALFORMED keeps exactly the fully-parseable records; the same
+    set falls out of DuckDB read_json(ignore_errors=true) restricted to
+    rows whose id parsed (DuckDB keeps all-null placeholder rows for
+    corrupt lines instead of dropping them — divergence documented here,
+    values compared on the agreed subset). FAILFAST raises on the first
+    corrupt record."""
+    spark_rows = {
+        r["id"]: (r["name"], r["val"])
+        for r in (
+            spark.read.schema("id int, name string, val int")
+            .option("mode", "DROPMALFORMED")
+            .json(json_path)
+            .collect()
+        )
+    }
+    assert set(spark_rows) == {1, 3, 5, 6}
+    duck = duckdb.connect()
+    duck_rows = {
+        i: (n, v)
+        for i, n, v in duck.execute(
+            "SELECT id, name, val FROM read_json(?, "
+            "format='newline_delimited', ignore_errors=true, "
+            "columns={'id':'INT','name':'VARCHAR','val':'INT'}) "
+            "WHERE id IS NOT NULL",
+            [json_path],
+        ).fetchall()
+    }
+    assert duck_rows == spark_rows
+    with pytest.raises(Exception, match="MALFORMED|FAILED_READ_FILE"):
+        (
+            spark.read.schema("id int, name string, val int")
+            .option("mode", "FAILFAST")
+            .json(json_path)
+            .collect()
+        )
+
+
+# --- schema evolution ------------------------------------------------------
+
+
+def test_parquet_schema_evolution_added_and_dropped_cross_engine(spark, tmp_path):
+    """One logical table, three parquet batches written over time: batch 2
+    DROPS a column, batch 3 ADDS one. mergeSchema must union the footers
+    and null-fill both directions — cross-checked value-for-value against
+    DuckDB read_parquet(union_by_name=true)."""
+    base = str(tmp_path / "evo")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v1", "id * 3 AS v2").write.parquet(
+        f"{base}/b=1"
+    )
+    spark.range(5, 10).selectExpr("id", "id * 2 AS v1").write.parquet(f"{base}/b=2")
+    spark.range(10, 15).selectExpr(
+        "id", "id * 2 AS v1", "id * 7 AS v3"
+    ).write.parquet(f"{base}/b=3")
+
+    df = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(df.columns) == {"id", "v1", "v2", "v3", "b"}
+    got = df.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v1").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum("v3").alias("s3"),
+        F.count("v2").alias("nn2"),
+        F.count("v3").alias("nn3"),
+    )
+    spark_rows = {r["b"]: tuple(r)[1:] for r in got.collect()}
+
+    duck = duckdb.connect()
+    duck_rows = {
+        b: rest
+        for b, *rest in (
+            duck.execute(
+                "SELECT CAST(regexp_extract(filename, 'b=(\\d+)', 1) AS INT) AS b, "
+                "COUNT(*), SUM(v1), SUM(v2), SUM(v3), COUNT(v2), COUNT(v3) "
+                "FROM read_parquet(?, union_by_name=true, filename=true) "
+                "GROUP BY 1",
+                [f"{base}/*/*.parquet"],
+            ).fetchall()
+        )
+    }
+    assert set(spark_rows) == {1, 2, 3}
+    for b in (1, 2, 3):
+        assert tuple(spark_rows[b]) == tuple(duck_rows[b]), b
+    # dropped column null-fills forward, added column null-fills backward
+    assert spark_rows[2][4] == 0 and spark_rows[2][1] is not None
+    assert spark_rows[1][5] == 0 and spark_rows[3][5] == 5
+
+
+def test_orc_schema_evolution_merge(spark, tmp_path):
+    """Same evolution on ORC (DuckDB can't read ORC — Spark-only pin):
+    spark.sql.orc.mergeSchema=true unions footers exactly like parquet."""
+    base = str(tmp_path / "evo_orc")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v1", "id * 3 AS v2").write.orc(
+        f"{base}/b=1"
+    )
+    spark.range(5, 10).selectExpr("id", "id * 2 AS v1", "id * 7 AS v3").write.orc(
+        f"{base}/b=2"
+    )
+    df = spark.read.option("mergeSchema", True).orc(base)
+    assert set(df.columns) == {"id", "v1", "v2", "v3", "b"}
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v2").alias("s2"),
+        F.sum("v3").alias("s3"),
+        F.count("v2").alias("nn2"),
+        F.count("v3").alias("nn3"),
+    ).collect()[0]
+    assert tuple(agg) == (10, sum(i * 3 for i in range(5)), sum(i * 7 for i in range(5, 10)), 5, 5)

@@ -975,3 +975,119 @@ def test_adversarial_stream_sessions_merge_out_of_order(
         .collect()
     )
     assert got == want
+
+
+# Update-mode gate (round 10): the third output mode — and the one an
+# incremental 100 TB ingest would actually run (emit only what changed,
+# downstream upsert sink). Pins per-microbatch re-emission exactly, via
+# foreachBatch capture on a dedicated three-batch fixture:
+#   - a batch emits ONLY the windows its surviving rows touched, each
+#     with the UPDATED CUMULATIVE aggregate (not a delta);
+#   - a window spanning batches RE-emits once per touching batch;
+#   - untouched live windows are NOT re-emitted (unlike complete mode);
+#   - the same one-batch-lag watermark filter as append mode applies: a
+#     too-late row is dropped and CANNOT resurrect an evicted window —
+#     so an upsert sink keyed on (window_start, event_type) converges to
+#     the append-mode answer for finalized windows while also surfacing
+#     still-live windows early.
+
+
+@pytest.fixture(scope="module")
+def update_mode_stream_dir(spark, tmp_path_factory):
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    T = lambda h, m: datetime.datetime(2026, 3, 1, h, m)  # noqa: E731
+    batches = {
+        # batch A: two clicks in [10,11), one view in [12,13);
+        # end-of-batch watermark = 12:30 - 1h = 11:30 (evicts [10,11))
+        "a": [
+            (1, T(10, 15), 1, "click", 1.0, None),
+            (2, T(10, 45), 1, "click", 1.0, None),
+            (3, T(12, 30), 2, "view", 1.0, None),
+        ],
+        # batch B: second view lands in the still-live [12,13) window
+        # (the RE-emission case); a 14:00 click pushes watermark to 13:00
+        "b": [
+            (4, T(12, 40), 2, "view", 1.0, None),
+            (5, T(14, 0), 3, "click", 1.0, None),
+        ],
+        # batch C: a too-late 10:20 click (its window was evicted at
+        # batch A's end watermark) + an in-watermark 13:30 view
+        "c": [
+            (6, T(10, 20), 4, "click", 1.0, None),
+            (7, T(13, 30), 2, "view", 1.0, None),
+        ],
+    }
+    d = str(tmp_path_factory.mktemp("update_mode_stream"))
+    now = time.time()
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = os.path.join(d, "_staging")
+        spark.createDataFrame(rows, streaming.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.move(glob.glob(os.path.join(staging, "part-*.parquet"))[0], dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+    return d
+
+
+def test_adversarial_stream_update_mode_reemission_contract(
+    spark, update_mode_stream_dir
+):
+    import datetime
+
+    emissions = []
+
+    def capture(df, batch_id):
+        emissions.append(
+            (
+                batch_id,
+                sorted(
+                    (r.window_start, r.event_type, r.n) for r in df.collect()
+                ),
+            )
+        )
+
+    q = (
+        streaming.windowed_counts(
+            _one_file_per_batch(spark, update_mode_stream_dir)
+        )
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    T = lambda h: datetime.datetime(2026, 3, 1, h, 0)  # noqa: E731
+    assert emissions == [
+        (0, [(T(10), "click", 2), (T(12), "view", 1)]),
+        # [12,13) view RE-emits with the updated cumulative count (2, not
+        # a +1 delta); the untouched [10,11) click window does NOT re-emit
+        (1, [(T(12), "view", 2), (T(14), "click", 1)]),
+        # the too-late 10:20 click is dropped (no resurrection of the
+        # evicted [10,11) window); only the fresh [13,14) view emits
+        (2, [(T(13), "view", 1)]),
+    ]
+
+    # An upsert sink keyed on (window_start, event_type), replaying the
+    # emissions in order, converges to the batch dual minus the dropped
+    # late row — the operational contract for incremental ingest.
+    upserted = {}
+    for _bid, rows in emissions:
+        for w, t, n in rows:
+            upserted[(w, t)] = n
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in _batch_events(spark, update_mode_stream_dir)
+        .filter(F.col("event_id") != 6)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert upserted == want
