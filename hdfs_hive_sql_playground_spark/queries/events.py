@@ -62,9 +62,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     "fractional text: Spark try_cast('3.5' AS BIGINT) is NULL while "
     "DuckDB rounds to 4 (likewise '2.0'->2, '1000.0'->1000) — a "
     "non-integral k is REJECTED, the right contract for an integer "
-    "count, and the regexp ('^[+-]?[0-9]+$' after trim) reproduces "
-    "Spark's accept set ('+7', ' 3 ' accepted; '3.5', '7.', '1e3', '' "
-    "rejected) — fractional/padded/sign rows are pinned by the "
+    "count, and the regexp ('^[+-]?[0-9]+$' after the strip) reproduces "
+    "Spark's accept set ('+7', ' 3 ', tab/newline-padded digits "
+    "accepted; '3.5', '7.', '1e3', '', NBSP-padded rejected) — "
+    "fractional/padded/sign/control-char rows are pinned by the "
     "adversarial events gate.",
 )
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

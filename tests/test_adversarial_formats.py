@@ -306,3 +306,31 @@ def test_orc_schema_evolution_merge(spark, tmp_path):
         F.count("v3").alias("nn3"),
     ).collect()[0]
     assert tuple(agg) == (10, sum(i * 3 for i in range(5)), sum(i * 7 for i in range(5, 10)), 5, 5)
+
+
+def test_parquet_corrupt_file_contract(spark, tmp_path):
+    """Corrupt parquet members of a multi-file table (truncated footer,
+    zero-byte file — the 100 TB reality of interrupted writers): the
+    default contract FAILS the read loudly (FAILED_READ_FILE, no silent
+    row loss); `spark.sql.files.ignoreCorruptFiles=true` is the explicit
+    opt-in that skips corrupt members and returns the intact files'
+    rows. Pinned so an upgrade flipping either default fails here."""
+    import glob
+    import shutil
+
+    base = str(tmp_path / "corrupt_pq")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(base)
+    (intact,) = glob.glob(f"{base}/part-*.parquet")
+    data = open(intact, "rb").read()
+    with open(f"{base}/part-zzz-truncated.parquet", "wb") as fh:
+        fh.write(data[: len(data) // 3])
+    open(f"{base}/part-zzz2-empty.parquet", "wb").close()
+
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Could not read footer"):
+        spark.read.parquet(base).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", True)
+    try:
+        assert spark.read.parquet(base).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", False)

@@ -90,3 +90,62 @@ def test_registry_legs_subprocess_empty_set_on_child_failure(monkeypatch, capsys
 
 def test_subprocess_registry_legs_default():
     assert "q99_curation_pipeline" in bench.SUBPROCESS_REGISTRY_LEGS
+
+
+def test_emit_records_two_lines_headlines_last_and_watches():
+    """The stdout contract: TWO JSON lines; the full record keys the m33
+    headlines LAST; the compact headline record carries the headlines,
+    the watched trend bands, and the calibration metrics — so the
+    driver's 2000-char tail always recovers them whole."""
+    timings = {
+        "calibration_x1_first": 0.50,
+        "q01_pricing_summary": 1.0,
+        "m33_ctas_2800k": 3.8,
+        "trend_m33_ctas_x10": 3.0,
+        "trend_ctas_x10_over_x1_ratio": 3.0,
+        "m33_rows_x1": 2800000.0,
+        "m33_jdbc_export_2800k": 39.0,
+        "m33_limit100_raw_view": 1.2,
+        "m33_limit100_warehouse": 0.07,
+        "calibration_x1_last": 0.43,
+    }
+    full, headline = (json.loads(s) for s in bench._emit_records(timings, "0.1"))
+    assert full["metric"] == "bench_queries_total_wall"
+    # headlines are the last four keys of the full record's queries dict
+    assert list(full["queries"])[-4:] == [
+        "m33_ctas_2800k",
+        "m33_jdbc_export_2800k",
+        "m33_limit100_raw_view",
+        "m33_limit100_warehouse",
+    ]
+    # rows/trend/calibration markers excluded from the wall-clock total
+    assert full["value"] == round(1.0 + 3.8 + 39.0 + 1.2 + 0.07, 4)
+    assert headline["metric"] == "bench_m33_headlines"
+    assert set(headline["queries"]) == {
+        "m33_ctas_2800k",
+        "m33_jdbc_export_2800k",
+        "m33_limit100_raw_view",
+        "m33_limit100_warehouse",
+    }
+    # calibration: min of first/last, factor vs the pinned reference
+    assert headline["watches"]["calibration_x1"] == 0.43
+    factor = round(0.43 / bench.CALIBRATION_REF_SEC, 3)
+    assert headline["watches"]["calibration_factor"] == factor
+    assert headline["calibration_ref"] == bench.CALIBRATION_REF_SEC
+    # watched CTAS x10 band rides in the headline record, raw AND
+    # calibration-normalized; ratios get no _norm twin (scale-invariant)
+    assert headline["watches"]["trend_m33_ctas_x10"] == 3.0
+    assert headline["watches"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
+    assert full["queries"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
+    assert "trend_ctas_x10_over_x1_ratio_norm" not in full["queries"]
+
+
+def test_emit_records_without_calibration_is_graceful():
+    """SKIP paths that never time the calibration leg must still emit
+    valid records (no calibration keys, no _norm twins)."""
+    full, headline = (
+        json.loads(s) for s in bench._emit_records({"q01_pricing_summary": 1.0}, "0.01")
+    )
+    assert full["value"] == 1.0
+    assert "calibration_x1" not in full["queries"]
+    assert headline["watches"] == {}
