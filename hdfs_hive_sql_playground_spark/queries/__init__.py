@@ -112,20 +112,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q09_pandas_udf_scalar",
     "q111_grouped_map_demean",
     "q101_merge_upsert",
-    # (b) oracle/implementation changed this round (round-9 ADVICE):
-    # q60's whitespace-trim class; the multimodal empty-payload
-    # last_frame_len=0 convention (q95 formula + oracle; q96/q107 ride
-    # along as the gated trio)
+    # (b) oracle/implementation changed this round (round-9 ADVICE +
+    # round-10 gate findings): q60's whitespace-trim class; the
+    # multimodal empty-payload last_frame_len=0 convention (q95 formula
+    # + oracle; q96/q107 ride along as the gated trio); the m33 family's
+    # wholetext scan path now matches Hadoop's CR/LF/CRLF line-terminator
+    # contract (real trailing-\r bug on CRLF files, found by the round-10
+    # adversarial text-source gate — q70/q72 are already in block (a),
+    # q71/q73/q74 complete the family)
     "q60_json_extract",
     "q95_multimodal_features",
     "q96_multimodal_meta_agg",
     "q107_frame_sample",
-    # (c) backfill: the five stalest r8 greens
+    "q71_m33_schem_agg",
+    "q73_m33_ctas_roundtrip",
+    "q74_m33_jdbc_export_roundtrip",
+    # (c) backfill: the two stalest r8 greens
     "q17_custdist",
     "q18_top_volume_orders",
-    "q48_hash_funcs",
-    "q49_map_bitwise",
-    "q59_values_inline",
 )
 
 

@@ -124,21 +124,43 @@ def read_text_files(
             *[fn(F.input_file_name()).alias(n) for n, fn in per_file_cols.items()],
         )
     _check_wholetext_sizes(spark, path, max_file_bytes)
-    # Drop ONLY the phantom empty record a trailing final newline would
+    # Line-terminator contract: Hadoop's LineRecordReader (the line-mode
+    # path above, and Hive TEXTFILE — the reference semantics) terminates
+    # lines on CR, LF, or CRLF and never includes the terminator in the
+    # record. The split below mirrors that exactly (ordered alternation:
+    # CRLF must match before its two halves) — splitting on '\n' alone
+    # left a trailing '\r' on every row of a CRLF file, a silent
+    # divergence between the two scan paths found by the round-10
+    # adversarial text-source gate.
+    # Drop ONLY the phantom empty record a trailing final terminator would
     # produce (Hive's text reader emits no record for it) — interior blank
     # lines remain data rows, exactly like the skip_header_lines=0 path.
-    # Stripping the ONE trailing '\n' from the STRING before splitting is
-    # semantically identical to dropping a trailing "" element after, but
-    # costs a substring copy instead of a conditional whole-array slice of
-    # the multi-hundred-k-element lines array (the round-3 formulation,
-    # which doubled the per-file array work on this hot path).
+    # Stripping the ONE trailing terminator from the STRING before
+    # splitting is semantically identical to dropping a trailing ""
+    # element after, but costs a substring copy instead of a conditional
+    # whole-array slice of the multi-hundred-k-element lines array (the
+    # round-3 formulation, which doubled the per-file array work on this
+    # hot path).
     v = F.col("value")
-    trimmed = F.when(
-        v.endswith("\n"), F.expr("substring(value, 1, length(value) - 1)")
-    ).otherwise(v)
+    trimmed = (
+        F.when(v.endswith("\r\n"), F.expr("substring(value, 1, length(value) - 2)"))
+        .when(
+            v.endswith("\n") | v.endswith("\r"),
+            F.expr("substring(value, 1, length(value) - 1)"),
+        )
+        .otherwise(v)
+    )
+    # Per-file split-strategy branch: the alternation regex is ~40% slower
+    # than the single-char split on this hot path (measured on the
+    # LIMIT-100 raw-view bench leg), and LF-only files — the overwhelming
+    # case — don't need it. One contains() scan of the whole file string
+    # picks the split; Spark's If evaluates only the taken branch per row.
+    lines = F.when(
+        v.contains("\r"), F.split(trimmed, "\r\n|\r|\n")
+    ).otherwise(F.split(trimmed, "\n"))
     whole = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias(FILE_COL),
-        F.split(trimmed, "\n").alias("_lines"),
+        lines.alias("_lines"),
         # once-per-file evaluation: the explode below only replicates the
         # already-computed value into each output row
         *[fn(F.input_file_name()).alias(n) for n, fn in per_file_cols.items()],
