@@ -41,6 +41,14 @@ def export_jdbc(
     Sqoop 4-map-task default); ``batchsize`` the rows per
     ``executeBatch``. At scale, raise both with the target's ingest
     capacity — the bottleneck is the RDBMS, not Spark.
+
+    Embedded-Derby caveat (test targets only): Spark's DerbyDialect
+    declares CLOB as the string NULL type, and Derby rejects
+    ``setNull(CLOB)`` on a VARCHAR column (ERROR 22005) — so declare
+    string columns CLOB in Derby DDL when NULLs are possible (pinned in
+    tests/test_adversarial_sinks.py). Real RDBMS dialects (the
+    reference's SQL Server target included) map strings natively and are
+    unaffected.
     """
     writer = (
         df.write.format("jdbc")
