@@ -122,3 +122,55 @@ def test_per_file_cols_on_degenerate_files(spark, tmp_path):
         per_file_cols={"key": lambda c: F.regexp_extract(c, r"(k\d)_", 1)},
     )
     assert [(r["key"], r["row_str"]) for r in df.collect()] == [("k1", "v1")]
+
+
+def test_randomized_corpus_both_paths_match_naive_reference(spark, tmp_path):
+    """Seeded randomized corpus (mixed CR/LF/CRLF terminators, blank
+    lines, unicode, missing trailing terminators, degenerate files)
+    checked against a pure-Python naive reference of the Hadoop line
+    contract — the same third-implementation pattern the hash/fold
+    operators use (docs/VERIFICATION.md layer 3). Both scan paths must
+    agree with it: line mode on all lines, the wholetext path on the
+    header-skipped suffix of each file."""
+    import random
+    import re
+
+    rng = random.Random(20260815)
+    terms = ["\n", "\r\n", "\r"]
+    alphabet = ["data", "x,y", "点击", "v u", "", "0", "tail"]
+    d = str(tmp_path / "rand")
+    os.makedirs(d)
+    expected = {}  # file -> list of logical lines
+    for i in range(30):
+        n_lines = rng.randint(0, 6)
+        lines = [rng.choice(alphabet) for _ in range(n_lines)]
+        body = "".join(line + rng.choice(terms) for line in lines)
+        if lines and rng.random() < 0.3:
+            # no trailing terminator on the last line
+            body = (
+                "".join(line + rng.choice(terms) for line in lines[:-1])
+                + lines[-1]
+            )
+        name = f"f{i:02d}.txt"
+        _write(os.path.join(d, name), body.encode("utf-8"))
+        # naive reference: split on CRLF/CR/LF (ordered), drop the phantom
+        # empty record a trailing terminator produces
+        ref = re.split("\r\n|\r|\n", body)
+        if ref and ref[-1] == "":
+            ref = ref[:-1]
+        expected[name] = ref
+
+    got_lines = _rows(read_text_files(spark, d))
+    want_lines = sorted(
+        (name, line) for name, ref in expected.items() for line in ref
+    )
+    assert got_lines == want_lines
+
+    for skip in (1, 3):
+        got_skip = _rows(read_text_files(spark, d, skip_header_lines=skip))
+        want_skip = sorted(
+            (name, line)
+            for name, ref in expected.items()
+            for line in ref[skip:]
+        )
+        assert got_skip == want_skip, f"skip={skip}"
