@@ -953,8 +953,29 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
         "m33_limit100_raw_view",
         "m33_limit100_warehouse",
     ]
-    ordered = {k: v for k, v in timings.items() if k not in headline_keys}
-    ordered.update({k: timings[k] for k in headline_keys if k in timings})
+    # Tail-priority ordering for the full record: the driver keeps only
+    # the LAST 2000 stdout chars, so the keys that adjudicate a round
+    # ride last — raw trend walls first (sacrificed to truncation first;
+    # recoverable as _norm * calibration_factor), then calibration
+    # markers, normalized walls, the x-over-x1/skew ratios (the primary
+    # slope evidence), and the m33 headlines at the very end.
+    def _bucket(k: str) -> int:
+        if k in headline_keys:
+            return 5
+        if k.endswith("_ratio"):
+            return 4
+        if k.endswith("_norm"):
+            return 3
+        if k.startswith("calibration_"):
+            return 2
+        if k.startswith(("trend_", "m33_rows")):
+            return 1
+        return 0
+
+    ordered = {
+        k: timings[k]
+        for k in sorted(timings, key=lambda k: (_bucket(k), list(timings).index(k)))
+    }
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = json.dumps(
         {

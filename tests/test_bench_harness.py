@@ -149,3 +149,27 @@ def test_emit_records_without_calibration_is_graceful():
     assert full["value"] == 1.0
     assert "calibration_x1" not in full["queries"]
     assert headline["watches"] == {}
+
+
+def test_emit_records_tail_priority_ordering():
+    """The full record's key order is tail-priority: registry legs, raw
+    trend walls, calibration markers, normalized walls, ratios, m33
+    headlines — so the driver's 2000-char stdout tail always carries the
+    ratios (primary slope evidence) and headlines even when the front of
+    the line truncates away."""
+    timings = {
+        "m33_ctas_2800k": 3.8,
+        "trend_m33_ctas_x10": 3.0,
+        "trend_ctas_x10_over_x1_ratio": 3.0,
+        "q01_pricing_summary": 1.0,
+        "calibration_x1_first": 0.43,
+        "calibration_x1_last": 0.43,
+    }
+    full, _ = (json.loads(s) for s in bench._emit_records(timings, "0.1"))
+    keys = list(full["queries"])
+    order = {k: i for i, k in enumerate(keys)}
+    assert order["q01_pricing_summary"] < order["trend_m33_ctas_x10"]
+    assert order["trend_m33_ctas_x10"] < order["calibration_x1"]
+    assert order["calibration_x1"] < order["trend_m33_ctas_x10_norm"]
+    assert order["trend_m33_ctas_x10_norm"] < order["trend_ctas_x10_over_x1_ratio"]
+    assert keys[-1] == "m33_ctas_2800k"
