@@ -1091,3 +1091,62 @@ def test_adversarial_stream_update_mode_reemission_contract(
         .collect()
     }
     assert upserted == want
+
+
+def test_streaming_incremental_ingest_state_survives_restart(spark, tmp_path):
+    """Restart semantics for the incremental-ingest dual (the crawl-front
+    restart test's sibling): the dropDuplicatesWithinWatermark hash state
+    must persist through a checkpointed availableNow restart — a document
+    kept in drain 1 and re-posted in drain 2 must be dropped by the
+    RESTORED state (if the state were lost it would re-emit); the
+    stream-static corpus anti-join keeps working after restart; genuinely
+    new documents emit. This is the production shape: drain → process
+    exits → new files land → next drain resumes from the checkpoint."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    known = "row filter join the window group"
+    novel_a = "fresh tokens alpha beta gamma delta"
+    novel_b = "other fresh content entirely here now"
+    corpus = spark.createDataFrame([(known,)], "text string").select(
+        F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    )
+    src = str(tmp_path / "ingest_restart_src")
+    ckpt = str(tmp_path / "ingest_restart_ckpt")
+    sink_dir = str(tmp_path / "ingest_restart_out")
+
+    def drain(rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode(mode).parquet(src)
+        docs = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming.incremental_ingest_stream(docs, corpus)
+            .select("doc_id")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(sink_dir).collect()}
+
+    out1 = drain([(1, novel_a, t0)], "overwrite")
+    assert out1 == {1}
+
+    out2 = drain(
+        [
+            # re-post of drain-1 content: the RESTORED hash state drops it
+            (2, novel_a, t0 + datetime.timedelta(minutes=1)),
+            # historical-corpus content: the stream-static anti-join drops it
+            (3, known, t0 + datetime.timedelta(minutes=2)),
+            # genuinely new: emits
+            (4, novel_b, t0 + datetime.timedelta(minutes=3)),
+        ],
+        "append",
+    )
+    assert out2 == {1, 4}, out2
