@@ -1,0 +1,137 @@
+"""Quarantine-split readers: malformed-tolerant schema-on-read that
+routes clean rows forward and corrupt RAW records to a replayable side
+channel — the standard 100 TB ingest pattern whose parser contracts the
+adversarial formats gate (tests/test_adversarial_formats.py) pins.
+
+Reference basis: the reference's text-table ingest surface (SURVEY §2
+A2/A21 — LazySimpleSerDe text tables and the Sqoop record parser) has no
+recovery story beyond Hive's null-fill; at 100 TB a malformed-row RATE is
+normal (interrupted writers, encoding drift, upstream schema skew), so
+the engine must (a) never lose a byte silently and (b) never fail a whole
+ingest for one bad record.
+
+Design — TWO pruned scans, not one:
+
+- The CLEAN side is a DROPMALFORMED read behind a parse-forcing filter
+  (below): an ordinary DataFrame — count/agg/cache all work and are
+  CORRECT.
+- The QUARANTINE side is a PERMISSIVE read filtered to
+  ``_corrupt_record IS NOT NULL``: the raw record for replay plus the
+  parseable prefix.
+
+Two Spark traps shape this design, both pinned in the gate:
+
+- A one-pass split cannot work: Spark refuses any query whose scan would
+  reference ONLY the internal corrupt column
+  ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN] — PERMISSIVE
+  cannot populate it without also parsing data columns, so it raises
+  instead of answering wrong), and a one-pass clean side
+  (filter corrupt IS NULL → count) hits exactly that shape. So would a
+  bare ``quarantine.count()`` — column pruning strips even an explicit
+  data-column select down to the corrupt column — which is why the
+  quarantine side ALSO carries the parse-forcing filter: both sides of
+  the split answer every query shape correctly.
+- A bare DROPMALFORMED count() is SILENTLY WRONG: a zero-column
+  aggregation skips row conversion entirely, so malformed rows are never
+  detected and count() returns the raw record count (measured: 9 vs the
+  true 4 on the gate's CSV fixture). The clean side therefore carries an
+  always-true filter referencing every data column
+  (``hash(cols) % 1 == 0`` — non-foldable, one hash per row) so EVERY
+  query against it forces the parse and gets DROPMALFORMED semantics.
+
+The gate pins that the two parsers' survivor sets are identical, so the
+split is exact: every physical record lands on exactly one side.
+
+CSV multiLine stays False unless a column genuinely contains newlines:
+the gate pins that ONE unterminated quote under multiLine=true swallows
+the whole file tail into a single corrupt record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _force_parse(df: DataFrame) -> DataFrame:
+    """Always-true filter referencing every data column, so zero-column
+    aggregations (count()) cannot skip row conversion — without this a
+    DROPMALFORMED count() silently includes malformed rows (module
+    docstring). hash()%1==0 is true for every row and Catalyst does not
+    constant-fold it, so the parse is forced at ~one hash per row."""
+    from pyspark.sql import functions as F
+
+    return df.filter((F.hash(*[F.col(c) for c in df.columns]) % 1) == 0)
+
+
+def read_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+    multiline: bool = False,
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-tolerant CSV read split into (clean, quarantine).
+
+    ``schema`` is the DATA schema (DDL string) — the corrupt-record
+    column is managed here, never the caller's concern. Clean rows have
+    exactly the declared columns; quarantine rows carry the parseable
+    prefix plus the raw line in ``_corrupt_record`` for replay after an
+    upstream fix."""
+
+    def reader(mode: str, with_corrupt: bool):
+        full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
+        r = (
+            spark.read.schema(full)
+            .option("sep", sep)
+            .option("header", header)
+            .option("multiLine", multiline)
+            .option("mode", mode)
+        )
+        if with_corrupt:
+            r = r.option("columnNameOfCorruptRecord", CORRUPT_COL)
+        for k, v in (options or {}).items():
+            r = r.option(k, v)
+        return r.csv(path)
+
+    clean = _force_parse(reader("DROPMALFORMED", with_corrupt=False))
+    quarantine = _force_parse(
+        reader("PERMISSIVE", with_corrupt=True).filter(
+            f"{CORRUPT_COL} IS NOT NULL"
+        )
+    )
+    return clean, quarantine
+
+
+def read_json_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-tolerant JSON-lines read split into (clean, quarantine).
+
+    Quarantine rows are records that failed to parse (syntax) or carried
+    a type-mismatched field (partial parse: the fields that DID convert
+    are kept alongside the raw record). A MISSING field is clean-side
+    null, per the gate's pinned contract."""
+
+    def reader(mode: str, with_corrupt: bool):
+        full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
+        r = spark.read.schema(full).option("mode", mode)
+        if with_corrupt:
+            r = r.option("columnNameOfCorruptRecord", CORRUPT_COL)
+        for k, v in (options or {}).items():
+            r = r.option(k, v)
+        return r.json(path)
+
+    clean = _force_parse(reader("DROPMALFORMED", with_corrupt=False))
+    quarantine = _force_parse(
+        reader("PERMISSIVE", with_corrupt=True).filter(
+            f"{CORRUPT_COL} IS NOT NULL"
+        )
+    )
+    return clean, quarantine

@@ -334,3 +334,111 @@ def test_parquet_corrupt_file_contract(spark, tmp_path):
         assert spark.read.parquet(base).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", False)
+
+
+# --- quarantine-split readers ------------------------------------------------
+
+
+def test_csv_quarantine_split_partitions_the_input(spark, csv_path):
+    """read_csv_quarantined: clean ∪ quarantine covers every physical
+    record exactly once; clean rows carry no corrupt column; quarantine
+    rows carry the raw line for replay."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    clean, quar = read_csv_quarantined(
+        spark, csv_path, "id int, name string, val int", sep="|", header=True
+    )
+    assert "_corrupt_record" not in clean.columns
+    assert {r["id"] for r in clean.collect()} == {1, 2, 3, 8}
+    quar_rows = quar.collect()
+    raws = {r["_corrupt_record"] for r in quar_rows}
+    assert raws == {
+        '4|"multi',
+        'line"|40',
+        "5|toofew",
+        "6|extra|50|surplus",
+        '7|"unterminated|60',
+    }
+    # replayability: the parseable prefix rides along (id 5/6 kept theirs)
+    by_raw = {r["_corrupt_record"]: r for r in quar_rows}
+    assert by_raw["5|toofew"]["id"] == 5
+    assert by_raw["6|extra|50|surplus"]["val"] == 50
+    # clean ∪ quarantine covers every physical record exactly once
+    # (8 data lines + 1 extra from the embedded-newline split); the
+    # clean side's count() is CORRECT (the helper's parse-forcing filter)
+    assert clean.count() == 4
+    assert clean.count() + len(quar_rows) == 9
+    # ...and the upstream trap it guards against, pinned: a bare
+    # DROPMALFORMED count() skips row conversion and silently counts
+    # malformed rows too
+    bare = (
+        spark.read.schema("id int, name string, val int")
+        .option("sep", "|")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(csv_path)
+    )
+    assert bare.count() == 9  # silently wrong: true clean count is 4
+    assert len(bare.collect()) == 4
+    # ...and the quarantine side counts correctly too (its parse-forcing
+    # filter keeps the scan off the corrupt-column-only shape)
+    assert quar.count() == 5
+    # Spark's corrupt-column guard, pinned on the BARE idiom the helper
+    # neutralizes: an aggregation whose scan would reference ONLY the
+    # corrupt column raises rather than return wrong answers (PERMISSIVE
+    # can't populate it without parsing data columns). Column pruning
+    # strips even an explicit data-column select down to the corrupt
+    # column, so the select idiom raises as well.
+    bare_quar = (
+        spark.read.schema("id int, name string, val int, _corrupt_record string")
+        .option("sep", "|")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csv_path)
+        .filter("_corrupt_record IS NOT NULL")
+    )
+    with pytest.raises(Exception, match="QUERY_ONLY_CORRUPT_RECORD_COLUMN"):
+        bare_quar.count()
+    with pytest.raises(Exception, match="QUERY_ONLY_CORRUPT_RECORD_COLUMN"):
+        bare_quar.select("id", "_corrupt_record").count()
+
+
+def test_json_quarantine_split(spark, json_path):
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_json_quarantined,
+    )
+
+    clean, quar = read_json_quarantined(
+        spark, json_path, "id int, name string, val int"
+    )
+    # missing field is CLEAN-side null; type mismatch is quarantined with
+    # its partial parse
+    assert {(r["id"], r["name"]) for r in clean.collect()} == {
+        (1, "alice"),
+        (3, "carol"),
+        (5, "eve"),
+        (6, "frank"),
+    }
+    quar_rows = {r["_corrupt_record"]: r for r in quar.collect()}
+    assert len(quar_rows) == 3
+    (mismatch,) = [r for r in quar_rows.values() if r["name"] == "dave"]
+    assert mismatch["id"] is None and mismatch["val"] == 40
+
+
+def test_quarantine_split_is_single_scan_no_shuffle(spark, csv_path):
+    """Plan contract: each side of the split is a scan + filter — no
+    Exchange, no join, no second source."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    clean, quar = read_csv_quarantined(
+        spark, csv_path, "id int, name string, val int", sep="|", header=True
+    )
+    for df in (clean, quar):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
