@@ -127,9 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q71_m33_schem_agg",
     "q73_m33_ctas_roundtrip",
     "q74_m33_jdbc_export_roundtrip",
-    # (c) backfill: the two stalest r8 greens
+    # new this round: the quarantine-split ingest contract, promoted from
+    # the adversarial formats gate to a registered driver-checked query
+    "q144_quarantine_ingest",
+    # (c) backfill: the stalest r8 green
     "q17_custdist",
-    "q18_top_volume_orders",
 )
 
 

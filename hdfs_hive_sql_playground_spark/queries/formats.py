@@ -212,3 +212,80 @@ def q110_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("value_c"),
     )
+
+
+@register(
+    "q144_quarantine_ingest",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey AS k, l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             (l_orderkey % 19 = 3 OR l_orderkey % 19 = 7) AS bad
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    SELECT 'clean' AS side, flag AS key,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS checksum
+    FROM src WHERE NOT bad GROUP BY flag
+    UNION ALL
+    SELECT 'quarantine' AS side, '*' AS key,
+           COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS checksum
+    FROM src
+    WHERE bad
+    """,
+    doc="Quarantine-split ingest end-to-end (sources/quarantine.py): a "
+    "lineitem subset is rendered to delimited text with two deterministic "
+    "corruption modes injected in-plan (arity-truncated lines for "
+    "l_orderkey%19=3, a non-numeric token in the BIGINT cents field for "
+    "%19=7 — the two malformed-row classes the adversarial formats gate "
+    "pins), then split-read back: DROPMALFORMED clean side aggregated per "
+    "returnflag, PERMISSIVE quarantine side summarized as (row count, sum "
+    "of the replayable parsed-prefix keys). The oracle recomputes both "
+    "sides purely relationally from parquet, so the hash pins that the "
+    "split partitions the corrupted file EXACTLY along the injected modes "
+    "— no clean row lost, no corrupt row leaked, every quarantined row's "
+    "prefix intact for replay. The 100 TB ingest contract for interrupted "
+    "writers / encoding drift (reference surface: LazySimpleSerDe text "
+    "tables + the Sqoop record parser, SURVEY §2 A2/A21, which "
+    "null-fill or abort instead).",
+)
+def q144_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    src = _subset(spark, sf_dir).select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    good = F.concat_ws("|", "k", "ln", "flag", "cents")
+    line = (
+        F.when(F.col("k") % 19 == 3, F.concat_ws("|", "k", "ln"))
+        .when(F.col("k") % 19 == 7, F.concat_ws("|", "k", "ln", "flag", F.lit("N/A")))
+        .otherwise(good)
+    )
+    path = os.path.join(DEFAULT_WAREHOUSE, "quarantine_ingest_csv")
+    src.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    clean, quar = read_csv_quarantined(
+        spark,
+        path,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string, cents bigint",
+        sep="|",
+    )
+    clean_agg = clean.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("checksum")
+    ).select(
+        F.lit("clean").alias("side"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        "checksum",
+    )
+    quar_agg = quar.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("checksum"),
+    ).select(F.lit("quarantine").alias("side"), F.lit("*").alias("key"), "n", "checksum")
+    return clean_agg.unionAll(quar_agg)

@@ -45,6 +45,14 @@ split is exact: every physical record lands on exactly one side.
 CSV multiLine stays False unless a column genuinely contains newlines:
 the gate pins that ONE unterminated quote under multiLine=true swallows
 the whole file tail into a single corrupt record.
+
+The STREAMING dual (``stream_csv_quarantined``) applies the identical
+two-parser design over ``readStream``: at scale the pair runs as two
+independent queries with separate checkpoints (clean → warehouse table,
+quarantine → replay sink), each with the file source's own exactly-once
+file tracking; an availableNow drain of both covers every record of
+every file exactly once, pinned against the batch split in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -62,7 +70,30 @@ def _force_parse(df: DataFrame) -> DataFrame:
     constant-fold it, so the parse is forced at ~one hash per row."""
     from pyspark.sql import functions as F
 
-    return df.filter((F.hash(*[F.col(c) for c in df.columns]) % 1) == 0)
+    cols = [F.col(c) for c in df.columns if c != CORRUPT_COL]
+    return df.filter((F.hash(*cols) % 1) == 0)
+
+
+def _split(make_reader, fmt: str, path: str, schema: str, opts: dict):
+    """Build the (clean, quarantine) pair from one reader factory — shared
+    by the batch and streaming entry points so the two duals cannot
+    drift. ``make_reader()`` returns a fresh ``spark.read`` /
+    ``spark.readStream``; ``fmt`` is the source method name."""
+
+    def one(mode: str, with_corrupt: bool):
+        full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
+        r = make_reader().schema(full).option("mode", mode)
+        if with_corrupt:
+            r = r.option("columnNameOfCorruptRecord", CORRUPT_COL)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return getattr(r, fmt)(path)
+
+    clean = _force_parse(one("DROPMALFORMED", with_corrupt=False))
+    quarantine = _force_parse(
+        one("PERMISSIVE", with_corrupt=True).filter(f"{CORRUPT_COL} IS NOT NULL")
+    )
+    return clean, quarantine
 
 
 def read_csv_quarantined(
@@ -81,29 +112,8 @@ def read_csv_quarantined(
     exactly the declared columns; quarantine rows carry the parseable
     prefix plus the raw line in ``_corrupt_record`` for replay after an
     upstream fix."""
-
-    def reader(mode: str, with_corrupt: bool):
-        full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
-        r = (
-            spark.read.schema(full)
-            .option("sep", sep)
-            .option("header", header)
-            .option("multiLine", multiline)
-            .option("mode", mode)
-        )
-        if with_corrupt:
-            r = r.option("columnNameOfCorruptRecord", CORRUPT_COL)
-        for k, v in (options or {}).items():
-            r = r.option(k, v)
-        return r.csv(path)
-
-    clean = _force_parse(reader("DROPMALFORMED", with_corrupt=False))
-    quarantine = _force_parse(
-        reader("PERMISSIVE", with_corrupt=True).filter(
-            f"{CORRUPT_COL} IS NOT NULL"
-        )
-    )
-    return clean, quarantine
+    opts = {"sep": sep, "header": header, "multiLine": multiline, **(options or {})}
+    return _split(lambda: spark.read, "csv", path, schema, opts)
 
 
 def read_json_quarantined(
@@ -118,20 +128,36 @@ def read_json_quarantined(
     a type-mismatched field (partial parse: the fields that DID convert
     are kept alongside the raw record). A MISSING field is clean-side
     null, per the gate's pinned contract."""
+    return _split(lambda: spark.read, "json", path, schema, dict(options or {}))
 
-    def reader(mode: str, with_corrupt: bool):
-        full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
-        r = spark.read.schema(full).option("mode", mode)
-        if with_corrupt:
-            r = r.option("columnNameOfCorruptRecord", CORRUPT_COL)
-        for k, v in (options or {}).items():
-            r = r.option(k, v)
-        return r.json(path)
 
-    clean = _force_parse(reader("DROPMALFORMED", with_corrupt=False))
-    quarantine = _force_parse(
-        reader("PERMISSIVE", with_corrupt=True).filter(
-            f"{CORRUPT_COL} IS NOT NULL"
-        )
-    )
-    return clean, quarantine
+def stream_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming dual of ``read_csv_quarantined``: the same two-parser
+    split over the file-source stream, so a continuously-ingesting
+    directory gets per-micro-batch clean/quarantine routing with no
+    record lost or double-counted across the pair.
+
+    No ``multiline`` parameter: the streaming source reads line-split,
+    which is the only recovery-safe mode (module docstring) — a column
+    that genuinely contains newlines belongs in a batch backfill, not a
+    tailing ingest."""
+    opts = {"sep": sep, "header": header, **(options or {})}
+    return _split(lambda: spark.readStream, "csv", path, schema, opts)
+
+
+def stream_json_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming dual of ``read_json_quarantined`` — same contract as
+    ``stream_csv_quarantined``, for a JSON-lines landing directory."""
+    return _split(lambda: spark.readStream, "json", path, schema, dict(options or {}))

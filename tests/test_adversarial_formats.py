@@ -442,3 +442,144 @@ def test_quarantine_split_is_single_scan_no_shuffle(spark, csv_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "Join" not in plan, plan
+
+
+def test_csv_quarantine_split_streaming_dual_matches_batch(spark, csv_path, tmp_path):
+    """stream_csv_quarantined drains a directory (one file per micro-batch)
+    to the same exact record partition as the batch split: clean ∪
+    quarantine covers every physical record of every file exactly once,
+    with identical values on both sides of both duals — the tailing-ingest
+    contract for a continuously-written landing directory."""
+    import shutil
+
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+        stream_csv_quarantined,
+    )
+
+    src = str(tmp_path / "landing")
+    (tmp_path / "landing").mkdir()
+    shutil.copy(csv_path, f"{src}/a.csv")
+    with open(f"{src}/b.csv", "w") as fh:
+        fh.write("id|name|val\n9|late|90\n10|bad|ninety\n")  # good + type-corrupt
+
+    schema = "id int, name string, val int"
+    n_batches = {}
+    for sdf, name in zip(
+        stream_csv_quarantined(
+            spark, src, schema, sep="|", header=True,
+            options={"maxFilesPerTrigger": 1},
+        ),
+        ("qsplit_clean", "qsplit_quar"),
+    ):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches[name] = len(q.recentProgress)
+
+    # maxFilesPerTrigger=1 really produced one micro-batch per file
+    assert n_batches["qsplit_clean"] >= 2 and n_batches["qsplit_quar"] >= 2
+
+    bclean, bquar = read_csv_quarantined(spark, src, schema, sep="|", header=True)
+    got_clean = {tuple(r) for r in spark.table("qsplit_clean").collect()}
+    want_clean = {tuple(r) for r in bclean.collect()}
+    assert got_clean == want_clean
+    assert {r[0] for r in got_clean} == {1, 2, 3, 8, 9}
+    got_quar = {tuple(r) for r in spark.table("qsplit_quar").collect()}
+    want_quar = {tuple(r) for r in bquar.collect()}
+    assert got_quar == want_quar
+    # the b.csv type-corrupt row kept its parseable prefix for replay
+    assert ("10|bad|ninety") in {r[-1] for r in got_quar}
+    # exactly-once across the pair: every physical data line of both
+    # files lands on exactly one side (9 lines in a.csv incl. the
+    # newline-split extra, 2 in b.csv)
+    assert len(got_clean) + len(got_quar) == 11
+
+
+def test_json_quarantine_split_streaming_dual_matches_batch(spark, json_path, tmp_path):
+    """Same exactly-once pair contract for the JSON-lines streaming dual."""
+    import shutil
+
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_json_quarantined,
+        stream_json_quarantined,
+    )
+
+    src = str(tmp_path / "landing_json")
+    (tmp_path / "landing_json").mkdir()
+    shutil.copy(json_path, f"{src}/a.json")
+
+    schema = "id int, name string, val int"
+    for sdf, name in zip(
+        stream_json_quarantined(spark, src, schema),
+        ("jsplit_clean", "jsplit_quar"),
+    ):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    bclean, bquar = read_json_quarantined(spark, src, schema)
+    assert {tuple(r) for r in spark.table("jsplit_clean").collect()} == {
+        tuple(r) for r in bclean.collect()
+    }
+    assert {tuple(r) for r in spark.table("jsplit_quar").collect()} == {
+        tuple(r) for r in bquar.collect()
+    }
+
+
+def test_csv_quarantine_split_exact_on_randomized_corruption(spark, tmp_path):
+    """Seeded-random split-exactness: 200 lines mixing clean rows with
+    every corruption mode the gate pins (wrong arity both directions,
+    non-numeric tokens in INT columns, unterminated quotes) — clean ∪
+    quarantine must cover every physical line exactly
+    once, the two parsers' survivor sets must be identical (the split's
+    defining invariant), and the clean side must carry exactly the rows
+    a pure-Python reference parser accepts."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    lines, want_clean = [], set()
+    for i in range(200):
+        mode = rng.randrange(8)
+        name = f"n{rng.randrange(1000):03d}"
+        val = rng.randrange(10_000)
+        if mode <= 3:  # clean
+            lines.append(f"{i}|{name}|{val}")
+            want_clean.add((i, name, val))
+        elif mode == 4:  # arity too few
+            lines.append(f"{i}|{name}")
+        elif mode == 5:  # arity too many
+            lines.append(f"{i}|{name}|{val}|surplus{i}")
+        elif mode == 6:  # type corruption in an INT column
+            lines.append(f"{i}|{name}|x{val}")
+        else:  # unterminated quote
+            lines.append(f'{i}|"{name}|{val}')
+    path = str(tmp_path / "rand.csv")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    clean, quar = read_csv_quarantined(
+        spark, path, "id int, name string, val int", sep="|"
+    )
+    got_clean = {(r.id, r.name, r.val) for r in clean.collect()}
+    quar_rows = quar.collect()
+    assert got_clean == want_clean
+    assert len(got_clean) + len(quar_rows) == len(lines)
+    # every quarantined raw line is one of the injected corrupt lines,
+    # byte-identical (replayability)
+    corrupt_lines = set(lines) - {f"{i}|{n}|{v}" for i, n, v in want_clean}
+    assert {r["_corrupt_record"] for r in quar_rows} == corrupt_lines
