@@ -161,3 +161,67 @@ def stream_json_quarantined(
     """Streaming dual of ``read_json_quarantined`` — same contract as
     ``stream_csv_quarantined``, for a JSON-lines landing directory."""
     return _split(lambda: spark.readStream, "json", path, schema, dict(options or {}))
+
+
+def _replay(quarantine: DataFrame, parse_fn, schema: str, opts: dict):
+    from pyspark.sql import functions as F
+
+    full = f"{schema}, {CORRUPT_COL} string"
+    parsed = quarantine.select(F.col(CORRUPT_COL).alias("_raw")).withColumn(
+        "_p", parse_fn(F.col("_raw"), full, opts)
+    )
+    clean = (
+        parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNull())
+        .select("_p.*")
+        .drop(CORRUPT_COL)
+    )
+    still_bad = parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNotNull()).select(
+        F.col("_raw").alias(CORRUPT_COL)
+    )
+    return clean, still_bad
+
+
+def replay_csv_quarantine(
+    quarantine: DataFrame,
+    schema: str,
+    sep: str = ",",
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-parse a quarantine side's raw records under a CORRECTED schema —
+    the second half of the quarantine contract: the raw line was kept so
+    that, once the schema skew is fixed (a column was really wider /
+    optional / a string), the stranded records can rejoin the table
+    without re-reading the source.
+
+    Takes any DataFrame carrying raw lines in ``_corrupt_record`` (the
+    quarantine side itself, or its persisted sink) and returns
+    ``(clean, still_bad)``: rows that parse under the new schema, with
+    exactly its columns, and the rest — raw again, so replay composes
+    with itself across successive fixes. Uses ``from_csv`` with the same
+    Univocity grammar as the source reader, so a record is clean here
+    iff the fixed reader would have accepted it."""
+    from pyspark.sql import functions as F
+
+    opts = {
+        "sep": sep,
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **(options or {}),
+    }
+    return _replay(quarantine, F.from_csv, schema, opts)
+
+
+def replay_json_quarantine(
+    quarantine: DataFrame,
+    schema: str,
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON dual of ``replay_csv_quarantine`` (``from_json`` grammar)."""
+    from pyspark.sql import functions as F
+
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **(options or {}),
+    }
+    return _replay(quarantine, F.from_json, schema, opts)

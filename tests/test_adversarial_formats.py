@@ -583,3 +583,56 @@ def test_csv_quarantine_split_exact_on_randomized_corruption(spark, tmp_path):
     # byte-identical (replayability)
     corrupt_lines = set(lines) - {f"{i}|{n}|{v}" for i, n, v in want_clean}
     assert {r["_corrupt_record"] for r in quar_rows} == corrupt_lines
+
+
+def test_csv_quarantine_replay_under_corrected_schema(spark, csv_path):
+    """replay_csv_quarantine closes the loop: after a schema fix, the
+    stranded raw records that the fix explains rejoin the table (with
+    exactly the new schema's columns), the rest stay quarantined AS RAW
+    — so replay composes with itself across successive fixes."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+        replay_csv_quarantine,
+    )
+
+    _clean, quar = read_csv_quarantined(
+        spark, csv_path, "id int, name string, val int", sep="|", header=True
+    )
+    # fix: the 4th column was real all along
+    fixed, still = replay_csv_quarantine(
+        quar, "id int, name string, val int, extra string", sep="|"
+    )
+    assert fixed.columns == ["id", "name", "val", "extra"]
+    assert [tuple(r) for r in fixed.collect()] == [(6, "extra", 50, "surplus")]
+    still_raws = {r["_corrupt_record"] for r in still.collect()}
+    assert still_raws == {
+        '4|"multi',
+        'line"|40',
+        "5|toofew",
+        '7|"unterminated|60',
+    }
+    # second fix on the remainder: nothing else is explained by a wider
+    # schema — replay of still-bad raws is a clean no-op, not a crash
+    fixed2, still2 = replay_csv_quarantine(
+        still, "id int, name string, val int, extra string", sep="|"
+    )
+    assert fixed2.count() == 0
+    assert {r["_corrupt_record"] for r in still2.collect()} == still_raws
+
+
+def test_json_quarantine_replay_under_corrected_schema(spark, json_path):
+    """JSON replay: a type fix (id was really a string) recovers exactly
+    the type-mismatched record; syntax errors stay quarantined."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_json_quarantined,
+        replay_json_quarantine,
+    )
+
+    _clean, quar = read_json_quarantined(
+        spark, json_path, "id int, name string, val int"
+    )
+    fixed, still = replay_json_quarantine(quar, "id string, name string, val int")
+    assert [tuple(r) for r in fixed.collect()] == [("x4", "dave", 40)]
+    assert fixed.columns == ["id", "name", "val"]
+    # the two syntax errors are unexplainable by any schema: still raw
+    assert still.count() == 2
