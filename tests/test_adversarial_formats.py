@@ -636,3 +636,43 @@ def test_json_quarantine_replay_under_corrected_schema(spark, json_path):
     assert fixed.columns == ["id", "name", "val"]
     # the two syntax errors are unexplainable by any schema: still raw
     assert still.count() == 2
+
+
+def test_parquet_stream_schema_locked_across_file_evolution(spark, tmp_path):
+    """Schema evolution under a file STREAM: unlike batch mergeSchema,
+    a streaming query's schema is DECLARED once and locked — the pin is
+    that evolution in either direction degrades gracefully against the
+    declared schema, never corrupts: a file missing a declared column
+    null-fills it; a file carrying an extra column has it pruned; rows
+    from every vintage keep their values. This is the contract an
+    evolving landing zone needs before the declared schema catches up
+    (at which point replay/backfill reads the old files with
+    mergeSchema — previous test)."""
+    import os
+
+    src = str(tmp_path / "evo_stream")
+    os.makedirs(src)
+    spark.range(0, 3).selectExpr("id", "id * 2 AS v1").write.parquet(f"{src}/f1")
+    spark.range(3, 6).selectExpr("id", "id * 2 AS v1", "id * 3 AS v2").write.parquet(
+        f"{src}/f2"
+    )
+    spark.range(6, 9).selectExpr(
+        "id", "id * 2 AS v1", "id * 3 AS v2", "id * 7 AS v3"
+    ).write.parquet(f"{src}/f3")
+
+    q = (
+        spark.readStream.schema("id bigint, v1 bigint, v2 bigint")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{src}/*")
+        .writeStream.format("memory")
+        .queryName("evo_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.id: (r.v1, r.v2) for r in spark.table("evo_stream_sink").collect()}
+    assert set(rows) == set(range(9))
+    for i in range(9):
+        want_v2 = i * 3 if i >= 3 else None  # pre-evolution files null-fill
+        assert rows[i] == (i * 2, want_v2), i
