@@ -58,6 +58,59 @@ def main() -> int:
         assert "nation" in tables and "wire_made" in tables, tables
         print(f"THRIFT_OK metadata tables={len(tables)}")
 
+        # --- adversarial wire contracts -------------------------------
+        from hdfs_hive_sql_playground_spark.thrift import WireClient
+
+        with WireClient(engine.spark, server.url) as wc:
+            # A failing statement must surface the engine's error class
+            # to the wire client (not a silent empty result), and the
+            # SESSION must survive it — a beeline prompt doesn't die
+            # because one query referenced a missing table.
+            for bad, want in (
+                ("SELECT * FROM definitely_not_a_table", "TABLE_OR_VIEW_NOT_FOUND"),
+                ("SELEC 1", "PARSE_SYNTAX_ERROR"),
+                ("SELECT 1 + ", "PARSE_SYNTAX_ERROR"),
+            ):
+                try:
+                    wc.sql(bad)
+                    raise AssertionError(f"no wire error for {bad!r}")
+                except AssertionError:
+                    raise
+                except Exception as exc:
+                    assert want in str(exc), (bad, str(exc)[:400])
+            assert wc.sql("SELECT 40 + 2")[0][0] == 42
+            print("THRIFT_OK errors-propagate-session-survives")
+
+            # Value fidelity across the wire: NULL stays NULL (typed
+            # columns AND untyped NULL literal), DECIMAL keeps scale,
+            # TIMESTAMP round-trips to the wall-clock second, non-ASCII
+            # strings (CJK + emoji) survive the Thrift encoding.
+            cols, rows = wc.sql_with_names(
+                "SELECT CAST(NULL AS INT) AS i_null, NULL AS raw_null, "
+                "CAST(1.50 AS DECIMAL(10,2)) AS d, "
+                "TIMESTAMP'2026-03-01 10:15:00' AS ts, "
+                "'汉字 \U0001f642 café' AS s"
+            )
+            assert cols == ["i_null", "raw_null", "d", "ts", "s"], cols
+            (row,) = rows
+            assert row[0] is None and row[1] is None, row
+            assert str(row[2]) == "1.50", row
+            assert str(row[3]).startswith("2026-03-01 10:15:00"), row
+            assert row[4] == "汉字 \U0001f642 café", row
+            print("THRIFT_OK type-null-unicode-fidelity")
+
+            # Multi-fetch-batch integrity: a result far larger than one
+            # Thrift fetch batch (default 1000) arrives complete and
+            # exact — no dropped/duplicated batch at the fetch loop.
+            (agg,) = wc.sql(
+                "SELECT COUNT(*) AS n, SUM(id) AS s FROM range(100000)"
+            )
+            assert (int(agg[0]), int(agg[1])) == (100000, 4999950000), agg
+            big = wc.sql("SELECT id FROM range(10000)")
+            got = sorted(int(r[0]) for r in big)
+            assert got == list(range(10000)), (len(big), got[:5], got[-5:])
+            print("THRIFT_OK multi-batch-fetch-exact")
+
         if os.environ.get("SPARK_GRAFT_THRIFT_HOLD") == "1":
             print("holding (Ctrl-C to exit)...")
             import time

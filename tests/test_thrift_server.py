@@ -56,4 +56,11 @@ def test_thrift_wire_boundary_end_to_end():
     assert "THRIFT_OK wire==inprocess" in out, out[-2000:] + proc.stderr[-2000:]
     assert "THRIFT_OK wire-ddl-visible-to-engine" in out, out[-2000:]
     assert "THRIFT_OK metadata" in out, out[-2000:]
+    # adversarial wire contracts (one server run covers all of them):
+    # errors carry the engine's error class AND the wire session
+    # survives; NULL/DECIMAL/TIMESTAMP/unicode cross the wire exactly;
+    # results spanning many Thrift fetch batches arrive complete.
+    assert "THRIFT_OK errors-propagate-session-survives" in out, out[-2000:]
+    assert "THRIFT_OK type-null-unicode-fidelity" in out, out[-2000:]
+    assert "THRIFT_OK multi-batch-fetch-exact" in out, out[-2000:]
     assert proc.returncode == 0
