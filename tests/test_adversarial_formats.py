@@ -584,6 +584,25 @@ def test_csv_quarantine_split_exact_on_randomized_corruption(spark, tmp_path):
     corrupt_lines = set(lines) - {f"{i}|{n}|{v}" for i, n, v in want_clean}
     assert {r["_corrupt_record"] for r in quar_rows} == corrupt_lines
 
+    # replay composition on the random quarantine: a val-as-string fix
+    # explains EXACTLY the type-corruption rows (mode 6); everything
+    # else (arity, quotes) stays raw for the next fix
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        replay_csv_quarantine,
+    )
+
+    fixed, still = replay_csv_quarantine(
+        quar, "id int, name string, val string", sep="|"
+    )
+    want_fixed = {
+        tuple(ln.split("|")) for ln in corrupt_lines
+        if len(ln.split("|")) == 3 and ln.split("|")[2].startswith("x")
+    }
+    assert {(str(r.id), r.name, r.val) for r in fixed.collect()} == want_fixed
+    assert {r["_corrupt_record"] for r in still.collect()} == corrupt_lines - {
+        "|".join(t) for t in want_fixed
+    }
+
 
 def test_csv_quarantine_replay_under_corrected_schema(spark, csv_path):
     """replay_csv_quarantine closes the loop: after a schema fix, the
