@@ -695,3 +695,53 @@ def test_parquet_stream_schema_locked_across_file_evolution(spark, tmp_path):
     for i in range(9):
         want_v2 = i * 3 if i >= 3 else None  # pre-evolution files null-fill
         assert rows[i] == (i * 2, want_v2), i
+
+
+def test_from_csv_matches_datasource_csv_grammar(spark, tmp_path):
+    """Grammar-equality pin the replay operators rely on: from_csv (the
+    replay path) and the CSV datasource (the ingest path) must agree
+    line-for-line — same accept/reject decision, same parsed values,
+    same corrupt-record payload — on seeded-random lines mixing quote
+    chars, embedded separators, backslashes, unicode, and numeric noise.
+    If a Spark upgrade ever forks the two parsers, replay's 'clean here
+    iff the fixed reader accepts it' contract breaks, and this fails."""
+    import random
+
+    rng = random.Random(0xBADC0DE)
+    pool = list("abcXYZ0123456789") + ['"', "'", "\\", "|", " ", ",", "汉", "🙂"]
+    lines = []
+    for i in range(300):
+        body = "".join(rng.choice(pool) for _ in range(rng.randrange(1, 18)))
+        lines.append(f"{i}|{body}|{rng.choice(['7', 'x7', '', ' 7 '])}")
+    path = str(tmp_path / "grammar.csv")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    schema = "id int, a string, b int"
+    full = schema + ", _corrupt_record string"
+    ds = (
+        spark.read.schema(full)
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    fc = (
+        spark.read.text(path)
+        .select(
+            F.from_csv(
+                "value",
+                full,
+                {
+                    "sep": "|",
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record",
+                },
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    ds_rows = sorted(tuple(r) for r in ds.collect())
+    fc_rows = sorted(tuple(r) for r in fc.collect())
+    assert len(ds_rows) == len(fc_rows) == 300
+    assert ds_rows == fc_rows
