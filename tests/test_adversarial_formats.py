@@ -741,7 +741,58 @@ def test_from_csv_matches_datasource_csv_grammar(spark, tmp_path):
         )
         .select("p.*")
     )
-    ds_rows = sorted(tuple(r) for r in ds.collect())
-    fc_rows = sorted(tuple(r) for r in fc.collect())
+    ds_rows = sorted((tuple(r) for r in ds.collect()), key=repr)
+    fc_rows = sorted((tuple(r) for r in fc.collect()), key=repr)
     assert len(ds_rows) == len(fc_rows) == 300
     assert ds_rows == fc_rows
+
+
+def test_from_json_matches_datasource_json_grammar(spark, tmp_path):
+    """JSON twin of the grammar-equality pin (replay_json_quarantine's
+    soundness assumption): from_json and the JSON datasource must agree
+    record-for-record on seeded-random lines mixing valid records, type
+    mismatches, truncated/garbage syntax, unicode values, and extra
+    fields. (Blank lines excluded: the datasource skips them while
+    from_json sees an empty string — a documented reader-level, not
+    grammar-level, difference.)"""
+    import random
+
+    rng = random.Random(0x5EED)
+    lines = []
+    for i in range(300):
+        kind = rng.randrange(6)
+        val = rng.randrange(100)
+        if kind <= 2:
+            lines.append('{"id": %d, "a": "s%d", "b": %d}' % (i, val, val))
+        elif kind == 3:  # type mismatch on b
+            lines.append('{"id": %d, "a": "s%d", "b": "x%d"}' % (i, val, val))
+        elif kind == 4:  # syntax: truncated
+            lines.append('{"id": %d, "a": "s%d", "b":' % (i, val))
+        else:  # unicode value + extra field
+            lines.append('{"id": %d, "a": "汉🙂%d", "b": %d, "extra": true}' % (i, val, val))
+    path = str(tmp_path / "grammar.json")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    full = "id int, a string, b int, _corrupt_record string"
+    ds = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    fj = (
+        spark.read.text(path)
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    ds_rows = sorted((tuple(r) for r in ds.collect()), key=repr)
+    fj_rows = sorted((tuple(r) for r in fj.collect()), key=repr)
+    assert len(ds_rows) == len(fj_rows) == 300
+    assert ds_rows == fj_rows
