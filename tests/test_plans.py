@@ -902,3 +902,21 @@ def test_q95_multimodal_is_one_arrow_pass_zero_shuffle(spark, sf_dir):
     for ln in scans:
         schema = ln.split("ReadSchema:")[1]
         assert "lang" not in schema and "source" not in schema, ln
+
+
+def test_q144_quarantine_split_aggregates_before_exchange(spark, sf_dir):
+    """The quarantine-split ingest's 100 TB shape: each side of the split
+    is scan → parse-forcing filter → PARTIAL aggregate, so the two
+    exchanges carry only (returnflag, count, sum) / two longs — never
+    rows; no join anywhere; the quarantine scan pushes its
+    corrupt-IS-NOT-NULL filter into the CSV reader."""
+    df = SPECS["q144_quarantine_ingest"].fn(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 2
+    plans.assert_no_cartesian(df)
+    assert "Join" not in plan, plan
+    assert "PushedFilters: [IsNotNull(_corrupt_record)]" in plan, plan
+    # map-side combine on both branches: a partial_ aggregate appears
+    # BELOW each exchange (string order: partial aggregates are printed
+    # after their exchange lines in each branch)
+    assert plan.count("partial_count") == 2, plan
