@@ -1150,3 +1150,32 @@ def test_streaming_incremental_ingest_state_survives_restart(spark, tmp_path):
         "append",
     )
     assert out2 == {1, 4}, out2
+
+
+def test_session_window_rejects_update_mode(spark, tmp_path):
+    """Output-mode boundary pin: session-window aggregation supports
+    append/complete (both gated above) but NOT update mode — a merged
+    session can change its own key (the window), so per-key upserts are
+    unsound and Spark refuses the plan (STREAMING_OUTPUT_MODE.
+    UNSUPPORTED_OPERATION) rather than emitting un-upsertable rows. An
+    incremental-ingest sink that wants early session results must use
+    complete mode or applyInPandasWithState, not update."""
+    import datetime
+
+    import pytest
+
+    d = str(tmp_path / "sess_upd_src")
+    spark.createDataFrame(
+        [(1, datetime.datetime(2026, 3, 1, 10, 0), 1, "click", 1.0, None)],
+        streaming.EVENT_SCHEMA,
+    ).write.parquet(f"{d}/a")
+    src = spark.readStream.schema(streaming.EVENT_SCHEMA).parquet(f"{d}/*")
+    with pytest.raises(Exception, match="STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION"):
+        (
+            streaming.session_counts(src)
+            .writeStream.format("memory")
+            .queryName("sess_upd_reject")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
