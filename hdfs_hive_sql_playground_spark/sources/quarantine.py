@@ -80,6 +80,14 @@ def _split(make_reader, fmt: str, path: str, schema: str, opts: dict):
     drift. ``make_reader()`` returns a fresh ``spark.read`` /
     ``spark.readStream``; ``fmt`` is the source method name."""
 
+    if CORRUPT_COL in schema:
+        raise ValueError(
+            f"the data schema must not declare {CORRUPT_COL!r} — the "
+            "quarantine readers manage that column themselves (pass only "
+            "the data columns; the raw record arrives on the quarantine "
+            f"side as {CORRUPT_COL!r})"
+        )
+
     def one(mode: str, with_corrupt: bool):
         full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
         r = make_reader().schema(full).option("mode", mode)

@@ -796,3 +796,18 @@ def test_from_json_matches_datasource_json_grammar(spark, tmp_path):
     fj_rows = sorted((tuple(r) for r in fj.collect()), key=repr)
     assert len(ds_rows) == len(fj_rows) == 300
     assert ds_rows == fj_rows
+
+
+def test_quarantine_rejects_corrupt_column_in_data_schema(spark, csv_path):
+    """A data schema that declares _corrupt_record itself would collide
+    with the managed corrupt column inside the split builder (duplicate
+    schema field on the PERMISSIVE side) — refused loudly at the API
+    boundary instead."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_quarantined(
+            spark, csv_path, "id int, _corrupt_record string", sep="|"
+        )
