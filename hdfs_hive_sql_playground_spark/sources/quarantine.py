@@ -174,6 +174,12 @@ def stream_json_quarantined(
 def _replay(quarantine: DataFrame, parse_fn, schema: str, opts: dict):
     from pyspark.sql import functions as F
 
+    if CORRUPT_COL in schema:
+        raise ValueError(
+            f"the corrected schema must not declare {CORRUPT_COL!r} — "
+            "replay manages that column itself (still-bad records come "
+            f"back raw under {CORRUPT_COL!r})"
+        )
     full = f"{schema}, {CORRUPT_COL} string"
     parsed = quarantine.select(F.col(CORRUPT_COL).alias("_raw")).withColumn(
         "_p", parse_fn(F.col("_raw"), full, opts)

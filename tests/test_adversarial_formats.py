@@ -811,3 +811,13 @@ def test_quarantine_rejects_corrupt_column_in_data_schema(spark, csv_path):
         read_csv_quarantined(
             spark, csv_path, "id int, _corrupt_record string", sep="|"
         )
+    # same boundary on replay's corrected schema
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        replay_csv_quarantine,
+    )
+
+    _clean, quar = read_csv_quarantined(
+        spark, csv_path, "id int, name string, val int", sep="|", header=True
+    )
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        replay_csv_quarantine(quar, "id int, _corrupt_record string", sep="|")
