@@ -61,6 +61,48 @@ from pyspark.sql import DataFrame, SparkSession
 
 CORRUPT_COL = "_corrupt_record"
 
+# Reader/parse options the split manages itself. A caller-supplied
+# 'mode' would silently override the DROPMALFORMED/PERMISSIVE pair
+# (applied after it in option order) and break the exact-partition
+# invariant — corrupt rows would null-fill into the clean side — so the
+# entry points refuse them loudly, matching the _corrupt_record schema
+# guard. Spark option keys resolve case-insensitively; so does this.
+_MANAGED_OPTS = ("mode", "columnnameofcorruptrecord")
+
+
+def _check_caller_options(options: dict) -> None:
+    clash = [k for k in options if k.lower() in _MANAGED_OPTS]
+    if clash:
+        raise ValueError(
+            f"option(s) {clash!r} are managed by the quarantine split and "
+            "cannot be overridden — the DROPMALFORMED/PERMISSIVE parser "
+            "pair IS the contract (a caller 'mode' would null-fill corrupt "
+            "rows into the clean side)"
+        )
+
+
+def _check_schema(schema: str) -> None:
+    """Refuse a data schema that declares the managed corrupt column.
+
+    Parses the DDL (not a substring test): a legitimate column like
+    ``pre_corrupt_record`` must pass, while a case-variant
+    ``_CORRUPT_RECORD`` must be refused because Spark's default
+    case-insensitive resolution would still collide with the managed
+    column."""
+    from pyspark.sql.types import StructType
+
+    try:
+        fields = [f.name for f in StructType.fromDDL(schema).fields]
+    except Exception:
+        return  # not parseable here — the reader will raise its own error
+    if any(name.lower() == CORRUPT_COL for name in fields):
+        raise ValueError(
+            f"the data schema must not declare {CORRUPT_COL!r} (any case) — "
+            "the quarantine readers manage that column themselves (pass only "
+            "the data columns; the raw record arrives on the quarantine "
+            f"side as {CORRUPT_COL!r})"
+        )
+
 
 def _force_parse(df: DataFrame) -> DataFrame:
     """Always-true filter referencing every data column, so zero-column
@@ -80,13 +122,8 @@ def _split(make_reader, fmt: str, path: str, schema: str, opts: dict):
     drift. ``make_reader()`` returns a fresh ``spark.read`` /
     ``spark.readStream``; ``fmt`` is the source method name."""
 
-    if CORRUPT_COL in schema:
-        raise ValueError(
-            f"the data schema must not declare {CORRUPT_COL!r} — the "
-            "quarantine readers manage that column themselves (pass only "
-            "the data columns; the raw record arrives on the quarantine "
-            f"side as {CORRUPT_COL!r})"
-        )
+    _check_schema(schema)
+    _check_caller_options(opts)
 
     def one(mode: str, with_corrupt: bool):
         full = f"{schema}, {CORRUPT_COL} string" if with_corrupt else schema
@@ -174,24 +211,20 @@ def stream_json_quarantined(
 def _replay(quarantine: DataFrame, parse_fn, schema: str, opts: dict):
     from pyspark.sql import functions as F
 
-    if CORRUPT_COL in schema:
-        raise ValueError(
-            f"the corrected schema must not declare {CORRUPT_COL!r} — "
-            "replay manages that column itself (still-bad records come "
-            f"back raw under {CORRUPT_COL!r})"
-        )
+    _check_schema(schema)
     full = f"{schema}, {CORRUPT_COL} string"
     parsed = quarantine.select(F.col(CORRUPT_COL).alias("_raw")).withColumn(
         "_p", parse_fn(F.col("_raw"), full, opts)
     )
-    clean = (
-        parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNull())
-        .select("_p.*")
-        .drop(CORRUPT_COL)
-    )
-    still_bad = parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNotNull()).select(
-        F.col("_raw").alias(CORRUPT_COL)
-    )
+    # A NULL raw record (possible when the input is a persisted sink, not
+    # the quarantine side itself) must NOT be classified clean:
+    # from_csv/from_json of NULL yields a NULL struct, so its corrupt
+    # field is NULL too and it would otherwise rejoin the table as an
+    # all-NULL row. Route it to still_bad so clean + still_bad keeps the
+    # input record count and replay still composes with itself.
+    is_clean = F.col(f"_p.{CORRUPT_COL}").isNull() & F.col("_raw").isNotNull()
+    clean = parsed.filter(is_clean).select("_p.*").drop(CORRUPT_COL)
+    still_bad = parsed.filter(~is_clean).select(F.col("_raw").alias(CORRUPT_COL))
     return clean, still_bad
 
 
@@ -216,6 +249,7 @@ def replay_csv_quarantine(
     iff the fixed reader would have accepted it."""
     from pyspark.sql import functions as F
 
+    _check_caller_options(options or {})
     opts = {
         "sep": sep,
         "mode": "PERMISSIVE",
@@ -233,6 +267,7 @@ def replay_json_quarantine(
     """JSON dual of ``replay_csv_quarantine`` (``from_json`` grammar)."""
     from pyspark.sql import functions as F
 
+    _check_caller_options(options or {})
     opts = {
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": CORRUPT_COL,

@@ -485,20 +485,25 @@ def test_csv_quarantine_split_streaming_dual_matches_batch(spark, csv_path, tmp_
     # maxFilesPerTrigger=1 really produced one micro-batch per file
     assert n_batches["qsplit_clean"] >= 2 and n_batches["qsplit_quar"] >= 2
 
+    # Multiset (Counter) compare, not set: a double-delivered record must
+    # FAIL this gate — a set compare would silently collapse duplicates
+    # and pass despite breaking the exactly-once contract.
+    from collections import Counter
+
     bclean, bquar = read_csv_quarantined(spark, src, schema, sep="|", header=True)
-    got_clean = {tuple(r) for r in spark.table("qsplit_clean").collect()}
-    want_clean = {tuple(r) for r in bclean.collect()}
+    got_clean = Counter(tuple(r) for r in spark.table("qsplit_clean").collect())
+    want_clean = Counter(tuple(r) for r in bclean.collect())
     assert got_clean == want_clean
     assert {r[0] for r in got_clean} == {1, 2, 3, 8, 9}
-    got_quar = {tuple(r) for r in spark.table("qsplit_quar").collect()}
-    want_quar = {tuple(r) for r in bquar.collect()}
+    got_quar = Counter(tuple(r) for r in spark.table("qsplit_quar").collect())
+    want_quar = Counter(tuple(r) for r in bquar.collect())
     assert got_quar == want_quar
     # the b.csv type-corrupt row kept its parseable prefix for replay
     assert ("10|bad|ninety") in {r[-1] for r in got_quar}
     # exactly-once across the pair: every physical data line of both
     # files lands on exactly one side (9 lines in a.csv incl. the
     # newline-split extra, 2 in b.csv)
-    assert len(got_clean) + len(got_quar) == 11
+    assert sum(got_clean.values()) + sum(got_quar.values()) == 11
 
 
 def test_json_quarantine_split_streaming_dual_matches_batch(spark, json_path, tmp_path):
@@ -528,13 +533,17 @@ def test_json_quarantine_split_streaming_dual_matches_batch(spark, json_path, tm
         )
         q.awaitTermination()
 
+    # Counter, not set: double delivery must fail (same rationale as the
+    # CSV dual above).
+    from collections import Counter
+
     bclean, bquar = read_json_quarantined(spark, src, schema)
-    assert {tuple(r) for r in spark.table("jsplit_clean").collect()} == {
+    assert Counter(tuple(r) for r in spark.table("jsplit_clean").collect()) == Counter(
         tuple(r) for r in bclean.collect()
-    }
-    assert {tuple(r) for r in spark.table("jsplit_quar").collect()} == {
+    )
+    assert Counter(tuple(r) for r in spark.table("jsplit_quar").collect()) == Counter(
         tuple(r) for r in bquar.collect()
-    }
+    )
 
 
 def test_csv_quarantine_split_exact_on_randomized_corruption(spark, tmp_path):
@@ -821,3 +830,130 @@ def test_quarantine_rejects_corrupt_column_in_data_schema(spark, csv_path):
     )
     with pytest.raises(ValueError, match="_corrupt_record"):
         replay_csv_quarantine(quar, "id int, _corrupt_record string", sep="|")
+
+
+def test_quarantine_schema_guard_parses_ddl_not_substring(spark, tmp_path):
+    """The corrupt-column guard is a parsed-field-name check, not a
+    substring test: a legitimate column NAMED LIKE the managed column
+    (pre_corrupt_record) must pass, while a case-variant _CORRUPT_RECORD
+    must be refused — Spark's default case-insensitive resolution would
+    still collide it with the managed column."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    p = tmp_path / "guard.csv"
+    p.write_text("1|x\n2|notint|extra\n")
+    clean, quar = read_csv_quarantined(
+        spark, str(p), "id int, pre_corrupt_record string", sep="|"
+    )
+    assert clean.columns == ["id", "pre_corrupt_record"]
+    assert [tuple(r) for r in clean.collect()] == [(1, "x")]
+    assert quar.count() == 1
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_quarantined(spark, str(p), "id int, _CORRUPT_RECORD string", sep="|")
+
+
+def test_quarantine_refuses_managed_option_override(spark, csv_path):
+    """Caller options were applied AFTER the managed mode/
+    columnNameOfCorruptRecord pair, so options={'mode': 'PERMISSIVE'}
+    would silently replace the clean side's DROPMALFORMED and null-fill
+    corrupt rows into it (round-10 ADVICE). Pinned: every entry point —
+    batch, streaming, replay — refuses the managed keys loudly,
+    case-insensitively (Spark option keys resolve case-insensitively)."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+        read_json_quarantined,
+        replay_csv_quarantine,
+        stream_csv_quarantined,
+    )
+
+    schema = "id int, name string, val int"
+    for bad in ({"mode": "PERMISSIVE"}, {"MODE": "FAILFAST"},
+                {"columnNameOfCorruptRecord": "_x"}):
+        with pytest.raises(ValueError, match="managed"):
+            read_csv_quarantined(spark, csv_path, schema, sep="|", options=bad)
+        with pytest.raises(ValueError, match="managed"):
+            read_json_quarantined(spark, csv_path, schema, options=bad)
+        with pytest.raises(ValueError, match="managed"):
+            stream_csv_quarantined(spark, csv_path, schema, sep="|", options=bad)
+
+    _clean, quar = read_csv_quarantined(
+        spark, csv_path, schema, sep="|", header=True
+    )
+    with pytest.raises(ValueError, match="managed"):
+        replay_csv_quarantine(quar, schema, sep="|", options={"mode": "FAILFAST"})
+
+
+def test_quarantine_replay_null_raw_routes_to_still_bad(spark):
+    """A NULL raw record must NOT be classified clean by replay:
+    from_csv(NULL) yields a NULL struct whose corrupt field is NULL, so
+    the old corrupt-IS-NULL test routed it to the clean side as an
+    all-NULL row (round-10 ADVICE). The docstring invites replaying 'any
+    DataFrame carrying raw lines' — e.g. a persisted sink, where NULLs
+    are possible. Pinned: NULL raws land in still_bad, preserving
+    clean + still_bad == input record count, and replay still composes."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        replay_csv_quarantine,
+        replay_json_quarantine,
+    )
+
+    sink = spark.createDataFrame(
+        [("1|ok|10",), (None,), ("2|bad",)], "_corrupt_record string"
+    )
+    fixed, still = replay_csv_quarantine(sink, "id int, name string, val int", sep="|")
+    assert [tuple(r) for r in fixed.collect()] == [(1, "ok", 10)]
+    still_rows = still.collect()
+    assert sorted((r[0] for r in still_rows), key=lambda x: (x is None, x)) == [
+        "2|bad",
+        None,
+    ]
+    assert fixed.count() + len(still_rows) == 3
+    # composes: a second replay of still_bad keeps the NULL in still_bad
+    fixed2, still2 = replay_csv_quarantine(
+        still, "id int, name string, val int", sep="|"
+    )
+    assert fixed2.count() == 0 and still2.count() == 2
+
+    jsink = spark.createDataFrame(
+        [('{"id": 1}',), (None,)], "_corrupt_record string"
+    )
+    jfixed, jstill = replay_json_quarantine(jsink, "id int")
+    assert [tuple(r) for r in jfixed.collect()] == [(1,)]
+    assert jstill.count() == 1
+
+
+def test_csv_quarantine_multiline_quoted_newline_green_path(spark, tmp_path):
+    """The multiLine=true GREEN path (round-10 verdict item 5): the gate
+    already pins the trap (one unterminated quote swallows the file
+    tail), but the batch-backfill mode stream_csv_quarantined's docstring
+    points users to — well-QUOTED newlines in a real column — must keep
+    the split exact: the quoted-newline records parse intact on the
+    clean side, a malformed sibling RECORD lands alone in quarantine,
+    and clean + quarantine covers every logical record exactly once."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    p = tmp_path / "quoted_ml.csv"
+    p.write_text(
+        '1|"line one\nline two"|10\n'
+        "2|plain|20\n"
+        "3|bad|notanint\n"
+        '4|"a|b\nc"|40\n'
+    )
+    clean, quar = read_csv_quarantined(
+        spark, str(p), "id int, name string, val int", sep="|", multiline=True
+    )
+    got = {r.id: (r.name, r.val) for r in clean.collect()}
+    assert got == {
+        1: ("line one\nline two", 10),
+        2: ("plain", 20),
+        4: ("a|b\nc", 40),
+    }
+    quar_rows = quar.collect()
+    assert len(quar_rows) == 1  # exactly the malformed sibling, alone
+    assert quar_rows[0]["_corrupt_record"].startswith("3|bad|notanint")
+    # 4 logical records, each on exactly one side
+    assert clean.count() + len(quar_rows) == 4
