@@ -115,6 +115,60 @@ def _calibration_wall(spark) -> float:
     return wall
 
 
+# I/O-shaped calibration draw (round-10 verdict #4): the CPU-shaped
+# calibration workload above cannot register host I/O state (dirty-page
+# writeback, page-cache eviction) — the recurring CTAS-x10 note (README
+# 'Measured scaling': 26.9 s with calibration saying 'quiet 0.984', 14.6 s
+# minutes later) is exactly that blind spot. This leg writes a fixed
+# ~100 MB of generated text and reads it fully back, first and last in the
+# run, so I/O-sensitive trend moves can be adjudicated from the artifact:
+# calibration_io moved with them -> host I/O state; flat -> plan.
+CALIBRATION_IO_ROWS = 1_300_000  # x ~74 B/row -> ~96 MB of text per draw
+CALIBRATION_IO_DIR = os.path.join(REPO, ".bench_data", "cal_io_tmp")
+# Quiet-box reference (min-of-3 calls of the min-of-2 leg: 0.62/0.63/0.51,
+# measured round 11 on the 32-cpu bench host);
+# calibration_io_factor = calibration_io_x1 / this.
+CALIBRATION_IO_REF_SEC = 0.52
+
+
+def _calibration_io_wall(spark) -> float:
+    """min-of-2 wall of the fixed ~100 MB text write + full read-back.
+    The data is generated (spark.range + md5), so every draw writes the
+    same bytes; the read-back count forces the full scan. TWO untimed
+    warm passes first: one pass was measured insufficient (first min-of-2
+    still 1.89 s vs 0.65 s steady — JIT tiering on the text writer path
+    outlasts a single execution)."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(CALIBRATION_IO_ROWS)
+            .select(
+                F.concat_ws(
+                    "|",
+                    F.col("id"),
+                    F.md5(F.col("id").cast("string")),
+                    F.md5((F.col("id") + 1).cast("string")),
+                ).alias("value")
+            )
+            .coalesce(8)
+            .write.mode("overwrite")
+            .text(CALIBRATION_IO_DIR)
+        )
+        n = spark.read.text(CALIBRATION_IO_DIR).count()
+        assert n == CALIBRATION_IO_ROWS, n
+
+    run()  # warm (see docstring: two passes)
+    run()
+    wall = float("inf")
+    for _ in range(2):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        run()
+        wall = min(wall, round(time.perf_counter() - t0, 4))
+    return wall
+
+
 def _drop_derby_memory(spark, name: str) -> None:
     """Drop an in-memory Derby database so its pages leave the driver heap
     before the next timed section — an undropped 2.8 M-row x1 export DB
@@ -356,6 +410,23 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
         "m33_bench_export_trend",
         "age_mil bigint, wavelength double, flam double, is_peculiar int",
     )
+    # Scan-only CONTROL wall for the export leg: the Spark-side read of
+    # the x2 source table, noop-written in THIS fresh JVM (warm pass +
+    # min-of-2) — the non-Derby share of the export wall, measured every
+    # run so a 2.1<->2.35 export-ratio wobble is attributable from the
+    # artifact alone: control moved -> scan/plan side regression; control
+    # flat -> the embedded Derby target (its page-store GC is the known
+    # wobble source). Rides in the watch record next to the ratio.
+    # Expected proportion: ~1-3% of the export wall (round-7 attribution:
+    # 0.49 s scan vs 36.6 s export at x1; README 'Measured scaling').
+    back.write.format("noop").mode("overwrite").save()  # warm (codegen)
+    ctrl = float("inf")
+    for _ in range(2):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        back.write.format("noop").mode("overwrite").save()
+        ctrl = min(ctrl, round(time.perf_counter() - t0, 4))
+    timings[f"trend_m33_export_x{EXPORT_TREND_SCALE}_scan_control"] = ctrl
     _quiesce(spark)
     url = "jdbc:derby:memory:m33trend;create=true"
     t0 = time.perf_counter()
@@ -852,6 +923,7 @@ def main() -> None:
     # a plan regression doesn't).
     cal_first = _calibration_wall(spark)
     timings["calibration_x1_first"] = cal_first
+    timings["calibration_io_x1_first"] = _calibration_io_wall(spark)
 
     # Both child-JVM sections run FIRST, while this parent sits idle with a
     # near-empty heap (warm-up + fixture generation only): spawning the m33
@@ -934,6 +1006,7 @@ def main() -> None:
     # min of the first/last draws (the quietest the host got), and
     # calibration_factor scales it against the pinned quiet-box reference.
     timings["calibration_x1_last"] = _calibration_wall(spark)
+    timings["calibration_io_x1_last"] = _calibration_io_wall(spark)
 
     for line in _emit_records(timings, sf):
         print(line)
@@ -974,6 +1047,17 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
             and not k.endswith("_redraws")  # a count, not a wall
         ]:
             timings[k + "_norm"] = round(timings[k] / cal_factor, 4)
+    io_pair = [
+        timings[k]
+        for k in ("calibration_io_x1_first", "calibration_io_x1_last")
+        if k in timings
+    ]
+    if io_pair:
+        # I/O-shaped host-state marker (no _norm machinery — it exists to
+        # ADJUDICATE I/O-sensitive trend moves, not to normalize them).
+        io = min(io_pair)
+        timings["calibration_io_x1"] = io
+        timings["calibration_io_factor"] = round(io / CALIBRATION_IO_REF_SEC, 3)
 
     # m33_rows_x* entries are row-count markers, trend_* entries are
     # scale-slope evidence, and calibration_* entries are host-state
@@ -1038,8 +1122,11 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
         f"trend_ctas_x{CTAS_TREND_SCALE}_redraws",
         f"trend_q124_cells_scaled_x{DOC_TREND_SCALE}_over_x1_ratio",
         f"trend_export_x{EXPORT_TREND_SCALE}_over_x1_ratio",
+        f"trend_m33_export_x{EXPORT_TREND_SCALE}_scan_control",
         "calibration_x1",
         "calibration_factor",
+        "calibration_io_x1",
+        "calibration_io_factor",
     ]
     headline = json.dumps(
         {

@@ -108,6 +108,10 @@ def test_emit_records_two_lines_headlines_last_and_watches():
         "m33_limit100_raw_view": 1.2,
         "m33_limit100_warehouse": 0.07,
         "calibration_x1_last": 0.43,
+        "calibration_io_x1_first": 0.9,
+        "calibration_io_x1_last": 0.6,
+        "trend_m33_export_x2_scan_control": 0.8,
+        "trend_export_x2_over_x1_ratio": 2.2,
     }
     full, headline = (json.loads(s) for s in bench._emit_records(timings, "0.1"))
     assert full["metric"] == "bench_queries_total_wall"
@@ -138,6 +142,20 @@ def test_emit_records_two_lines_headlines_last_and_watches():
     assert headline["watches"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
     assert full["queries"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
     assert "trend_ctas_x10_over_x1_ratio_norm" not in full["queries"]
+    # round-11 additions to the watch record: the export scan-only control
+    # wall (rides next to the x2 ratio for artifact-only adjudication) and
+    # the I/O-shaped calibration pair (min of first/last, factor vs the
+    # pinned I/O reference; no _norm machinery — it adjudicates, it
+    # doesn't normalize)
+    assert headline["watches"]["trend_m33_export_x2_scan_control"] == 0.8
+    assert headline["watches"]["trend_export_x2_over_x1_ratio"] == 2.2
+    assert headline["watches"]["calibration_io_x1"] == 0.6
+    assert headline["watches"]["calibration_io_factor"] == round(
+        0.6 / bench.CALIBRATION_IO_REF_SEC, 3
+    )
+    assert "calibration_io_x1_norm" not in full["queries"]
+    # excluded from the wall-clock total like every calibration_/trend_ key
+    assert full["value"] == round(1.0 + 3.8 + 39.0 + 1.2 + 0.07, 4)
 
 
 def test_emit_records_without_calibration_is_graceful():
