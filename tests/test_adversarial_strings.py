@@ -1,0 +1,172 @@
+"""Adversarial string-edge gate (round 11, third of the relational-core
+edge families after floats and temporals): unicode case mapping, the
+trim whitespace class, NULL-concat semantics, and code-point string
+semantics — measured cross-engine (Spark 4.1.2 / DuckDB) and pinned.
+
+The round-8 corpus gate already proves the REGISTERED operators agree on
+unicode corpora; this gate pins the raw function contracts underneath,
+including three divergences a future oracle author would hit silently:
+
+- CASE-MAPPING EXPANSION diverges: Java's full case mapping expands
+  sharp-s 'strasse'-style ('straße' -> 'STRASSE') and the 'fi'
+  ligature ('ﬁle' -> 'FILE'), growing the string, while DuckDB maps
+  one-to-one ('STRAẞE' with capital sharp S, ligature untouched).
+  Consequence pinned: COUNT(DISTINCT upper(c)) over {'straße',
+  'STRASSE'} is 1 in Spark and 2 in DuckDB — a case-fold dedup key on
+  non-ASCII text is ENGINE-SPECIFIC and cannot be oracle-compared as-is.
+  (lower() does not merge that pair in either engine, so ASCII-scoped
+  lower-folding — what the registered dedup/text queries use — stays
+  safe.)
+- TRIM's whitespace class diverges: Spark trim() strips ASCII space
+  only (U+00A0 NBSP survives), DuckDB trim() strips NBSP too. Same
+  lesson as the round-10 q60 try_cast pin ([\\x00-\\x20]): never let an
+  implicit whitespace class near an oracle compare — spell the class
+  with trim(chars)/regexp_replace on both sides (recipe asserted).
+- concat(NULL) diverges: Spark concat() is NULL-propagating, DuckDB
+  concat() SKIPS NULLs. The `||` operator propagates NULL in BOTH
+  engines (the alignment recipe), and concat_ws skips NULLs in both —
+  so oracles use || or concat_ws, never bare concat, on nullable
+  columns.
+- Spark initcap() has no DuckDB builtin (CatalogException) — pinned so
+  the constraint on oracle SQL is explicit.
+
+Where the engines AGREE the pins keep them honest: code-point (not
+UTF-16, not grapheme) semantics for length/substring/instr/reverse/
+lpad/ascii including astral-plane emoji and ZWJ sequences; binary
+(codepoint-order) collation for comparisons; NFC vs NFD never merging
+in keys (both engines are normalization-blind); root-locale case
+mapping (no Turkish-i surprise).
+
+All non-ASCII fixture strings are built from explicit escapes so the
+test file itself cannot be corrupted by editor/tooling normalization.
+
+Reference surface: SURVEY §2 Tier B string scalar functions
+(`queries/relational.py` string block) and the text/dedup family whose
+fold keys these contracts protect.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+NBSP = " "
+SHARP_S = "straße"  # strasse with sharp s
+LIGATURE = "ﬁle"  # fi-ligature + "le"
+NFC = "é"  # e-acute, precomposed
+NFD = "é"  # e + combining acute: same rendering, 2 code points
+EMOJI = "\U0001f642"  # slightly smiling face (astral plane)
+ZWJ_FAMILY = "\U0001f468‍\U0001f469‍\U0001f467"  # 5 code points
+
+
+def test_case_mapping_expansion_diverges_with_grouping_consequence(spark):
+    con = duckdb.connect()
+    assert spark.sql(f"SELECT upper('{SHARP_S}') AS v").collect()[0].v == "STRASSE"
+    assert con.execute(f"SELECT upper('{SHARP_S}')").fetchone()[0] == "STRAẞE"
+    assert spark.sql(f"SELECT upper('{LIGATURE}') AS v").collect()[0].v == "FILE"
+    assert con.execute(f"SELECT upper('{LIGATURE}')").fetchone()[0] == "ﬁLE"
+
+    # the silent-wrong consequence: a case-folded distinct over non-ASCII
+    n_spark = spark.sql(
+        f"SELECT count(DISTINCT upper(c)) AS v FROM VALUES ('{SHARP_S}'), ('STRASSE') t(c)"
+    ).collect()[0].v
+    n_duck = con.execute(
+        f"SELECT count(DISTINCT upper(c)) FROM (VALUES ('{SHARP_S}'), ('STRASSE')) t(c)"
+    ).fetchone()[0]
+    assert (n_spark, n_duck) == (1, 2)
+
+    # lower() merges in NEITHER engine (sharp-s has no one-char
+    # round-trip), so ASCII-scoped lower-folding is the portable subset
+    for n in (
+        spark.sql(
+            f"SELECT count(DISTINCT lower(c)) AS v FROM VALUES ('{SHARP_S}'), ('STRASSE') t(c)"
+        ).collect()[0].v,
+        con.execute(
+            f"SELECT count(DISTINCT lower(c)) FROM (VALUES ('{SHARP_S}'), ('STRASSE')) t(c)"
+        ).fetchone()[0],
+    ):
+        assert n == 2
+
+    # no locale surprise: both engines case-map in the root locale
+    assert spark.sql("SELECT upper('istanbul') AS v").collect()[0].v == "ISTANBUL"
+    assert con.execute("SELECT upper('istanbul')").fetchone()[0] == "ISTANBUL"
+
+
+def test_trim_whitespace_class_diverges(spark):
+    """Spark trim() strips ASCII space only; DuckDB trim() also strips
+    NBSP. Oracles must spell the class explicitly — both engines agree
+    once the character set is explicit (second half)."""
+    padded = f"{NBSP}x{NBSP}"
+    assert spark.sql(f"SELECT length(trim('{padded}')) AS v").collect()[0].v == 3
+    con = duckdb.connect()
+    assert con.execute(f"SELECT length(trim('{padded}'))").fetchone()[0] == 1
+
+    # explicit-class recipe agrees exactly
+    s = spark.sql(f"SELECT trim(BOTH '{NBSP} ' FROM '{padded}') AS v").collect()[0].v
+    d = con.execute(f"SELECT trim('{padded}', '{NBSP} ')").fetchone()[0]
+    assert s == d == "x"
+
+
+def test_concat_null_semantics_diverge_pipe_operator_aligns(spark):
+    con = duckdb.connect()
+    assert spark.sql(
+        "SELECT concat('a', cast(NULL AS string)) AS v"
+    ).collect()[0].v is None
+    assert con.execute("SELECT concat('a', NULL::varchar)").fetchone()[0] == "a"
+
+    # the alignment recipes: || propagates NULL in both; concat_ws skips
+    # NULLs in both
+    assert spark.sql("SELECT 'a' || cast(NULL AS string) AS v").collect()[0].v is None
+    assert con.execute("SELECT 'a' || NULL::varchar").fetchone()[0] is None
+    assert spark.sql(
+        "SELECT concat_ws('-', 'a', cast(NULL AS string), 'b') AS v"
+    ).collect()[0].v == "a-b"
+    assert con.execute(
+        "SELECT concat_ws('-', 'a', NULL::varchar, 'b')"
+    ).fetchone()[0] == "a-b"
+
+
+def test_codepoint_semantics_and_binary_collation_agree(spark):
+    """length/substring/instr/reverse/lpad/ascii are CODE-POINT based in
+    both engines (not UTF-16 units, not graphemes): the astral-plane
+    emoji counts 1, the ZWJ family sequence counts its 5 code points,
+    and comparisons are binary code-point order in both."""
+    con = duckdb.connect()
+    cases = [
+        (f"length('{EMOJI}')", 1),
+        (f"length('{ZWJ_FAMILY}')", 5),  # 3 people + 2 zero-width joiners
+        (f"length('{NFC}')", 1),
+        (f"length('{NFD}')", 2),
+        (f"substring('{EMOJI}x', 1, 1)", EMOJI),
+        (f"substring('{EMOJI}x', 2, 1)", "x"),
+        (f"instr('{EMOJI}abc', 'a')", 2),
+        (f"reverse('a{EMOJI}b')", f"b{EMOJI}a"),
+        (f"lpad('{EMOJI}', 3, '*')", f"**{EMOJI}"),
+        (f"ascii('{EMOJI}')", 128578),
+    ]
+    for expr, want in cases:
+        assert spark.sql(f"SELECT {expr} AS v").collect()[0].v == want, expr
+        assert con.execute(f"SELECT {expr}").fetchone()[0] == want, expr
+
+    # binary collation: uppercase-before-lowercase, accented after ASCII
+    for expr, want in [("'a' < 'B'", False), (f"'{NFC}' < 'z'", False)]:
+        assert spark.sql(f"SELECT {expr} AS v").collect()[0].v is want, expr
+        assert con.execute(f"SELECT {expr}").fetchone()[0] is want, expr
+
+    # normalization-blind keys in both: NFC and NFD of the same rendered
+    # character never merge under DISTINCT (binary keys, no normalization)
+    n_s = spark.sql(
+        f"SELECT count(DISTINCT c) AS v FROM VALUES ('{NFC}'), ('{NFD}') t(c)"
+    ).collect()[0].v
+    n_d = con.execute(
+        f"SELECT count(DISTINCT c) FROM (VALUES ('{NFC}'), ('{NFD}')) t(c)"
+    ).fetchone()[0]
+    assert n_s == n_d == 2
+
+
+def test_initcap_has_no_duckdb_builtin(spark):
+    assert spark.sql(
+        f"SELECT initcap('{NFC}ole {NFC}COLE') AS v"
+    ).collect()[0].v == "Éole École"
+    with pytest.raises(duckdb.CatalogException):
+        duckdb.connect().execute("SELECT initcap('x')")
