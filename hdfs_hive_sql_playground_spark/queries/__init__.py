@@ -58,6 +58,12 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # and the curation/sketch families refreshed in r9), which must lead
 # round 12 — run scripts/propose_window.py to compute the exact list and
 # scripts/preflight_window.py before every end-of-round snapshot.
+# Round 12 also owes the trim-class oracle alignment (DuckDB trim(x) ->
+# trim(x, ' ') in the ~25 text/dedup oracles, per the boundary pinned in
+# tests/test_adversarial_strings.py::test_content_hash_trim_boundary_*):
+# those changed queries then lead the r12 window alongside the stale r9
+# block — deferred from r11 deliberately, because 25 changed slots would
+# have evicted 23 r8-vintage greens and broken the freshness criterion.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 48 r8-vintage stale greens + q24 (stalest r9), per
     # propose_window.py

@@ -164,6 +164,34 @@ def test_codepoint_semantics_and_binary_collation_agree(spark):
     assert n_s == n_d == 2
 
 
+def test_content_hash_trim_boundary_on_unicode_spaces(spark):
+    """The registered dedup family's content-hash recipe is
+    md5(lower(trim(text))) on BOTH engines (e.g. q80, queries/dedup.py).
+    On every real fixture the corpus is ASCII-padded and the pair agrees
+    — but on a text padded with UNICODE spaces the bare trims diverge
+    (Spark leaves NBSP, DuckDB strips it), so the oracle compare would
+    fail LOUDLY (hash mismatch), not silently. Pinned here with the
+    exact recipe, plus the explicit-class alignment (DuckDB
+    trim(x, ' ') = ASCII-space-only = Spark trim) that the round-12
+    window rotation should fold into the ~25 affected oracle strings —
+    deferred there deliberately: changing 25 oracles this round would
+    evict 23 r8-vintage queries from the 50-slot driver window and break
+    the freshness rotation (queries/__init__.py discipline)."""
+    padded = f"{NBSP}hello world{NBSP}"
+    s = spark.createDataFrame([(padded,)], "text string").selectExpr(
+        "md5(lower(trim(text))) AS h"
+    ).collect()[0].h
+    con = duckdb.connect()
+    d_bare = con.execute(
+        "SELECT md5(lower(trim(?)))", [padded]
+    ).fetchone()[0]
+    assert s != d_bare  # the latent divergence, loud by construction
+    d_ascii = con.execute(
+        "SELECT md5(lower(trim(?, ' ')))", [padded]
+    ).fetchone()[0]
+    assert s == d_ascii  # the alignment recipe for the r12 oracle pass
+
+
 def test_initcap_has_no_duckdb_builtin(spark):
     assert spark.sql(
         f"SELECT initcap('{NFC}ole {NFC}COLE') AS v"
