@@ -128,7 +128,7 @@ CALIBRATION_IO_DIR = os.path.join(REPO, ".bench_data", "cal_io_tmp")
 # Quiet-box reference (min-of-3 calls of the min-of-2 leg: 0.62/0.63/0.51,
 # measured round 11 on the 32-cpu bench host);
 # calibration_io_factor = calibration_io_x1 / this.
-CALIBRATION_IO_REF_SEC = 0.52
+CALIBRATION_IO_REF_SEC = 0.51
 
 
 def _calibration_io_wall(spark) -> float:
@@ -166,6 +166,16 @@ def _calibration_io_wall(spark) -> float:
         t0 = time.perf_counter()
         run()
         wall = min(wall, round(time.perf_counter() - t0, 4))
+    # Flush the ~400 MB of dirty pages this leg just produced before any
+    # later timed section starts — otherwise the FIRST io draw's
+    # writeback can overlap the child-JVM trend legs it is supposed to
+    # adjudicate (the x10 CTAS leg is documented writeback-sensitive).
+    # sync() is untimed here, so it costs the measurement nothing.
+    try:
+        os.sync()
+        time.sleep(0.5)
+    except Exception:  # noqa: BLE001 — settling is best-effort
+        pass
     return wall
 
 
@@ -1007,6 +1017,12 @@ def main() -> None:
     # calibration_factor scales it against the pinned quiet-box reference.
     timings["calibration_x1_last"] = _calibration_wall(spark)
     timings["calibration_io_x1_last"] = _calibration_io_wall(spark)
+    # cal_io_tmp is a per-run temp (regenerated every draw, never reused
+    # across runs, unlike the other .bench_data fixtures) — don't strand
+    # its ~96 MB on disk after the last draw.
+    import shutil
+
+    shutil.rmtree(CALIBRATION_IO_DIR, ignore_errors=True)
 
     for line in _emit_records(timings, sf):
         print(line)

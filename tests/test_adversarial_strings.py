@@ -50,21 +50,21 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-NBSP = " "
-SHARP_S = "straße"  # strasse with sharp s
-LIGATURE = "ﬁle"  # fi-ligature + "le"
-NFC = "é"  # e-acute, precomposed
-NFD = "é"  # e + combining acute: same rendering, 2 code points
+NBSP = "\u00a0"
+SHARP_S = "stra\u00dfe"  # strasse with sharp s
+LIGATURE = "\ufb01le"  # fi-ligature + "le"
+NFC = "\u00e9"  # e-acute, precomposed
+NFD = "e\u0301"  # e + combining acute: 2 code points
 EMOJI = "\U0001f642"  # slightly smiling face (astral plane)
-ZWJ_FAMILY = "\U0001f468‍\U0001f469‍\U0001f467"  # 5 code points
+ZWJ_FAMILY = "\U0001f468\u200d\U0001f469\u200d\U0001f467"  # 5 code points
 
 
 def test_case_mapping_expansion_diverges_with_grouping_consequence(spark):
     con = duckdb.connect()
     assert spark.sql(f"SELECT upper('{SHARP_S}') AS v").collect()[0].v == "STRASSE"
-    assert con.execute(f"SELECT upper('{SHARP_S}')").fetchone()[0] == "STRAẞE"
+    assert con.execute(f"SELECT upper('{SHARP_S}')").fetchone()[0] == "STRA\u1e9eE"
     assert spark.sql(f"SELECT upper('{LIGATURE}') AS v").collect()[0].v == "FILE"
-    assert con.execute(f"SELECT upper('{LIGATURE}')").fetchone()[0] == "ﬁLE"
+    assert con.execute(f"SELECT upper('{LIGATURE}')").fetchone()[0] == "\ufb01LE"
 
     # the silent-wrong consequence: a case-folded distinct over non-ASCII
     n_spark = spark.sql(
@@ -195,6 +195,6 @@ def test_content_hash_trim_boundary_on_unicode_spaces(spark):
 def test_initcap_has_no_duckdb_builtin(spark):
     assert spark.sql(
         f"SELECT initcap('{NFC}ole {NFC}COLE') AS v"
-    ).collect()[0].v == "Éole École"
+    ).collect()[0].v == "\u00c9ole \u00c9cole"
     with pytest.raises(duckdb.CatalogException):
         duckdb.connect().execute("SELECT initcap('x')")
