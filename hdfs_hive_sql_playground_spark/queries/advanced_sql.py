@@ -341,7 +341,7 @@ def q59_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, i - 1 AS pos, w[i] AS word
     FROM (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      SELECT doc_id, string_split(lower(trim(text, ' ')), ' ') AS w
       FROM documents WHERE doc_id < 50
     ), UNNEST(range(1, len(w) + 1)) AS t(i)
     """,

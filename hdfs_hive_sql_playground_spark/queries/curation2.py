@@ -51,7 +51,7 @@ def _doc_ngrams(n: int):
     "q108_decontaminate",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+      SELECT doc_id, string_split(lower(trim(text, ' ')), ' ') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id, array_to_string(ws[t.i : t.i + {PROBE_N - 1}], ' ') AS gram
@@ -101,10 +101,10 @@ def q108_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q109_incremental_dedup",
     oracle="""
     WITH corpus AS (
-      SELECT md5(lower(trim(text))) AS h FROM documents WHERE doc_id % 10 <> 0
+      SELECT md5(lower(trim(text, ' '))) AS h FROM documents WHERE doc_id % 10 <> 0
     ),
     batch AS (
-      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents WHERE doc_id % 10 = 0
+      SELECT doc_id, md5(lower(trim(text, ' '))) AS h FROM documents WHERE doc_id % 10 = 0
     ),
     fresh AS (
       SELECT b.doc_id, b.h FROM batch b

@@ -20,8 +20,8 @@ from hdfs_hive_sql_playground_spark.queries import register
 _ORACLE_VIEW = f"""
   SELECT
     CAST(regexp_extract(filename, '(hmix\\.a)(\\d*)', 2) AS BIGINT) AS age_mil,
-    CAST(string_split(trim(row_str), '  ')[1] AS DOUBLE) AS wavelength,
-    CAST(string_split(trim(row_str), '  ')[2] AS DOUBLE) AS flam,
+    CAST(string_split(trim(row_str, ' '), '  ')[1] AS DOUBLE) AS wavelength,
+    CAST(string_split(trim(row_str, ' '), '  ')[2] AS DOUBLE) AS flam,
     CAST(CASE regexp_extract(filename, '/(cp|nocp)/', 1)
          WHEN 'nocp' THEN 0 WHEN 'cp' THEN 1 ELSE -1 END AS INTEGER) AS is_peculiar
   FROM read_csv('{DEFAULT_M33_DIR}/*/hmix.*', header=false, skip=3,

@@ -207,7 +207,7 @@ def _bucketed_hash_order_rank(
     "q90_language_id",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok
       FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
@@ -266,11 +266,11 @@ def q90_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT
         doc_id,
-        lower(trim(text)) AS t,
-        len(string_split(lower(trim(text)), ' ')) AS n_tokens,
-        length(lower(trim(text))) AS n_chars,
-        length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS n_punct,
-        len(list_filter(string_split(lower(trim(text)), ' '),
+        lower(trim(text, ' ')) AS t,
+        len(string_split(lower(trim(text, ' ')), ' ')) AS n_tokens,
+        length(lower(trim(text, ' '))) AS n_chars,
+        length(regexp_replace(lower(trim(text, ' ')), '[a-z0-9 ]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                         w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop
       FROM documents
     )
@@ -320,7 +320,7 @@ def q91_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT
       doc_id,
-      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS ws_tokens,
       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
       CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
@@ -345,7 +345,7 @@ def q92_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_fingerprint",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS w FROM documents
     )
     SELECT
       doc_id,
@@ -385,7 +385,7 @@ def q93_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_tfidf_top_terms",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS word
       FROM documents WHERE doc_id < 200
     ),
     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -487,7 +487,7 @@ CURATION_QUOTA = 15
     bench=True,
     oracle=f"""
     WITH base AS (
-      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      SELECT doc_id, lower(trim(text, ' ')) AS t FROM documents
     ),
     quality AS (
       SELECT doc_id, t FROM (
@@ -507,7 +507,7 @@ CURATION_QUOTA = 15
       WHERE rn = 1
     ),
     toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok
       FROM documents
     ),
     hits AS (
@@ -632,7 +632,7 @@ TOPK_BIGRAMS = 50
     "q100_bigram_topk",
     oracle=f"""
     WITH words AS (
-      SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+      SELECT string_split_regex(lower(trim(text, ' ')), '\\s+') AS w FROM documents
     ),
     bi AS (
       SELECT UNNEST(list_transform(range(1, len(w)),
@@ -676,7 +676,7 @@ def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_repetition_signals",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id, ws,
@@ -758,7 +758,7 @@ PACK_BUDGET = 256
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     )
     SELECT doc_id, lang, n_tok,
@@ -795,7 +795,7 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_collapse_repeats",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
     ),
     kept AS (
       SELECT doc_id, ws,
@@ -924,7 +924,7 @@ MIX_TOKEN_BUDGET = 20_000
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     w AS (
@@ -999,7 +999,7 @@ def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     hist AS (
@@ -1144,11 +1144,11 @@ SELECT_TOKEN_BUDGET = 10_000
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
-             CAST((len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(len(string_split(lower(trim(text, ' ')), ' ')) AS BIGINT) AS n_tok,
+             CAST((len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                    w -> list_contains({list(STOPWORDS)!r}, w)))
                    * 10000)
-                  // len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS q_e4
+                  // len(string_split(lower(trim(text, ' ')), ' ')) AS BIGINT) AS q_e4
       FROM documents
     ),
     c AS (
@@ -1265,7 +1265,7 @@ def q121_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, u.w AS token
-      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      FROM (SELECT doc_id, string_split(lower(trim(text, ' ')), ' ') AS ws
             FROM documents), UNNEST(ws) AS u(w)
     ),
     cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token)
@@ -1318,7 +1318,7 @@ TOPK_BPE_PAIRS = 60
     "q130_bpe_pair_counts",
     oracle=f"""
     WITH words AS (
-      SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+      SELECT UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS w FROM documents
     ),
     pairs AS (
       SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
@@ -1361,8 +1361,8 @@ def q130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id, lang,
-             string_split(lower(trim(text)), ' ') AS ws,
-             length(lower(trim(text))) AS n_chars
+             string_split(lower(trim(text, ' ')), ' ') AS ws,
+             length(lower(trim(text, ' '))) AS n_chars
       FROM documents
     ),
     r AS (
@@ -1544,7 +1544,7 @@ DSIR_TARGET_LANG = "en"  # the target domain: English docs stand in for it
     WITH tok AS (
       SELECT doc_id, lang,
              ({_shingle_hash48_sql('u.w')}) % {DSIR_BUCKETS} AS bucket
-      FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+      FROM (SELECT doc_id, lang, string_split(lower(trim(text, ' ')), ' ') AS ws
             FROM documents), UNNEST(ws) AS u(w)
     ),
     bcnt AS (
@@ -1671,7 +1671,7 @@ _VISIBLE_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
                       '<script[^>]*>.*?</script>', '', 'g'),
                       '<style[^>]*>.*?</style>', '', 'g'),
                       '<[^>]*>', ' ', 'g'),
-                      ' +', ' ', 'g'))"""
+                      ' +', ' ', 'g'), ' ')"""
 
 
 def _synth_html() -> Column:
@@ -1792,12 +1792,12 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     base AS (
       SELECT doc_id,
              {_CANONICAL_URL_SQL} AS canonical_url,
-             md5(lower(trim(content))) AS h,
-             CAST(len(string_split(lower(trim(content)), ' ')) AS BIGINT)
+             md5(lower(trim(content, ' '))) AS h,
+             CAST(len(string_split(lower(trim(content, ' ')), ' ')) AS BIGINT)
                AS n_words,
-             CAST((length(lower(trim(content)))
-                   - (len(string_split(lower(trim(content)), ' ')) - 1))
-                  // len(string_split(lower(trim(content)), ' ')) AS BIGINT)
+             CAST((length(lower(trim(content, ' ')))
+                   - (len(string_split(lower(trim(content, ' ')), ' ')) - 1))
+                  // len(string_split(lower(trim(content, ' ')), ' ')) AS BIGINT)
                AS mw_chars
       FROM ex
     ),

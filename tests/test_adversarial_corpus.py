@@ -42,12 +42,24 @@ ADVERSARIAL_DOCS = [
     (11, " ".join(f"long{i:04d}" for i in range(2000))),  # long doc
     (12, "tab\tseparated and multi  space   runs"),
     (13, "MiXeD CaSe TEXT lower UPPER"),
+    # Unicode-space padding: NBSP / em-space / ideographic space at the
+    # string BOUNDARY. This is the row the round-12 trim-class oracle
+    # alignment (DuckDB trim(x, ' ') = ASCII-space-only = Spark trim)
+    # exists for: before the alignment, DuckDB's bare trim() stripped
+    # these while Spark's kept them, so every content-hash / token /
+    # length oracle diverged on exactly this input (pinned in
+    # test_adversarial_strings.py::test_content_hash_trim_boundary_*).
+    # Neither engine's regex \s matches these (>0x20), so they also ride
+    # INSIDE tokens unchanged on both sides.
+    (14, "\u00a0nbsp padded both ends\u00a0"),
+    (15, "\u2003em-space lead, ideo\u3000inner, nbsp\u00a0token trail\u2003"),
 ]
 
 # Documents-only operators whose semantics must survive the corpus above.
 # (Operators needing other tables, fixture-scale caps, or multimodal
 # payload conventions are exercised by the standard gate instead.)
 ADVERSARIAL_QUERIES = (
+    "q58_posexplode_lateral",
     "q80_exact_dedup",
     "q81_minhash_lsh_neardup",
     "q82_ngram_jaccard_pairs",
@@ -64,6 +76,8 @@ ADVERSARIAL_QUERIES = (
     "q104_heavy_hitters",
     "q105_dup_ngram_spans",
     "q106_repetition_signals",
+    "q108_decontaminate",
+    "q109_incremental_dedup",
     "q112_sequence_packing",
     "q113_collapse_repeats",
     "q114_pii_redact",
@@ -135,6 +149,68 @@ def test_fixture_tokenizers_agree(spark, sf_dir):
     t = F.lower(F.trim(F.col("text")))
     diff = d.filter(F.split(t, " ") != F.split(t, r"\s+")).count()
     assert diff == 0, f"{diff} fixture docs tokenize differently"
+
+
+def test_fixture_trim_classes_agree(sf_dir):
+    """The round-12 oracle alignment (DuckDB bare trim(x) -> trim(x, ' ')
+    in the ~36 text/dedup oracles + the m33 view, matching Spark's
+    ASCII-space-only trim) must be a NO-OP on the driver's fixture: no
+    fixture document carries a unicode space (or any non-ASCII-space char
+    of DuckDB's trim class) at a string boundary, so pre-alignment
+    driver-green vintages remain valid attestations and the changed
+    queries don't all claim r12 window slots (the same policy the round-8
+    string_split alignment used, asserted above). The divergence itself
+    is exercised — not just pinned — by adversarial docs 14/15 through
+    the full corpus gate."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE trim(text) <> trim(text, ' ')"
+    ).fetchone()[0]
+    assert n == 0, f"{n} fixture docs have non-ASCII-space trim boundaries"
+    # m33 fixture (data/m33_mini, committed ASCII): trim(row_str) likewise.
+    from hdfs_hive_sql_playground_spark.m33 import DEFAULT_M33_DIR
+
+    n = con.execute(
+        f"SELECT count(*) FROM read_csv('{DEFAULT_M33_DIR}/*/hmix.*', "
+        "header=false, columns={'row_str':'VARCHAR'}, delim='', quote='') "
+        "WHERE trim(row_str) <> trim(row_str, ' ')"
+    ).fetchone()[0]
+    assert n == 0, f"{n} m33 fixture rows have non-ASCII-space trim boundaries"
+
+
+def test_no_oracle_uses_bare_one_arg_trim():
+    """Dialect lint, enforcing the round-12 alignment forever: no registry
+    oracle may call DuckDB's one-arg trim(), whose whitespace class
+    (unicode spaces included) is wider than Spark's ASCII-space-only
+    trim. The aligned spelling is trim(x, ' '); Spark-side SQL is
+    unaffected (Spark trim IS the ASCII contract). SQL '--' comments are
+    skipped (q60 documents the class in a comment)."""
+    import re
+
+    for name, spec in SPECS.items():
+        if not spec.oracle:
+            continue
+        code = "\n".join(l.split("--", 1)[0] for l in spec.oracle.splitlines())
+        for m in re.finditer(r"\btrim\(", code):
+            # walk (across lines) to the matching close paren; bare iff
+            # no top-level comma inside
+            depth, toplevel_comma = 1, False
+            for ch in code[m.end():]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif ch == "," and depth == 1:
+                    toplevel_comma = True
+            assert toplevel_comma, (
+                f"{name} oracle uses bare one-arg trim() at: "
+                f"...{code[m.start():m.end() + 60]}..."
+            )
 
 
 EVENT_QUERIES = (

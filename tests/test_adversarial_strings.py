@@ -172,11 +172,13 @@ def test_content_hash_trim_boundary_on_unicode_spaces(spark):
     (Spark leaves NBSP, DuckDB strips it), so the oracle compare would
     fail LOUDLY (hash mismatch), not silently. Pinned here with the
     exact recipe, plus the explicit-class alignment (DuckDB
-    trim(x, ' ') = ASCII-space-only = Spark trim) that the round-12
-    window rotation should fold into the ~25 affected oracle strings —
-    deferred there deliberately: changing 25 oracles this round would
-    evict 23 r8-vintage queries from the 50-slot driver window and break
-    the freshness rotation (queries/__init__.py discipline)."""
+    trim(x, ' ') = ASCII-space-only = Spark trim) that round 12 folded
+    into every affected oracle string (~36 text/dedup oracles + the m33
+    view; deferred from r11 deliberately, since changing them then would
+    have evicted 23 r8-vintage queries from the 50-slot driver window).
+    The alignment is enforced by test_adversarial_corpus.py::
+    test_no_oracle_uses_bare_one_arg_trim and exercised cross-engine by
+    the unicode-space-padded corpus docs 14/15 there."""
     padded = f"{NBSP}hello world{NBSP}"
     s = spark.createDataFrame([(padded,)], "text string").selectExpr(
         "md5(lower(trim(text))) AS h"
