@@ -122,7 +122,21 @@ def test_map_key_semantics_diverge_and_spark_self_inconsistency(spark):
     accepted but counts 2 where GROUP BY forms one group — binary
     distinct-buffer comparison disagreeing with normalized grouping.
     Pinned exactly; recipe: canonicalize with array_sort(map_entries())
-    before any key use, never COUNT(DISTINCT) a raw map."""
+    before any key use, never COUNT(DISTINCT) a raw map.
+
+    Upstream-reportable (minimal repro + expected-vs-actual in
+    docs/VERIFICATION.md 'Spark internal inconsistency'): on Spark 4.1.2
+    the same two-row relation gives GROUP BY m -> ONE group but
+    count(DISTINCT m) -> 2 — two answers to 'how many distinct maps'.
+    The version is asserted below so a future Spark upgrade that fixes
+    (or widens) the contradiction fails this pin loudly instead of
+    silently shifting semantics."""
+    import pyspark
+
+    assert pyspark.__version__ == "4.1.2", (
+        f"Spark {pyspark.__version__}: re-measure the map-distinct "
+        "contradiction pinned for 4.1.2 and update docs/VERIFICATION.md"
+    )
     base = "SELECT map('a',1,'b',2) m UNION ALL SELECT map('b',2,'a',1) m"
     n_groups = spark.sql(
         f"SELECT count(*) FROM (SELECT m, count(*) FROM ({base}) t GROUP BY m)"
@@ -159,6 +173,42 @@ def test_map_key_semantics_diverge_and_spark_self_inconsistency(spark):
         f"list_sort(map_entries(m)) AS k FROM (VALUES {dvals}) t(m)) GROUP BY k)"
     ).fetchone()[0]
     assert s_canon == d_canon == 1
+
+
+def test_no_registry_query_count_distincts_a_map():
+    """No registered query may depend on the COUNT(DISTINCT map)
+    inconsistency pinned above. Enforced as a closed whitelist: every
+    distinct-count argument in the package — SQL oracles and
+    F.countDistinct calls alike — must be one of the known SCALAR
+    columns. Adding a new distinct-count lands here for review; a map
+    argument can never slip in silently."""
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hdfs_hive_sql_playground_spark",
+    )
+    args = set()
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        args.update(
+            a.strip() for a in re.findall(r"(?i)COUNT\(DISTINCT\s+([^)]+)\)", src)
+        )
+        args.update(re.findall(r"countDistinct\(\"([^\"]+)\"\)", src))
+    # drop prose hits (docstrings talk ABOUT the pattern)
+    args = {a for a in args if re.fullmatch(r"[A-Za-z_][A-Za-z_.0-9]*", a)}
+    scalar_whitelist = {
+        "user_id", "gram", "doc_id", "o_orderstatus", "o_custkey",
+        "o_orderkey", "o.o_orderkey", "g.gram",
+    }
+    assert args <= scalar_whitelist, (
+        f"new distinct-count argument(s) {sorted(args - scalar_whitelist)}: "
+        "verify none is map-typed (COUNT(DISTINCT map) is internally "
+        "inconsistent on Spark 4.1.2, see the pin above), then extend "
+        "the whitelist"
+    )
 
 
 def test_struct_null_field_keys_and_empty_explode_agree(spark):
