@@ -94,7 +94,20 @@ def _check_schema(schema: str) -> None:
     try:
         fields = [f.name for f in StructType.fromDDL(schema).fields]
     except Exception:
-        return  # not parseable here — the reader will raise its own error
+        # Not parseable by fromDDL. The reader will usually raise its own
+        # error, but if it accepts a dialect fromDDL doesn't, the guard
+        # must not silently vanish — fall back to the case-insensitive
+        # substring check (cruder: can false-positive on a column NAMED
+        # like the managed one inside a longer identifier, but a refusal
+        # is recoverable while a corrupt-column collision is silent).
+        if CORRUPT_COL in schema.lower():
+            raise ValueError(
+                f"the data schema must not mention {CORRUPT_COL!r} (any "
+                "case) — the quarantine readers manage that column "
+                "themselves (schema was not fromDDL-parseable, so this is "
+                "the conservative substring check)"
+            )
+        return
     if any(name.lower() == CORRUPT_COL for name in fields):
         raise ValueError(
             f"the data schema must not declare {CORRUPT_COL!r} (any case) — "

@@ -855,6 +855,34 @@ def test_quarantine_schema_guard_parses_ddl_not_substring(spark, tmp_path):
         read_csv_quarantined(spark, str(p), "id int, _CORRUPT_RECORD string", sep="|")
 
 
+def test_quarantine_schema_guard_survives_unparseable_ddl(spark, tmp_path):
+    """If fromDDL cannot parse the schema string, the guard must not
+    silently vanish (round-11 ADVICE): a reader dialect fromDDL rejects
+    could still accept the string, so an unparseable schema mentioning
+    the managed column falls back to the conservative substring refusal,
+    while an unparseable schema NOT mentioning it still flows through to
+    the reader's own error."""
+    from hdfs_hive_sql_playground_spark.sources.quarantine import (
+        read_csv_quarantined,
+    )
+
+    p = tmp_path / "guard2.csv"
+    p.write_text("1|x\n")
+    # unparseable by fromDDL (trailing comma) AND mentions the managed
+    # column -> the fallback substring guard refuses it loudly
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_quarantined(
+            spark, str(p), "id int, _corrupt_record string,", sep="|"
+        )
+    # unparseable, no mention -> reaches the reader, which raises its own
+    # parse error (the guard stays out of the way)
+    with pytest.raises(Exception, match="(?i)parse|syntax|schema"):
+        clean, _quar = read_csv_quarantined(
+            spark, str(p), "id int,, name string", sep="|"
+        )
+        clean.collect()
+
+
 def test_quarantine_refuses_managed_option_override(spark, csv_path):
     """Caller options were applied AFTER the managed mode/
     columnNameOfCorruptRecord pair, so options={'mode': 'PERMISSIVE'}
