@@ -101,6 +101,7 @@ def test_emit_records_two_lines_headlines_last_and_watches():
         "calibration_x1_first": 0.50,
         "q01_pricing_summary": 1.0,
         "m33_ctas_2800k": 3.8,
+        "trend_m33_ctas_x1": 0.32,
         "trend_m33_ctas_x10": 3.0,
         "trend_ctas_x10_over_x1_ratio": 3.0,
         "m33_rows_x1": 2800000.0,
@@ -139,6 +140,11 @@ def test_emit_records_two_lines_headlines_last_and_watches():
     # watched CTAS x10 band rides in the headline record, raw AND
     # calibration-normalized; ratios get no _norm twin (scale-invariant)
     assert headline["watches"]["trend_m33_ctas_x10"] == 3.0
+    # round-12 addition: the x1 ratio base ships as a watch key — it is
+    # the primary plan-vs-host evidence for the bimodal x10 leg (README
+    # 'Measured scaling'), so out-of-band draws adjudicate from the
+    # artifact alone
+    assert headline["watches"]["trend_m33_ctas_x1"] == 0.32
     assert headline["watches"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
     assert full["queries"]["trend_m33_ctas_x10_norm"] == round(3.0 / factor, 4)
     assert "trend_ctas_x10_over_x1_ratio_norm" not in full["queries"]
