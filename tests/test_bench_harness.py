@@ -92,6 +92,36 @@ def test_subprocess_registry_legs_default():
     assert "q99_curation_pipeline" in bench.SUBPROCESS_REGISTRY_LEGS
 
 
+def test_q124_trend_subprocess_merges_child_dict(monkeypatch):
+    child = {
+        "trend_q124_semdedup_prune_x1": 1.5,
+        "trend_q124_semdedup_prune_x8": 6.0,
+        "trend_q124_semdedup_prune_x8_over_x1_ratio": 4.0,
+        "trend_q124_cells_scaled_x8": 3.0,
+        "trend_q124_cells_scaled_x8_over_x1_ratio": 2.0,
+    }
+    monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: dict(child))
+    timings = {}
+    bench._bench_q124_trend_subprocess(object(), "/sf", timings)
+    assert timings == child
+
+
+def test_q124_trend_subprocess_falls_back_in_session(monkeypatch, capsys):
+    """A dead child must not silently drop the q124 watch — the caller
+    re-measures in-session (the pre-round-12 protocol) instead."""
+    monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: None)
+    called = {}
+    monkeypatch.setattr(
+        bench,
+        "_bench_q124_trend",
+        lambda spark, sf_dir, t: called.setdefault("args", (spark, sf_dir)),
+    )
+    sentinel = object()
+    bench._bench_q124_trend_subprocess(sentinel, "/sf", {})
+    assert called["args"] == (sentinel, "/sf")
+    assert "falling back" in capsys.readouterr().err
+
+
 def test_emit_records_two_lines_headlines_last_and_watches():
     """The stdout contract: TWO JSON lines; the full record keys the m33
     headlines LAST; the compact headline record carries the headlines,
