@@ -200,3 +200,34 @@ def test_initcap_has_no_duckdb_builtin(spark):
     ).collect()[0].v == "\u00c9ole \u00c9cole"
     with pytest.raises(duckdb.CatalogException):
         duckdb.connect().execute("SELECT initcap('x')")
+
+
+def test_like_default_escape_diverges(spark):
+    """LIKE's default escape, round-12 addition: Spark treats backslash
+    as the built-in escape ('a_c' LIKE 'a\\_c' is TRUE — the underscore
+    is literal) while DuckDB has NO default escape ('\\' is an ordinary
+    character, so the same pattern is FALSE) — a silent TRUE/FALSE flip
+    on any pattern that escapes _ or %. Worse, a stray escape mid-
+    pattern ('a\\c') RAISES in Spark (INVALID_FORMAT.ESC_IN_THE_MIDDLE)
+    where DuckDB silently matches it literally. No registered oracle
+    uses LIKE at all (audited; matching goes through the regex family,
+    whose dialect gate is test_adversarial_regex.py) — the recipe if
+    one ever does: spell ESCAPE explicitly, which agrees exactly, as do
+    ILIKE and the case-sensitive default."""
+    s = spark.sql(
+        r"SELECT 'a_c' LIKE 'a\\_c' AS a, '10%' LIKE '10\\%' AS b,"
+        r"       'abc' LIKE 'ABC' AS c, 'abc' ILIKE 'ABC' AS d,"
+        r"       'a_c' LIKE 'a!_c' ESCAPE '!' AS e, 'axc' LIKE 'a_c' AS f"
+    ).collect()[0]
+    assert (s.a, s.b, s.c, s.d, s.e, s.f) == (
+        True, True, False, True, True, True,
+    )
+    with pytest.raises(Exception, match="ESC_IN_THE_MIDDLE"):
+        spark.sql(r"SELECT 'a\\c' LIKE 'a\\c' AS v").collect()
+    con = duckdb.connect()
+    d = con.execute(
+        r"SELECT 'a_c' LIKE 'a\_c', '10%' LIKE '10\%', 'abc' LIKE 'ABC',"
+        r"       'abc' ILIKE 'ABC', 'a_c' LIKE 'a!_c' ESCAPE '!',"
+        r"       'axc' LIKE 'a_c', 'a\c' LIKE 'a\c'"
+    ).fetchone()
+    assert d == (False, False, False, True, True, True, True)
