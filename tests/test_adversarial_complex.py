@@ -229,3 +229,30 @@ def test_struct_null_field_keys_and_empty_explode_agree(spark):
     assert spark.sql("SELECT explode(cast(NULL AS array<int>))").count() == 0
     assert con.execute("SELECT unnest([])").fetchall() == []
     assert con.execute("SELECT unnest(NULL::int[])").fetchall() == []
+
+
+def test_array_sort_null_placement(spark):
+    """NULL placement in array sorts, round-12 addition. Spark's own two
+    functions disagree with each other: array_sort() puts NULLs LAST in
+    ascending order while sort_array(..., true) puts them FIRST (and
+    both put them last descending). DuckDB's list_sort defaults to
+    NULLS LAST both directions — so array_sort <-> list_sort agree
+    as-is (pinned), while a sort_array-ascending oracle needs an
+    explicit 'NULLS FIRST' third argument in DuckDB. Same lesson as the
+    dow-numbering pin: never let a default near an oracle compare."""
+    s = spark.sql(
+        "SELECT array_sort(array(3,NULL,1)) AS a,"
+        "       sort_array(array(3,NULL,1), true) AS b,"
+        "       sort_array(array(3,NULL,1), false) AS c"
+    ).collect()[0]
+    assert s.a == [1, 3, None]      # array_sort: NULLS LAST
+    assert s.b == [None, 1, 3]      # sort_array asc: NULLS FIRST
+    assert s.c == [3, 1, None]      # sort_array desc: NULLS LAST
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT list_sort([3,NULL,1]), list_sort([3,NULL,1], 'DESC'),"
+        "       list_sort([3,NULL,1], 'ASC', 'NULLS FIRST')"
+    ).fetchone()
+    assert d[0] == [1, 3, None]     # default matches Spark array_sort
+    assert d[1] == [3, 1, None]     # matches sort_array desc
+    assert d[2] == [None, 1, 3]     # the sort_array-asc recipe

@@ -212,3 +212,30 @@ def test_year1_timestamp_python_boundary_trap(spark):
     assert duckdb.connect().execute(
         "SELECT timestamp '0001-01-01 00:00:00'"
     ).fetchone()[0] == datetime.datetime(1, 1, 1, 0, 0)
+
+
+def test_date_string_accept_set_diverges(spark):
+    """CAST(varchar AS DATE) accept-sets, round-12 addition (the date
+    twin of the q60 string->BIGINT pin): DuckDB accepts the
+    slash-separated '2024/01/05' where Spark's cast yields NULL (via
+    try_cast; plain CAST raises under ANSI) — a silent row-dropper in
+    any ingest that parses dates. The shared subset is pinned: ISO
+    dashes with or without zero-padding and with surrounding spaces
+    parse in BOTH engines, and the out-of-calendar '2024-02-30' is NULL
+    (try_) in both — neither engine rolls it over to March 1."""
+    import datetime
+
+    d5 = datetime.date(2024, 1, 5)
+    s = spark.sql(
+        "SELECT try_cast('2024-1-5' AS DATE) AS a,"
+        "       try_cast(' 2024-01-05 ' AS DATE) AS b,"
+        "       try_cast('2024/01/05' AS DATE) AS c,"
+        "       try_cast('2024-02-30' AS DATE) AS d"
+    ).collect()[0]
+    assert (s.a, s.b, s.c, s.d) == (d5, d5, None, None)
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT TRY_CAST('2024-1-5' AS DATE), TRY_CAST(' 2024-01-05 ' AS DATE),"
+        "       TRY_CAST('2024/01/05' AS DATE), TRY_CAST('2024-02-30' AS DATE)"
+    ).fetchone()
+    assert d == (d5, d5, d5, None)  # the slash format is the divergence
