@@ -59,6 +59,15 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # 14/15 exercise the divergence cross-engine for all of them and
 # test_no_oracle_uses_bare_one_arg_trim lints the recipe forever.
 #
+# Round 12 later also aligned the tokenizer class in 24 oracles (RE2
+# '\s+' -> the explicit '[ \t\n\x0b\f\r]+' = Java \s exactly, after
+# the random-unicode sweep caught vertical tab: RE2's \s has no \x0b)
+# and q92's negated '[^...\s]' class, under the same no-op policy:
+# tests/test_adversarial_corpus.py::test_fixture_has_no_vertical_tab
+# proves the driver fixture contains no VT, so these changed oracles
+# keep their vintages; the sweep + corpus gate exercise the divergence
+# and test_no_oracle_uses_regex_whitespace_class lints it forever.
+#
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose semantics changed
 # that round; backfill to 50 with the stalest remaining greens; registry

@@ -138,7 +138,7 @@ def _shingle_hash48_sql(expr: str) -> str:
     "q81_minhash_lsh_neardup",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') w FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') w FROM documents
     ),
     sh0 AS (
       SELECT DISTINCT doc_id,
@@ -266,7 +266,7 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     WITH words AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') w
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') w
       FROM documents WHERE doc_id < 100
     ),
     sh AS (
@@ -342,7 +342,7 @@ def _simhash_oracle_ctes(max_doc: int = 200) -> str:
     never drift apart."""
     return f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok
+      SELECT DISTINCT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM documents WHERE doc_id < {max_doc}
     ),
     th AS (
@@ -409,7 +409,7 @@ MAX_SHINGLE_DF = 8  # shingles in more docs than this are stopword noise
 # drift apart. The doc_id < 100 cap keeps the recursive closure feasible
 # at oracle scale; the Spark side mirrors it via _doc_shingles(max_doc).
 _COMPONENTS_CTE_SQL = f"""words AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') w
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') w
       FROM documents WHERE doc_id < 100
     ),
     sh AS (
@@ -527,7 +527,7 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_COMPONENTS_CTE_SQL},
     tokc AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
       FROM documents WHERE doc_id < 100
     ),
     full_assign AS (
@@ -663,7 +663,7 @@ SPAN_TOPK = 100
     "q105_dup_ngram_spans",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id, array_to_string(ws[t.i : t.i + {SPAN_N - 1}], ' ') AS gram
@@ -723,7 +723,7 @@ NOVELTY_N = 3
     "q117_ngram_novelty",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     g AS (
       SELECT DISTINCT doc_id,
@@ -797,7 +797,7 @@ def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q123_source_overlap",
     oracle=f"""
     WITH w AS (
-      SELECT source, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
+      SELECT source, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     g AS (
       SELECT DISTINCT source,

@@ -68,7 +68,7 @@ def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "q104_heavy_hitters",
     oracle=f"""
     WITH toks AS (
-      SELECT UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok FROM documents
+      SELECT UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents
     ),
     tot AS (SELECT COUNT(*) AS n_total FROM toks)
     SELECT tok,

@@ -207,7 +207,7 @@ def _bucketed_hash_order_rank(
     "q90_language_id",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
@@ -320,8 +320,8 @@ def q91_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT
       doc_id,
-      CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS ws_tokens,
-      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+      CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS bpe_ish_tokens,
       CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
     """,
@@ -345,7 +345,7 @@ def q92_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_fingerprint",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents
     )
     SELECT
       doc_id,
@@ -385,7 +385,7 @@ def q93_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_tfidf_top_terms",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS word
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS word
       FROM documents WHERE doc_id < 200
     ),
     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -507,7 +507,7 @@ CURATION_QUOTA = 15
       WHERE rn = 1
     ),
     toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS tok
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM documents
     ),
     hits AS (
@@ -632,7 +632,7 @@ TOPK_BIGRAMS = 50
     "q100_bigram_topk",
     oracle=f"""
     WITH words AS (
-      SELECT string_split_regex(lower(trim(text, ' ')), '\\s+') AS w FROM documents
+      SELECT string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents
     ),
     bi AS (
       SELECT UNNEST(list_transform(range(1, len(w)),
@@ -676,7 +676,7 @@ def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_repetition_signals",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id, ws,
@@ -758,7 +758,7 @@ PACK_BUDGET = 256
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
       FROM documents
     )
     SELECT doc_id, lang, n_tok,
@@ -795,7 +795,7 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_collapse_repeats",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     kept AS (
       SELECT doc_id, ws,
@@ -924,7 +924,7 @@ MIX_TOKEN_BUDGET = 20_000
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     w AS (
@@ -999,7 +999,7 @@ def q115_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
       FROM documents
     ),
     hist AS (
@@ -1318,7 +1318,7 @@ TOPK_BPE_PAIRS = 60
     "q130_bpe_pair_counts",
     oracle=f"""
     WITH words AS (
-      SELECT UNNEST(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS w FROM documents
+      SELECT UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS w FROM documents
     ),
     pairs AS (
       SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair

@@ -513,3 +513,117 @@ def test_adversarial_embeddings_cross_engine(
         adversarial_embeddings_dir,
     )
     assert r.ok, r.report()
+
+
+def test_text_recipe_agrees_on_random_unicode_sweep(spark):
+    """Randomized (seeded, deterministic) unicode sweep of THE text
+    recipe the round-12 alignment standardized: for 400 strings drawn
+    from hostile code-point ranges — ASCII, every Zs space (NBSP, em
+    space, ideographic...), C0/C1 controls (sans NUL), combining marks,
+    CJK, astral emoji, bidi controls, ZWJ — Spark's
+    md5(lower(trim(text))) / split(trim(x), '\\s+') tokenization must
+    agree cell-for-cell with the aligned DuckDB spelling
+    (trim(x, ' ') + the explicit [ \\t\\n\\x0b\\f\\r]+ class). A far denser unicode sweep
+    than the 16 hand-written corpus docs; any disagreement prints the
+    offending code points."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(12345)
+    zs_spaces = [
+        "\u00a0", "\u1680", "\u2000", "\u2001", "\u2002", "\u2003",
+        "\u2004", "\u2005", "\u2006", "\u2007", "\u2008", "\u2009",
+        "\u200a", "\u202f", "\u205f", "\u3000",
+    ]
+    pools = [
+        [chr(c) for c in range(0x20, 0x7F)],                     # ASCII
+        zs_spaces,                                               # every Zs
+        [chr(c) for c in range(0x01, 0x20)] + ["\x7f", "\x85"],  # controls
+        ["\u0301", "\u0308", "\u0e31", "\u20d7"],                # combining
+        [chr(c) for c in range(0x4E00, 0x4E40)],                 # CJK
+        ["\U0001f642", "\U0001f680", "\U0001f468", "\u200d"],   # emoji+ZWJ
+        ["\u200e", "\u200f", "\u202a", "\u202c", "\u2066"],     # bidi
+        # case edges EXCEPT U+0130 (dotted capital I): the one code
+        # point where lower() itself diverges (Spark full lowering ->
+        # i + U+0307, DuckDB one-to-one -> i), pinned with its recipe in
+        # test_adversarial_strings.py::test_lower_fold_dotted_capital_i_boundary
+        ["\u00df", "\ufb01", "\u1e9e", "\u0131"],
+    ]
+    texts = []
+    for _ in range(400):
+        n = rng.randint(0, 24)
+        texts.append(
+            "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        )
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    t = F.trim(F.col("text"))
+    got = (
+        sdf.select(
+            "i",
+            F.md5(F.lower(t)).alias("h"),
+            F.size(F.split(t, r"\s+")).cast("bigint").alias("n_tok"),
+            F.length(F.lower(t)).alias("n_chars"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("sweep", pdf)
+    want = (
+        con.execute(
+            "SELECT i, md5(lower(trim(text, ' '))) AS h,"
+            "       CAST(len(string_split_regex(trim(text, ' '),"
+            "            '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok,"
+            "       CAST(length(lower(trim(text, ' '))) AS INT) AS n_chars"
+            " FROM sweep ORDER BY i"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    for col in ("h", "n_tok", "n_chars"):
+        mism = [
+            (i, repr(texts[i]))
+            for i in range(len(texts))
+            if got[col][i] != want[col][i]
+        ]
+        assert not mism, f"{col}: {len(mism)} disagreements, first: {mism[:3]}"
+
+
+def test_no_oracle_uses_regex_whitespace_class():
+    """Dialect lint, companion to the bare-trim lint above (round 12,
+    after the unicode sweep caught vertical tab): Java's regex \\s is
+    [ \\t\\n\\x0b\\f\\r] but RE2's is [\\t\\n\\f\\r ] — no \\x0b — so a
+    DuckDB oracle spelling '\\s' tokenizes VT-bearing text differently
+    from the Spark side it checks. Every oracle must spell the class
+    explicitly (the 24 tokenizer oracles now use [ \\t\\n\\x0b\\f\\r]+,
+    exactly Java's \\s)."""
+    for name, spec in SPECS.items():
+        if spec.oracle:
+            assert "\\s" not in spec.oracle, (
+                f"{name} oracle uses the regex \\s class, whose membership "
+                "differs between RE2 (DuckDB) and Java (Spark): spell it "
+                "explicitly as [ \\t\\n\\x0b\\f\\r]"
+            )
+
+
+def test_fixture_has_no_vertical_tab(sf_dir):
+    """The round-12 \\s -> explicit-class oracle alignment differs from
+    the old RE2 \\s ONLY on \\x0b (vertical tab): no fixture document
+    contains one, so the alignment is a NO-OP at the driver SF and
+    pre-alignment driver greens remain valid attestations (the same
+    policy as the trim alignment above). The divergence itself is
+    exercised by the random-unicode sweep below, whose control-char
+    pool includes \\x0b."""
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text LIKE '%' || chr(11) || '%'"
+    ).fetchone()[0]
+    assert n == 0, f"{n} fixture docs contain vertical tab"

@@ -121,3 +121,39 @@ def test_portable_subset_agrees(spark):
         "SELECT len(string_split_regex('a1b22c', '[0-9]+'))"
     ).fetchone()[0]
     assert n_s == n_d == 3
+
+
+def test_whitespace_class_membership_diverges_on_vertical_tab(spark):
+    """Round-12 sweep find: \\s itself diverges. Java's \\s is
+    [ \\t\\n\\x0b\\f\\r]; RE2's is [\\t\\n\\f\\r ] — NO vertical tab — so
+    split-on-\\s tokenization disagrees on any VT-bearing text (Spark
+    treats 'a\\x0bb' as two tokens, DuckDB as one). This broke the
+    standardized tokenizer recipe in 24 oracles until they were aligned
+    to the explicit class [ \\t\\n\\x0b\\f\\r]+ (= Java \\s exactly),
+    which both dialects accept — asserted. NEL (\\x85) is in NEITHER
+    engine's \\s (agreement pinned)."""
+    vt_text = "a\x0bb c"
+    s = spark.createDataFrame([(vt_text,)], "t string").selectExpr(
+        r"size(split(t, '\\s+')) AS n",
+        r"size(split(t, '[ \\t\\n\\x0b\\f\\r]+')) AS m",
+    ).collect()[0]
+    assert s.n == 3  # Java \s splits on VT
+    assert s.m == 3
+    con = duckdb.connect()
+    d = con.execute(
+        r"SELECT len(string_split_regex(?, '\s+')),"
+        r"       len(string_split_regex(?, '[ \t\n\x0b\f\r]+'))",
+        [vt_text, vt_text],
+    ).fetchone()
+    assert d[0] == 2  # RE2 \s does NOT split on VT — the divergence
+    assert d[1] == 3  # the explicit class aligns
+
+    # NEL is outside both dialects' \s
+    nel_text = "a\x85b"
+    s2 = spark.createDataFrame([(nel_text,)], "t string").selectExpr(
+        r"size(split(t, '\\s+')) AS n"
+    ).collect()[0].n
+    d2 = con.execute(
+        r"SELECT len(string_split_regex(?, '\s+'))", [nel_text]
+    ).fetchone()[0]
+    assert s2 == d2 == 1

@@ -231,3 +231,50 @@ def test_like_default_escape_diverges(spark):
         r"       'axc' LIKE 'a_c', 'a\c' LIKE 'a\c'"
     ).fetchone()
     assert d == (False, False, False, True, True, True, True)
+
+
+def test_lower_fold_dotted_capital_i_boundary(spark):
+    """The one code point where lower() itself diverges (round-12 sweep
+    find — the lowercase twin of the upper() expansion pin above):
+    U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE. Spark (Java full
+    lowering) gives 'i' + U+0307 combining dot (TWO code points);
+    DuckDB (simple one-to-one) gives bare 'i'. Every other case-edge
+    char is portable under lower() — sharp-s, capital sharp-S (both
+    engines map it to ß), fi-ligature, dotless-i all agree — so
+    lower-folding is oracle-safe on ALL of unicode EXCEPT U+0130,
+    and the registered content-hash recipe md5(lower(trim(x)))
+    diverges exactly on texts containing it (shown below, loud by
+    construction). Alignment recipe if a corpus needs it: pre-expand
+    in DuckDB with replace(x, U+0130, 'i'+U+0307) before lower —
+    asserted. The random-unicode sweep in test_adversarial_corpus.py
+    excludes U+0130 from its pools and points here."""
+    I_DOT = "İ"
+    s = spark.createDataFrame([(I_DOT,)], "c string").selectExpr(
+        "lower(c) AS l"
+    ).collect()[0].l
+    assert [hex(ord(x)) for x in s] == ["0x69", "0x307"]
+    con = duckdb.connect()
+    assert con.execute("SELECT lower(?)", [I_DOT]).fetchone()[0] == "i"
+
+    # portable case edges: lower() agrees on every one of these
+    for ch in ("ß", "ẞ", "ﬁ", "ı"):
+        s_l = spark.createDataFrame([(ch,)], "c string").selectExpr(
+            "lower(c) AS l"
+        ).collect()[0].l
+        d_l = con.execute("SELECT lower(?)", [ch]).fetchone()[0]
+        assert s_l == d_l, hex(ord(ch))
+
+    # the content-hash consequence and its recipe
+    text = f"t{I_DOT}tle case"
+    s_h = spark.createDataFrame([(text,)], "text string").selectExpr(
+        "md5(lower(trim(text))) AS h"
+    ).collect()[0].h
+    d_bare = con.execute(
+        "SELECT md5(lower(trim(?, ' ')))", [text]
+    ).fetchone()[0]
+    assert s_h != d_bare  # loud, not silent
+    d_recipe = con.execute(
+        "SELECT md5(lower(trim(replace(?, ?, ?), ' ')))",
+        [text, I_DOT, "i̇"],
+    ).fetchone()[0]
+    assert s_h == d_recipe
