@@ -59,7 +59,14 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # 14/15 exercise the divergence cross-engine for all of them and
 # test_no_oracle_uses_bare_one_arg_trim lints the recipe forever.
 #
-# Round 12 later also aligned the tokenizer class in 24 oracles (RE2
+# Round 12 later also fixed a live extraction bug the new corpus row
+# exposed (doc 16): Java's bare dot excludes ALL line terminators (NEL
+# included) where RE2's excludes only \n, so q142/q143's '<p>(.*)</p>'
+# extracted '' in Spark on NEL-bearing content. Both sides now scope
+# the dot with inline (?s:...) — an IMPLEMENTATION change for q142 and
+# q143, and both already sit in this window (q143 in the changed head,
+# q142 in the stale-r9 block), so the rotation stands unchanged.
+# Round 12 also aligned the tokenizer class in 24 oracles (RE2
 # '\s+' -> the explicit '[ \t\n\x0b\f\r]+' = Java \s exactly, after
 # the random-unicode sweep caught vertical tab: RE2's \s has no \x0b)
 # and q92's negated '[^...\s]' class, under the same no-op policy:

@@ -1668,8 +1668,8 @@ _SYNTH_HTML_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
 
 _VISIBLE_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
                     regexp_replace(html,
-                      '<script[^>]*>.*?</script>', '', 'g'),
-                      '<style[^>]*>.*?</style>', '', 'g'),
+                      '<script[^>]*>(?s:.*?)</script>', '', 'g'),
+                      '<style[^>]*>(?s:.*?)</style>', '', 'g'),
                       '<[^>]*>', ' ', 'g'),
                       ' +', ' ', 'g'), ' ')"""
 
@@ -1698,8 +1698,8 @@ def _visible_text(html: Column) -> Column:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(html, "<script[^>]*>.*?</script>", ""),
-                    "<style[^>]*>.*?</style>",
+                    F.regexp_replace(html, "<script[^>]*>(?s:.*?)</script>", ""),
+                    "<style[^>]*>(?s:.*?)</style>",
                     "",
                 ),
                 "<[^>]*>",
@@ -1786,7 +1786,7 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     ),
     ex AS (
       SELECT doc_id, url,
-             regexp_extract(html, '<p>(.*)</p>', 1) AS content
+             regexp_extract(html, '<p>((?s:.*))</p>', 1) AS content
       FROM raw
     ),
     base AS (
@@ -1853,7 +1853,7 @@ def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select(
         "doc_id",
         _canonical_url(_synth_url()).alias("canonical_url"),
-        F.regexp_extract(_synth_html(), "<p>(.*)</p>", 1).alias("__content"),
+        F.regexp_extract(_synth_html(), "<p>((?s:.*))</p>", 1).alias("__content"),
     )
     norm = F.lower(F.trim(F.col("__content")))
     nw = F.size(F.split(norm, " ")).cast("bigint")

@@ -53,6 +53,11 @@ ADVERSARIAL_DOCS = [
     # INSIDE tokens unchanged on both sides.
     (14, "\u00a0nbsp padded both ends\u00a0"),
     (15, "\u2003em-space lead, ideo\u3000inner, nbsp\u00a0token trail\u2003"),
+    # Vertical tab INSIDE the text: the round-12 \s-class alignment's
+    # exercise row (Java \s splits on \x0b, RE2's does not \u2014 the 24
+    # tokenizer oracles now spell the explicit class). NEL (\x85) rides
+    # along: it is in NEITHER dialect's \s, so it stays inside a token.
+    (16, "vt\x0bseparated\x0btokens nel\x85inside end"),
 ]
 
 # Documents-only operators whose semantics must survive the corpus above.

@@ -157,3 +157,37 @@ def test_whitespace_class_membership_diverges_on_vertical_tab(spark):
         r"SELECT len(string_split_regex(?, '\s+'))", [nel_text]
     ).fetchone()[0]
     assert s2 == d2 == 1
+
+
+def test_dot_line_terminator_set_diverges(spark):
+    """Round-12 corpus find (doc 16 broke q143 before the fix): the
+    bare dot's exclusion set differs — Java excludes ALL line
+    terminators (\\n, \\r, NEL \\x85, \\u2028, \\u2029) where RE2
+    excludes only \\n — so '<p>(.*)</p>' over NEL-bearing content
+    extracts '' in Spark and the full text in DuckDB. The q142/q143
+    extraction patterns now scope their dots with inline (?s:...),
+    which BOTH dialects support and which makes the two engines
+    identical (asserted); \\n agreement for the bare dot stays pinned
+    (neither crosses it)."""
+    for ch, name in (("\x85", "NEL"), ("\r", "CR"), ("\u2028", "LS")):
+        body = f"a{ch}b"
+        s = spark.createDataFrame([(f"<p>{body}</p>",)], "h string").selectExpr(
+            "regexp_extract(h, '<p>(.*)</p>', 1) AS v"
+        ).collect()[0].v
+        assert s == "", name  # Java dot stops at every line terminator
+        d = duckdb.connect().execute(
+            "SELECT regexp_extract('<p>' || ? || '</p>', '<p>(.*)</p>', 1)", [body]
+        ).fetchone()[0]
+        assert d == ("" if ch == "\n" else body), name  # RE2: only \n excluded
+
+    # the (?s:) recipe aligns both engines on every terminator
+    for ch in ("\x85", "\r", "\n", "\u2028"):
+        body = f"a{ch}b"
+        s = spark.createDataFrame([(f"<p>{body}</p>",)], "h string").selectExpr(
+            "regexp_extract(h, '<p>((?s:.*))</p>', 1) AS v"
+        ).collect()[0].v
+        d = duckdb.connect().execute(
+            "SELECT regexp_extract('<p>' || ? || '</p>', '<p>((?s:.*))</p>', 1)",
+            [body],
+        ).fetchone()[0]
+        assert s == d == body, hex(ord(ch))
