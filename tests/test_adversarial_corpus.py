@@ -58,6 +58,11 @@ ADVERSARIAL_DOCS = [
     # tokenizer oracles now spell the explicit class). NEL (\x85) rides
     # along: it is in NEITHER dialect's \s, so it stays inside a token.
     (16, "vt\x0bseparated\x0btokens nel\x85inside end"),
+    # C0 controls inside tokens, bidi direction marks, combining
+    # diacritics on token boundaries — the surviving hostile classes the
+    # round-12 random sweep exercises at recipe level, here driven
+    # through every corpus-gate query.
+    (17, "ctl\x01mid \x1fstart end\x7f bidi\u200eltr\u200frtl e\u0301accent\u20d7"),
 ]
 
 # Documents-only operators whose semantics must survive the corpus above.
