@@ -3,14 +3,16 @@
 BASELINE.md-comparable m33 pipeline at the reference's own data scale
 (2.8 M rows / ~73 MB raw text — the exact workload behind the reference's
 50.1 s CTAS, 147.8 s Sqoop export, and 1.387 s LIMIT-100 numbers), and
-prints TWO JSON lines: first the full record {"metric":
+prints JSONL: first the full record {"metric":
 "bench_queries_total_wall", "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...} with the m33 headline keys deliberately LAST in
-the dict, then one compact headline-only record ({"metric":
-"bench_m33_headlines", ...}) so the driver's 2000-char stdout tail always
-carries the four BASELINE.md-comparable numbers in parseable form.
-Tail-parsers must select on the "metric" field, NOT on line position —
-the LAST line is the headline record, not the total-wall record.
+the dict, then compact {"metric": "bench_trend_norms", ...} records
+carrying every calibration-normalized trend wall in whole sub-kB lines,
+then one compact headline-only record ({"metric": "bench_m33_headlines",
+...}) LAST — so the driver's 2000-char stdout tail always carries the
+four BASELINE.md-comparable numbers AND every adjudication key in
+parseable form. Tail-parsers must select on the "metric" field, NOT on
+line position — the LAST line is the headline record.
 
 Timing is per-query wall time of a full execution (noop-write action that
 materializes every row without driver collection). The full-scale m33
@@ -601,6 +603,11 @@ def _bench_registry_legs_subprocess(
 # fixed) into a cached fixture and re-time the corpus ops. trend_* naming
 # keeps these out of the wall-clock total, same as the m33 trend.
 DOC_TREND_SCALE = 8
+# Chunk budget for the compact trend-norm JSONL records: small enough
+# that the driver's 2000-char stdout tail always holds every chunk PLUS
+# the final headline record as complete lines (combined budget asserted
+# by test_emit_records_tail_budget).
+TREND_NORM_CHUNK_CHARS = 850
 DOC_TREND_QUERIES = (
     "q80_exact_dedup",
     "q91_quality_score",
@@ -717,19 +724,31 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
 def _bench_q124_trend_subprocess(
     spark, sf_dir: str, timings: dict[str, float]
-) -> None:
-    """Run the q124 legs in a fresh child JVM (--q124-trend-only); fall
-    back to the in-session measurement if the child fails so the watch
-    never silently disappears from the artifact."""
+) -> bool:
+    """Run the q124 legs in a fresh child JVM (--q124-trend-only).
+
+    Returns True if the caller must run the in-session fallback INSTEAD —
+    child failed, or SPARK_GRAFT_SKIP_SUBPROCESS_LEGS=1 suppressed the
+    second JVM (round-12 ADVICE: a host set that var to avoid the
+    documented ~32 GB two-JVM peak, and the q124 child ignored it). The
+    fallback is DEFERRED to the caller rather than run here (round-12
+    ADVICE): running the legs in-session before _bench_m33 would load the
+    session heap that the BASELINE-comparable m33 headlines are about to
+    be timed in — the exact contamination the child-JVM promotion exists
+    to prevent — so main() runs it where _bench_doc_trend runs, after the
+    headline section. The watch never silently disappears either way."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS") == "1":
+        return True
     out = _run_bench_child(["--q124-trend-only"], timings, timeout=900)
     if out is None:
         print(
-            "q124 trend child failed; falling back to in-session measurement",
+            "q124 trend child failed; deferring in-session measurement "
+            "until after the m33 headline section",
             file=sys.stderr,
         )
-        _bench_q124_trend(spark, sf_dir, timings)
-        return
+        return True
     timings.update(out)
+    return False
 
 
 def _bench_q124_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -1034,8 +1053,9 @@ def main() -> None:
         measured_in_child = _bench_registry_legs_subprocess(sf_dir, timings)
     if run_trend and run_m33 and M33_SCALE == 1:
         _bench_m33_trend_subprocess(timings)
+    q124_in_session = False
     if run_trend:
-        _bench_q124_trend_subprocess(spark, sf_dir, timings)
+        q124_in_session = _bench_q124_trend_subprocess(spark, sf_dir, timings)
 
     # BASELINE.md-comparable m33 headlines first, in a quiesced JVM — these
     # are the numbers judged directly against the reference.
@@ -1086,6 +1106,12 @@ def main() -> None:
     # excluded from the wall-clock total, and may leave the heap loaded
     # (which is why the child-JVM sections already ran, first).
     if run_trend:
+        if q124_in_session:
+            # deferred q124 fallback (child suppressed or failed): runs
+            # with the other in-session trend sections, AFTER the m33
+            # headlines, keeping the 'headlines first in a quiesced JVM'
+            # discipline intact on the failure path too
+            _bench_q124_trend(spark, sf_dir, timings)
         _bench_doc_trend(spark, sf_dir, timings)
         _bench_doc_skew_trend(spark, sf_dir, timings)
     # Export x2 ratio, post-hoc: the trend child ran before the parent's
@@ -1115,17 +1141,30 @@ def main() -> None:
 
 
 def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
-    """Derive the calibration/normalized keys and render the bench's TWO
-    stdout JSON lines (pure — unit-tested in test_bench_harness.py).
+    """Derive the calibration/normalized keys and render the bench's
+    stdout JSONL records (pure — unit-tested in test_bench_harness.py).
 
-    Line 1 is the full record; line 2 the compact headline record. The
-    driver records only the LAST 2000 chars of stdout, and the full line
-    (~70+ keys) overflows that window — round 8's artifact lost the four
-    BASELINE.md-comparable m33 headlines entirely. So the full record
-    carries the headline keys LAST (dict order is insertion order), and
-    the headline record repeats them — plus the watched trend bands and
-    the host-calibration metrics — in a line short enough that a
-    tail-parse always recovers it whole."""
+    Line 1 is the full record; then one or more compact trend-norm
+    records; the compact headline record is LAST. The driver records
+    only the LAST 2000 chars of stdout, and the full line (~70+ keys)
+    overflows that window — round 8's artifact lost the four
+    BASELINE.md-comparable m33 headlines entirely, and round 12's kept
+    most per-query _norm twins only by luck of position (its first
+    retained line started mid-JSON). So every ADJUDICATION key now rides
+    in small, whole lines inside the tail window:
+
+    - the trend-norm records carry every ``trend_*_norm`` twin (keys
+      shortened by stripping the ``trend_`` prefix and ``_norm`` suffix;
+      values /cal rounded to 3 decimals), the skew-over-balanced ratios,
+      and the q124 fixed-cells ratio, chunked into lines short enough
+      that a tail-parse recovers each whole (budget asserted by
+      test_emit_records_tail_budget);
+    - the headline record repeats the m33 headlines + the watched trend
+      bands + host-calibration metrics, and stays the final line (the
+      driver parses the last line).
+
+    x-over-x1 ratios not repeated here are exactly derivable from the
+    norm twins (the calibration factor cancels: x8_norm/x1_norm)."""
     timings = dict(timings)
     cal_pair = [
         timings[k]
@@ -1234,6 +1273,8 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
         "calibration_io_x1",
         "calibration_io_factor",
     ]
+    # compact separators on the tail-window records: ~150 chars of
+    # whitespace matter against the driver's 2000-char capture
     headline = json.dumps(
         {
             "metric": "bench_m33_headlines",
@@ -1243,9 +1284,46 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
             "calibration_ref": CALIBRATION_REF_SEC,
             "total": total,
             "sf": sf_val,
-        }
+        },
+        separators=(",", ":"),
     )
-    return [full, headline]
+
+    # Compact trend-norm records: every _norm twin (shortened key), the
+    # skew-over-balanced ratios, and the q124 fixed-cells ratio — the
+    # adjudication keys NOT already inside the headline's watches —
+    # chunked into whole lines that fit the driver's tail window.
+    compact: dict[str, float] = {}
+    for k, v in timings.items():
+        if k.endswith("_norm") and k.startswith("trend_"):
+            compact[k[len("trend_") : -len("_norm")]] = round(v, 3)
+        elif k.endswith("_skew_over_balanced_ratio"):
+            compact[k[len("trend_") :]] = v
+        elif k.startswith("trend_q124_semdedup") and k.endswith("_over_x1_ratio"):
+            # the fixed-cells watch band adjudicated each round —
+            # explicit even though derivable from its norm twins
+            compact[k[len("trend_") :]] = v
+    norm_lines: list[str] = []
+    if compact:
+        chunk: dict[str, float] = {}
+        chunks: list[dict[str, float]] = [chunk]
+        for k, v in compact.items():
+            if len(json.dumps(chunk)) > TREND_NORM_CHUNK_CHARS:
+                chunk = {}
+                chunks.append(chunk)
+            chunk[k] = v
+        for i, c in enumerate(chunks):
+            norm_lines.append(
+                json.dumps(
+                    {
+                        "metric": "bench_trend_norms",
+                        "part": f"{i + 1}/{len(chunks)}",
+                        "unit": "sec/cal",
+                        "queries": c,
+                    },
+                    separators=(",", ":"),
+                )
+            )
+    return [full, *norm_lines, headline]
 
 
 if __name__ == "__main__":

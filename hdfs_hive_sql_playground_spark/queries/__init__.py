@@ -35,45 +35,34 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
-# insertion order.  This round-12 window executes the rotation round 11
-# committed to (computed by scripts/propose_window.py with the seven
-# forced-changed names below): (a) all 43 r9-vintage oracle-bearing
-# greens — the stalest rows left after the r11 rotation: the window/sort/
-# set-op refresh block (q22-q25, q30-q33 incl. both q33s), the scalar
-# tails (q40-q49 incl. both q48/q49 names, q128), the subquery family
-# (q50-q53), the embedding/ANN family (q84-q86, q89, q97, q103, q124,
-# q137), the r9 text/curation refreshes (q88, q90, q92, q93, q99, q100,
-# q138, q141, q142), q102 and q110 — then (b) seven queries whose ORACLE
-# changed this round in the trim-class alignment (bare DuckDB trim(x) ->
-# trim(x, ' ') = ASCII-space-only = Spark trim, per the boundary pinned
-# in tests/test_adversarial_strings.py): the five m33 queries (q70-q74,
-# whose shared _ORACLE_VIEW changed) plus the two flagship content-hash
-# pipelines (q80, q143).
+# insertion order.  This round-13 window executes the rotation round 12
+# committed to, computed mechanically by scripts/propose_window.py with
+# NO forced-changed names (round 13 is a freshness + normalization-
+# posture round; no query semantics changed when the window was cut):
+# (a) all 42 r10-vintage greens — the unpivot/CTE/lateral block
+# (q34-q39, q54, q57-q58), the LSH family (q81-q83, q116), the span/
+# decontam/incremental-dedup block (q105, q108-q109), events q60,
+# format round-trips (q75-q78), multimodal (q95-q96, q107), the
+# aggregation block (q01-q05, q06b, q07-q08), joins (q10-q12, q17),
+# sketches/text (q104, q113-q114), pandas UDFs (q09, q111), and
+# warehouse q101 — then (b) the 8 stalest r11 greens as backfill
+# (q18, q24_percent_rank, q48_hash, q49_map_bitwise, q59, q135, q87) —
+# then (c) q145_nfc_exact_dedup, NEW this round (the opt-in NFC
+# normalize-before-hash dedup recipe), which must claim a slot for its
+# first-ever driver check.
 #
-# The alignment touched ~36 oracles total; the other ~29 changed queries
-# do NOT claim window slots, per the round-8 no-op-alignment policy:
-# tests/test_adversarial_corpus.py::test_fixture_trim_classes_agree
-# proves bare and aligned trim agree on every fixture document (the
-# fixture is ASCII-padded), so pre-alignment driver greens remain valid
-# attestations, while the unicode-space-padded adversarial corpus docs
-# 14/15 exercise the divergence cross-engine for all of them and
-# test_no_oracle_uses_bare_one_arg_trim lints the recipe forever.
-#
-# Round 12 later also fixed a live extraction bug the new corpus row
-# exposed (doc 16): Java's bare dot excludes ALL line terminators (NEL
-# included) where RE2's excludes only \n, so q142/q143's '<p>(.*)</p>'
-# extracted '' in Spark on NEL-bearing content. Both sides now scope
-# the dot with inline (?s:...) — an IMPLEMENTATION change for q142 and
-# q143, and both already sit in this window (q143 in the changed head,
-# q142 in the stale-r9 block), so the rotation stands unchanged.
-# Round 12 also aligned the tokenizer class in 24 oracles (RE2
-# '\s+' -> the explicit '[ \t\n\x0b\f\r]+' = Java \s exactly, after
-# the random-unicode sweep caught vertical tab: RE2's \s has no \x0b)
-# and q92's negated '[^...\s]' class, under the same no-op policy:
-# tests/test_adversarial_corpus.py::test_fixture_has_no_vertical_tab
-# proves the driver fixture contains no VT, so these changed oracles
-# keep their vintages; the sweep + corpus gate exercise the divergence
-# and test_no_oracle_uses_regex_whitespace_class lints it forever.
+# NFC/NFD posture (decided round 13, pinned in docs/VERIFICATION.md):
+# the DEFAULT content-hash recipe (q80/q109/q140/q143) stays BYTE-EXACT
+# — canonically-equivalent NFC/NFD twins hash differently on BOTH
+# engines, a dedup-recall cost only — because Spark has no JVM-side NFC
+# and an always-on Arrow pandas-UDF pass over the full text column is
+# the wrong default for the flagship "text never shuffles" path.
+# Normalize-before-hash is the opt-in q145 recipe (dedup.py
+# nfc_normalize_col). ZERO oracle or implementation changes to the
+# default family, so no vintage implications (the fixture is
+# NFC-invariant anyway — asserted by tests/test_adversarial_corpus.py::
+# test_fixture_is_nfc_invariant); the NFC/NFD twin corpus docs 18/19
+# exercise both postures cross-engine through the full corpus gate.
 #
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose semantics changed
@@ -81,63 +70,61 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # (143) ~ 3x window, so the full cycle is ~3 rounds — report vintage
 # honestly, and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window no
-# query's latest driver green is older than r10; the r13 window leads
-# with the 49 r10-vintage greens (run scripts/propose_window.py for the
+# query's latest driver green is older than r11; the r14 window leads
+# with the 50 stalest r11 greens (run scripts/propose_window.py for the
 # exact list and scripts/preflight_window.py before every end-of-round
 # snapshot).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 43 r9-vintage stale greens, per propose_window.py
-    "q25_ignore_nulls_window",
-    "q33_pivot_status",
-    "q110_range_layout_scan",
-    "q22_lead_lag",
-    "q23_ntile_first_last",
-    "q30_topk_orders",
-    "q31_set_ops",
-    "q40_string_funcs",
-    "q41_split_array_cast",
-    "q42_conditional",
-    "q43_math_funcs",
-    "q44_date_funcs",
-    "q45_field_function",
-    "q50_explode_tokens",
-    "q51_scalar_subquery",
-    "q52_correlated_exists",
-    "q53_in_subquery",
-    "q46_array_map_funcs",
-    "q47_json_tuple",
-    "q32_distribute_cluster_by",
-    "q24_range_frame_window",
-    "q48_date_arithmetic",
-    "q49_string_padding",
-    "q33_set_ops_all",
-    "q128_stats_aggregates",
-    "q84_embedding_neardup_cells",
-    "q85_ann_bruteforce_topk",
-    "q86_ivf_ann_topk",
-    "q89_embedding_quantize",
-    "q97_ann_pandas_topk",
-    "q103_srp_lsh_neardup",
-    "q124_semdedup_prune",
-    "q137_kmeans_refine",
-    "q90_language_id",
-    "q92_token_count",
-    "q93_fingerprint",
-    "q88_tfidf_top_terms",
-    "q99_curation_pipeline",
-    "q100_bigram_topk",
-    "q138_weighted_sample",
-    "q141_target_affinity_select",
-    "q142_html_boilerplate_strip",
-    "q102_scd2_build",
-    # (b) oracle changed this round (trim-class alignment)
-    "q70_m33_schem_view",
-    "q71_m33_schem_agg",
-    "q72_m33_limit_fetch",
-    "q73_m33_ctas_roundtrip",
-    "q74_m33_jdbc_export_roundtrip",
-    "q80_exact_dedup",
-    "q143_crawl_front_pipeline",
+    "q17_custdist",  # r10
+    "q34_unpivot_stack",  # r10
+    "q54_cte_multi_ref",  # r10
+    "q57_script_transform",  # r10
+    "q58_posexplode_lateral",  # r10
+    "q35_hash_sample",  # r10
+    "q36_collect_agg",  # r10
+    "q37_global_sales_opportunity",  # r10
+    "q38_nth_value_window",  # r10
+    "q39_null_ordering",  # r10
+    "q81_minhash_lsh_neardup",  # r10
+    "q82_ngram_jaccard_pairs",  # r10
+    "q83_simhash",  # r10
+    "q116_canonical_per_cluster",  # r10
+    "q105_dup_ngram_spans",  # r10
+    "q108_decontaminate",  # r10
+    "q109_incremental_dedup",  # r10
+    "q60_json_extract",  # r10
+    "q75_orc_roundtrip",  # r10
+    "q76_json_roundtrip",  # r10
+    "q77_csv_roundtrip",  # r10
+    "q78_bucketed_join",  # r10
+    "q95_multimodal_features",  # r10
+    "q96_multimodal_meta_agg",  # r10
+    "q107_frame_sample",  # r10
+    "q01_pricing_summary",  # r10
+    "q02_distinct_agg",  # r10
+    "q03_rollup",  # r10
+    "q04_cube",  # r10
+    "q05_grouping_sets",  # r10
+    "q10_join_chain_revenue",  # r10
+    "q11_broadcast_dim_join",  # r10
+    "q12_region_revenue",  # r10
+    "q06b_hll_exact_check",  # r10
+    "q07_exact_percentiles",  # r10
+    "q08_salted_agg",  # r10
+    "q104_heavy_hitters",  # r10
+    "q113_collapse_repeats",  # r10
+    "q114_pii_redact",  # r10
+    "q09_pandas_udf_scalar",  # r10
+    "q111_grouped_map_demean",  # r10
+    "q101_merge_upsert",  # r10
+    "q18_top_volume_orders",  # r11
+    "q24_percent_rank_cume_dist",  # r11
+    "q48_hash_funcs",  # r11
+    "q49_map_bitwise",  # r11
+    "q59_values_inline",  # r11
+    "q135_recursive_hierarchy",  # r11
+    "q87_neardup_components",  # r11
+    "q145_nfc_exact_dedup",  # new this round (changed)
 )
 
 

@@ -80,13 +80,85 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None = None) 
     """,
     doc="Exact deduplication: group by md5 of normalized content; one row per "
     "distinct content with the canonical (min) doc_id and removable count. "
-    "Shuffles 16-byte hashes, never text — the plan that survives 100 TB.",
+    "Shuffles 16-byte hashes, never text — the plan that survives 100 TB. "
+    "BYTE-EXACT by design: canonically-equivalent NFC/NFD twins stay "
+    "distinct (recall cost only; posture pinned in docs/VERIFICATION.md, "
+    "opt-in normalize-before-hash variant = q145).",
     bench=True,
 )
 def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 NFC-normalized exact dedup (the opt-in unicode-normalization recipe)
+# ---------------------------------------------------------------------------
+#
+# POSTURE (decided round 13, pinned in docs/VERIFICATION.md "NFC/NFD"):
+# the DEFAULT content-hash recipe (q80/q109/q140/q143 above and in
+# curation2.py / text.py) is BYTE-EXACT — NFC and NFD spellings of the
+# same text hash differently on BOTH engines, consistently, so the
+# oracle can never see it; the cost is dedup recall only (a missed
+# canonically-equivalent twin stays in the corpus; nothing is corrupted).
+# Normalize-before-hash is the OPT-IN variant below, because Spark has
+# no JVM-side NFC: java.text.Normalizer.normalize takes a Form enum, so
+# SQL `reflect()` can't reach it, and an Arrow pandas-UDF pass over the
+# full text column is the only route — a real per-byte cost on the
+# flagship "text never shuffles" path, and ExtractPythonUDFs evaluates
+# Python UDFs eagerly (pulled out of CASE WHEN into their own plan
+# node), so it cannot be gated per-row on an is-ASCII fast path either.
+# A production deployment that wants NFC-by-default ships a 10-line
+# Scala UDF jar and swaps it into `nfc_normalize_col`; the plan shape
+# (normalize -> hash -> 16-byte exchange) is identical.
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """NFC-normalize a string column (Arrow-vectorized pandas UDF).
+
+    Cross-engine contract: CPython's unicodedata NFC must agree with
+    DuckDB's utf8proc ``nfc_normalize`` — pinned on the NFC/NFD twin
+    corpus docs by tests/test_adversarial_corpus.py (q145 rides the full
+    corpus gate). Null propagates as null on both sides.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pandas Series[str] -> Series[str]
+        return s.str.normalize("NFC")
+
+    return _nfc(col)
+
+
+@register(
+    "q145_nfc_exact_dedup",
+    oracle="""
+    SELECT
+      md5(lower(trim(nfc_normalize(text), ' '))) AS content_hash,
+      COUNT(*) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+      CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup with NFC normalize-before-hash: canonically-equivalent "
+    "NFC/NFD twins (e.g. precomposed vs combining-mark accents) collapse to "
+    "one group. Same 16-byte-hash single exchange as q80; adds one Arrow "
+    "pandas-UDF projection pass (the only route — Spark has no JVM NFC).",
+)
+def q145_nfc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(nfc_normalize_col(F.col("text")))))
+    return (
+        d.select("doc_id", key.alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

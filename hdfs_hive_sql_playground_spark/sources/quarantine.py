@@ -96,16 +96,22 @@ def _check_schema(schema: str) -> None:
     except Exception:
         # Not parseable by fromDDL. The reader will usually raise its own
         # error, but if it accepts a dialect fromDDL doesn't, the guard
-        # must not silently vanish — fall back to the case-insensitive
-        # substring check (cruder: can false-positive on a column NAMED
-        # like the managed one inside a longer identifier, but a refusal
-        # is recoverable while a corrupt-column collision is silent).
-        if CORRUPT_COL in schema.lower():
+        # must not silently vanish — fall back to a whole-identifier scan
+        # of the schema text (round-12 ADVICE: the earlier raw substring
+        # test refused legitimate identifiers like 'pre_corrupt_record',
+        # contradicting this docstring's own contract). Tokenizing on
+        # identifier characters keeps the check conservative for case
+        # variants and for the column appearing anywhere in the DDL,
+        # without false-positives on longer identifiers.
+        import re
+
+        idents = re.findall(r"[A-Za-z_][A-Za-z0-9_]*", schema.lower())
+        if any(tok == CORRUPT_COL for tok in idents):
             raise ValueError(
                 f"the data schema must not mention {CORRUPT_COL!r} (any "
                 "case) — the quarantine readers manage that column "
                 "themselves (schema was not fromDDL-parseable, so this is "
-                "the conservative substring check)"
+                "the conservative whole-identifier check)"
             )
         return
     if any(name.lower() == CORRUPT_COL for name in fields):

@@ -128,23 +128,27 @@ def test_map_key_semantics_diverge_and_spark_self_inconsistency(spark):
     docs/VERIFICATION.md 'Spark internal inconsistency'): on Spark 4.1.2
     the same two-row relation gives GROUP BY m -> ONE group but
     count(DISTINCT m) -> 2 — two answers to 'how many distinct maps'.
-    The version is asserted below so a future Spark upgrade that fixes
-    (or widens) the contradiction fails this pin loudly instead of
-    silently shifting semantics."""
+    The BEHAVIOR is pinned unconditionally below — an upgrade that fixes
+    (or widens) the contradiction fails those asserts loudly, on any
+    version — and the failure message carries the measured version so
+    the re-measurer knows what changed (round-12 ADVICE: the earlier
+    hard __version__ == '4.1.2' pin also broke unrelated CI on every
+    trivial patch bump, which the behavior pin does not)."""
     import pyspark
 
-    assert pyspark.__version__ == "4.1.2", (
-        f"Spark {pyspark.__version__}: re-measure the map-distinct "
-        "contradiction pinned for 4.1.2 and update docs/VERIFICATION.md"
+    _ctx = (
+        f"Spark {pyspark.__version__} (contradiction measured on 4.1.2): "
+        "re-measure the map-distinct inconsistency and update "
+        "docs/VERIFICATION.md + docs/UPSTREAM_SPARK_MAP_DISTINCT.md"
     )
     base = "SELECT map('a',1,'b',2) m UNION ALL SELECT map('b',2,'a',1) m"
     n_groups = spark.sql(
         f"SELECT count(*) FROM (SELECT m, count(*) FROM ({base}) t GROUP BY m)"
     ).collect()[0][0]
-    assert n_groups == 1  # insertion-order-normalized grouping
+    assert n_groups == 1, _ctx  # insertion-order-normalized grouping
     assert spark.sql(
         f"SELECT count(DISTINCT m) AS v FROM ({base}) t"
-    ).collect()[0].v == 2  # the internal inconsistency, pinned
+    ).collect()[0].v == 2, _ctx  # the internal inconsistency, pinned
     with pytest.raises(Exception, match="SET_OPERATION_ON_MAP_TYPE"):
         spark.sql(f"SELECT DISTINCT m FROM ({base}) t").collect()
     with pytest.raises(Exception, match="INVALID_ORDERING_TYPE"):

@@ -63,7 +63,16 @@ ADVERSARIAL_DOCS = [
     # round-12 random sweep exercises at recipe level, here driven
     # through every corpus-gate query.
     (17, "ctl\x01mid \x1fstart end\x7f bidi\u200eltr\u200frtl e\u0301accent\u20d7"),
+    # NFC/NFD canonically-equivalent twins (round 13): same text, one
+    # spelled with precomposed accents (NFC), one with combining marks
+    # (NFD). The DEFAULT content-hash recipe treats them as DISTINCT on
+    # BOTH engines (byte-exact posture, docs/VERIFICATION.md); the opt-in
+    # q145 NFC recipe merges them on BOTH engines. Both behaviors are
+    # pinned below.
+    (18, "caf\u00e9 r\u00e9sum\u00e9 twin na\u00efve \u00fcber"),  # NFC
+    (19, "cafe\u0301 re\u0301sume\u0301 twin nai\u0308ve u\u0308ber"),  # NFD
 ]
+NFC_TWIN_IDS = (18, 19)
 
 # Documents-only operators whose semantics must survive the corpus above.
 # (Operators needing other tables, fixture-scale caps, or multimodal
@@ -109,6 +118,7 @@ ADVERSARIAL_QUERIES = (
     "q141_target_affinity_select",
     "q142_html_boilerplate_strip",
     "q143_crawl_front_pipeline",
+    "q145_nfc_exact_dedup",
 )
 
 
@@ -709,3 +719,181 @@ def test_url_canonicalization_agrees_on_hostile_urls(spark):
     # host lowercased, PATH %-escapes preserved verbatim (never decoded)
     assert got[3] == "https://example.com/%7Euser/file%2Fname?id=%2F"
     assert got[14] == "https://?id=5"                          # total on failure
+
+
+# ---------------------------------------------------------------------------
+# NFC/NFD posture (round 13): the content-hash dedup recipe is BYTE-EXACT
+# by default (q80/q109/q140/q143 — canonically-equivalent twins hash
+# differently on BOTH engines, a recall cost only), with NFC
+# normalize-before-hash as the opt-in q145 recipe. Decision + measured
+# twin-miss pinned here and in docs/VERIFICATION.md "NFC/NFD posture".
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_twin_docs_are_canonically_equivalent():
+    """Pin the twin construction itself: docs 18/19 are byte-distinct but
+    canonically equal (doc 18 is pure NFC, doc 19 pure NFD)."""
+    import unicodedata
+
+    texts = dict(ADVERSARIAL_DOCS)
+    nfc, nfd = texts[18], texts[19]
+    assert nfc != nfd
+    assert unicodedata.normalize("NFC", nfd) == nfc
+    assert unicodedata.normalize("NFC", nfc) == nfc
+    assert unicodedata.normalize("NFD", nfc) == nfd
+
+
+def test_default_content_hash_misses_nfc_twins_on_both_engines(
+    spark, adversarial_dir
+):
+    """The MEASURED twin-miss of the byte-exact default: q80 assigns the
+    NFC/NFD twins (docs 18/19) two DISTINCT hashes — on Spark and DuckDB
+    alike (consistent, so invisible to the oracle gate; the recall cost
+    is exactly one corpus row per canonically-equivalent twin pair)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    d = load(spark, adversarial_dir, "documents")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in d.filter(F.col("doc_id").isin(list(NFC_TWIN_IDS)))
+        .select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+        .collect()
+    }
+    assert got[18] != got[19], "byte-exact recipe unexpectedly merged the twins"
+    want = dict(
+        duckdb.connect().execute(
+            "SELECT doc_id, md5(lower(trim(text, ' '))) FROM "
+            f"read_parquet('{adversarial_dir}/documents.parquet') "
+            f"WHERE doc_id IN {NFC_TWIN_IDS}"
+        ).fetchall()
+    )
+    assert want[18] != want[19]
+    assert got == want, "engines disagree on the default recipe's hashes"
+
+
+def test_nfc_recipe_merges_twins_on_both_engines(spark, adversarial_dir):
+    """The opt-in q145 recipe merges the twins into ONE group with the NFC
+    spelling's doc as canonical — and DuckDB's nfc_normalize produces the
+    byte-identical merged hash (CPython unicodedata vs utf8proc)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["canonical_doc"]: r
+        for r in SPECS["q145_nfc_exact_dedup"]
+        .fn(spark, adversarial_dir)
+        .filter(F.col("canonical_doc").isin(list(NFC_TWIN_IDS)))
+        .collect()
+    }
+    assert list(rows) == [18], f"expected one merged group, got {rows}"
+    assert rows[18]["n_docs"] == 2 and rows[18]["n_removable"] == 1
+    want_hash, want_n = duckdb.connect().execute(
+        "WITH k AS (SELECT doc_id, md5(lower(trim(nfc_normalize(text), ' '))) AS h "
+        f"FROM read_parquet('{adversarial_dir}/documents.parquet')) "
+        "SELECT h, COUNT(*) FROM k "
+        "WHERE h = (SELECT h FROM k WHERE doc_id = 18) GROUP BY 1"
+    ).fetchone()
+    assert rows[18]["content_hash"] == want_hash
+    assert want_n == 2
+
+
+def test_fixture_is_nfc_invariant(sf_dir):
+    """NFC is a byte-level no-op on every driver fixture document: the
+    posture decision (and the q145 variant) is therefore invisible to all
+    pre-r13 driver greens — the same no-op-alignment attestation pattern
+    as the trim/tokenizer rounds. Also proves q145 == q80 key-for-key on
+    the fixture."""
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL AND text <> nfc_normalize(text)"
+    ).fetchone()[0]
+    assert n == 0, f"{n} fixture docs are not NFC-invariant"
+
+
+def test_idn_case_folding_agrees_cross_engine(spark):
+    """IDN/punycode case-folding sweep (round 13 — the frontier the
+    round-12 hostile-URL sweep left out): hostnames with non-ASCII labels
+    exercise the canonicalizer's lower() step and, through it, the dedup
+    hash. The hard cases are one-to-many and locale-sensitive foldings:
+    dotted capital I (U+0130), capital sharp S (U+1E9E -> U+00DF),
+    final-position Greek sigma (U+03A3 -> U+03C2 final / U+03C3 medial in
+    language-aware folds), Cyrillic, fullwidth ASCII, and an uppercase
+    'XN--' punycode prefix (lowered to 'xn--' but never decoded).
+    Contract: Spark lower() and DuckDB lower() agree BYTE-FOR-BYTE on
+    every label EXCEPT the one already-pinned divergence — U+0130, where
+    Spark's Java full lowering gives 'i'+U+0307 and DuckDB's utf8proc
+    simple mapping gives bare 'i' (test_adversarial_strings.py::
+    test_lower_fold_dotted_capital_i_boundary, round 12). This sweep
+    confirms the divergence REACHES the canonical-URL form (a Turkish
+    İ-bearing hostname is a split-duplicate across engines) and asserts
+    the pinned realignment recipe — DuckDB replace(x, U+0130,
+    'i'+U+0307) before lower — restores byte agreement in the IDN
+    context too. Everything else must agree cell-for-cell."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        _CANONICAL_URL_SQL,
+        _canonical_url,
+    )
+
+    hosts = [
+        "BÜCHER.example",          # U+00DC -> U+00FC (1:1)
+        "STRAẞE.example",     # capital sharp s U+1E9E
+        "DİYANET.example.tr", # dotted capital I U+0130 (1:2 fold)
+        "ΣΟΦΟΣ.example",  # sigma incl. final position
+        "МОСКВА.example",          # Cyrillic uppercase
+        "ＥＸＡＭＰＬＥ.example",  # fullwidth ASCII (not folded to ASCII)
+        "XN--BCHER-KVA.example",   # uppercase punycode prefix
+        "CAFÉ.example",            # precomposed NFC uppercase
+        "CAFÉ.example",      # decomposed NFD uppercase twin
+    ]
+    urls = [f"https://{h}/p?id=1" for h in hosts]
+    pdf = pd.DataFrame({"i": range(len(urls)), "url": urls})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", _canonical_url(F.col("url")).alias("c"))
+        .toPandas()
+        .sort_values("i")["c"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("idn_urls", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_CANONICAL_URL_SQL} AS c FROM idn_urls ORDER BY i"
+        ).fetchall()
+    ]
+    I_DOT_ROW = 2  # the DİYANET host — the pinned U+0130 divergence
+    mism = [
+        (urls[i], got[i], want[i])
+        for i in range(len(urls))
+        if got[i] != want[i] and i != I_DOT_ROW
+    ]
+    assert not mism, f"{len(mism)} IDN case-fold disagreements, first: {mism[:2]}"
+    # Pin the semantics so they can't drift:
+    assert got[0] == "https://bücher.example/p?id=1"
+    assert got[6] == "https://xn--bcher-kva.example/p?id=1"  # lowered, not decoded
+    # The U+0130 divergence reaches the canonical form: Spark keeps the
+    # combining dot, DuckDB drops it — a split-duplicate across engines.
+    assert got[I_DOT_ROW] == "https://di̇yanet.example.tr/p?id=1"
+    assert want[I_DOT_ROW] == "https://diyanet.example.tr/p?id=1"
+    # ... and the pinned realignment recipe (DuckDB pre-expand U+0130 ->
+    # 'i'+U+0307 before lower) restores byte agreement in the IDN context:
+    realigned = con.execute(
+        f"SELECT {_CANONICAL_URL_SQL} "
+        "FROM (SELECT replace(url, 'İ', 'i̇') AS url FROM idn_urls WHERE i = 2)"
+    ).fetchone()[0]
+    assert realigned == got[I_DOT_ROW]
+    # The NFC/NFD uppercase twins stay BYTE-DISTINCT after lower() in both
+    # engines (lower() never normalizes) — same recall posture as q80.
+    assert got[7] != got[8]

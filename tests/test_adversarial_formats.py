@@ -859,9 +859,13 @@ def test_quarantine_schema_guard_survives_unparseable_ddl(spark, tmp_path):
     """If fromDDL cannot parse the schema string, the guard must not
     silently vanish (round-11 ADVICE): a reader dialect fromDDL rejects
     could still accept the string, so an unparseable schema mentioning
-    the managed column falls back to the conservative substring refusal,
-    while an unparseable schema NOT mentioning it still flows through to
-    the reader's own error."""
+    the managed column falls back to a conservative whole-identifier
+    refusal, while an unparseable schema NOT mentioning it still flows
+    through to the reader's own error. The fallback compares whole
+    identifiers, not substrings (round-12 ADVICE): an unparseable schema
+    carrying a legitimate 'pre_corrupt_record' column must NOT be
+    refused by the guard — the docstring contract that such columns pass
+    holds on the fallback path too."""
     from hdfs_hive_sql_playground_spark.sources.quarantine import (
         read_csv_quarantined,
     )
@@ -869,11 +873,22 @@ def test_quarantine_schema_guard_survives_unparseable_ddl(spark, tmp_path):
     p = tmp_path / "guard2.csv"
     p.write_text("1|x\n")
     # unparseable by fromDDL (trailing comma) AND mentions the managed
-    # column -> the fallback substring guard refuses it loudly
+    # column -> the fallback whole-identifier guard refuses it loudly
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_csv_quarantined(
             spark, str(p), "id int, _corrupt_record string,", sep="|"
         )
+    # unparseable, mentions only a LONGER identifier containing the
+    # managed name -> the guard must let it through to the reader's own
+    # parse error, not refuse it (whole-identifier, not substring)
+    with pytest.raises(Exception) as exc_info:
+        clean, _quar = read_csv_quarantined(
+            spark, str(p), "id int, pre_corrupt_record string,", sep="|"
+        )
+        clean.collect()
+    assert not isinstance(exc_info.value, ValueError) or "_corrupt_record" not in str(
+        exc_info.value
+    ), "guard false-positived on pre_corrupt_record in unparseable DDL"
     # unparseable, no mention -> reaches the reader, which raises its own
     # parse error (the guard stays out of the way)
     with pytest.raises(Exception, match="(?i)parse|syntax|schema"):

@@ -102,31 +102,54 @@ def test_q124_trend_subprocess_merges_child_dict(monkeypatch):
     }
     monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: dict(child))
     timings = {}
-    bench._bench_q124_trend_subprocess(object(), "/sf", timings)
+    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is False
     assert timings == child
 
 
-def test_q124_trend_subprocess_falls_back_in_session(monkeypatch, capsys):
-    """A dead child must not silently drop the q124 watch — the caller
-    re-measures in-session (the pre-round-12 protocol) instead."""
+def test_q124_trend_subprocess_defers_fallback_on_dead_child(monkeypatch, capsys):
+    """A dead child must not silently drop the q124 watch — but the
+    in-session re-measure is DEFERRED to main()'s post-headline trend
+    slot (round-12 ADVICE: running it here, before _bench_m33, would
+    load the heap the BASELINE-comparable headlines are timed in). The
+    function only signals; it never runs the legs itself."""
     monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: None)
-    called = {}
     monkeypatch.setattr(
         bench,
         "_bench_q124_trend",
-        lambda spark, sf_dir, t: called.setdefault("args", (spark, sf_dir)),
+        lambda spark, sf_dir, t: (_ for _ in ()).throw(
+            AssertionError("fallback must be deferred to the caller")
+        ),
     )
-    sentinel = object()
-    bench._bench_q124_trend_subprocess(sentinel, "/sf", {})
-    assert called["args"] == (sentinel, "/sf")
-    assert "falling back" in capsys.readouterr().err
+    timings = {}
+    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is True
+    assert timings == {}
+    assert "deferring" in capsys.readouterr().err
+
+
+def test_q124_trend_subprocess_honors_skip_subprocess_legs(monkeypatch):
+    """SPARK_GRAFT_SKIP_SUBPROCESS_LEGS=1 exists to cap the run at ONE
+    JVM (the documented ~32 GB two-JVM peak); the q124 child must honor
+    it (round-12 ADVICE) by signaling the deferred in-session path
+    without spawning anything."""
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS", "1")
+    monkeypatch.setattr(
+        bench,
+        "_run_bench_child",
+        lambda argv, t, timeout: (_ for _ in ()).throw(
+            AssertionError("no child may be spawned under SKIP_SUBPROCESS_LEGS")
+        ),
+    )
+    timings = {}
+    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is True
+    assert timings == {}
 
 
 def test_emit_records_two_lines_headlines_last_and_watches():
-    """The stdout contract: TWO JSON lines; the full record keys the m33
-    headlines LAST; the compact headline record carries the headlines,
-    the watched trend bands, and the calibration metrics — so the
-    driver's 2000-char tail always recovers them whole."""
+    """The stdout contract: full record FIRST, compact headline record
+    LAST (with any trend-norm records between); the full record keys the
+    m33 headlines LAST; the compact headline record carries the
+    headlines, the watched trend bands, and the calibration metrics — so
+    the driver's 2000-char tail always recovers them whole."""
     timings = {
         "calibration_x1_first": 0.50,
         "q01_pricing_summary": 1.0,
@@ -144,7 +167,10 @@ def test_emit_records_two_lines_headlines_last_and_watches():
         "trend_m33_export_x2_scan_control": 0.8,
         "trend_export_x2_over_x1_ratio": 2.2,
     }
-    full, headline = (json.loads(s) for s in bench._emit_records(timings, "0.1"))
+    lines = bench._emit_records(timings, "0.1")
+    full, headline = json.loads(lines[0]), json.loads(lines[-1])
+    for mid in lines[1:-1]:
+        assert json.loads(mid)["metric"] == "bench_trend_norms"
     assert full["metric"] == "bench_queries_total_wall"
     # headlines are the last four keys of the full record's queries dict
     assert list(full["queries"])[-4:] == [
@@ -219,7 +245,7 @@ def test_emit_records_tail_priority_ordering():
         "calibration_x1_first": 0.43,
         "calibration_x1_last": 0.43,
     }
-    full, _ = (json.loads(s) for s in bench._emit_records(timings, "0.1"))
+    full = json.loads(bench._emit_records(timings, "0.1")[0])
     keys = list(full["queries"])
     order = {k: i for i, k in enumerate(keys)}
     assert order["q01_pricing_summary"] < order["trend_m33_ctas_x10"]
@@ -227,3 +253,72 @@ def test_emit_records_tail_priority_ordering():
     assert order["calibration_x1"] < order["trend_m33_ctas_x10_norm"]
     assert order["trend_m33_ctas_x10_norm"] < order["trend_ctas_x10_over_x1_ratio"]
     assert keys[-1] == "m33_ctas_2800k"
+
+
+def test_emit_records_tail_budget():
+    """Round-13 artifact-durability contract (VERDICT r12 'What's missing'
+    #3): EVERY adjudication key — all _norm twins, the skew-over-balanced
+    ratios, the q124 fixed-cells ratio, the watches, the headlines — must
+    ride in complete JSONL lines that together fit the driver's 2000-char
+    stdout tail. Built with the FULL current trend inventory (every
+    doc-trend query x1/x8, skew legs, m33 legs, q124 legs) so adding a
+    trend query that overflows the budget fails HERE, not in the round's
+    clipped artifact."""
+    timings = {
+        "calibration_x1_first": 0.46,
+        "calibration_x1_last": 0.47,
+        "calibration_io_x1_first": 0.55,
+        "calibration_io_x1_last": 0.56,
+        "q01_pricing_summary": 1.0,
+        "m33_ctas_2800k": 3.333,
+        "m33_jdbc_export_2800k": 37.056,
+        "m33_limit100_raw_view": 1.089,
+        "m33_limit100_warehouse": 0.047,
+        "m33_rows_x1": 2800000.0,
+        "trend_m33_ctas_x1": 4.2294,
+        f"trend_m33_ctas_x{bench.CTAS_TREND_SCALE}": 12.8585,
+        f"trend_ctas_x{bench.CTAS_TREND_SCALE}_over_x1_ratio": 3.04,
+        f"trend_ctas_x{bench.CTAS_TREND_SCALE}_redraws": 0,
+        f"trend_m33_export_x{bench.EXPORT_TREND_SCALE}": 82.5684,
+        f"trend_m33_export_x{bench.EXPORT_TREND_SCALE}_scan_control": 0.5696,
+        f"trend_export_x{bench.EXPORT_TREND_SCALE}_over_x1_ratio": 2.228,
+        "trend_q124_semdedup_prune_x1": 2.1234,
+        f"trend_q124_semdedup_prune_x{bench.DOC_TREND_SCALE}": 8.5678,
+        f"trend_q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio": 4.035,
+        f"trend_q124_cells_scaled_x{bench.DOC_TREND_SCALE}": 4.2501,
+        f"trend_q124_cells_scaled_x{bench.DOC_TREND_SCALE}_over_x1_ratio": 2.002,
+    }
+    for name in bench.DOC_TREND_QUERIES:
+        timings[f"trend_{name}_x1"] = 1.2345
+        timings[f"trend_{name}_x{bench.DOC_TREND_SCALE}"] = 12.3456
+        timings[f"trend_{name}_x{bench.DOC_TREND_SCALE}_over_x1_ratio"] = 10.001
+    for name in bench.SKEW_TREND_QUERIES:
+        timings[f"trend_{name}_x{bench.DOC_TREND_SCALE}_skew"] = 12.3456
+        timings[f"trend_{name}_skew_over_balanced_ratio"] = 1.012
+    lines = bench._emit_records(timings, "0.1")
+    norm_lines, headline_line = lines[1:-1], lines[-1]
+    assert norm_lines, "full inventory must produce trend-norm records"
+    # every _norm twin appears, shortened, in exactly one norm record
+    merged: dict[str, float] = {}
+    for s in norm_lines:
+        rec = json.loads(s)
+        assert rec["metric"] == "bench_trend_norms"
+        assert len(s) <= bench.TREND_NORM_CHUNK_CHARS + 120  # one key overshoot max
+        merged.update(rec["queries"])
+    full = json.loads(lines[0])
+    norm_twins = [k for k in full["queries"] if k.endswith("_norm")]
+    assert norm_twins
+    for k in norm_twins:
+        short = k[len("trend_") : -len("_norm")]
+        assert short in merged, f"norm twin {k} missing from compact records"
+        assert merged[short] == round(full["queries"][k], 3)
+    # the watches that are NOT in the headline record ride here
+    for name in bench.SKEW_TREND_QUERIES:
+        assert f"{name}_skew_over_balanced_ratio" in merged
+    assert (
+        f"q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio" in merged
+    )
+    # the combined tail (all norm records + headline, newline-joined) must
+    # fit the driver's 2000-char capture with headroom for line breaks
+    tail = "\n".join([*norm_lines, headline_line])
+    assert len(tail) < 1900, f"tail budget exceeded: {len(tail)} chars"
