@@ -464,8 +464,16 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
     _drop_derby_memory(spark, "m33trend")
 
 
-def _bench_m33_trend_subprocess(timings: dict[str, float]) -> None:
+def _bench_m33_trend_subprocess(timings: dict[str, float]) -> bool:
     """Run the m33 trend legs in a FRESH subprocess JVM.
+
+    Returns True if the caller must run the in-session legs INSTEAD —
+    child failed, or SPARK_GRAFT_SKIP_SUBPROCESS_LEGS=1 capped the run
+    at one JVM (round 13: this child is the LARGEST of the three, 1800 s
+    timeout, so the one-JVM cap is meaningless unless it covers it).
+    Deferred to the caller for the same reason as the q124 child: the
+    in-session legs load the heap the m33 headlines are about to be
+    timed in, so main() runs them after the headline section.
 
     Round 6's trend_m33_ctas_x10 tripled (9.3 s -> 28.0 s) with zero plan
     change: the leg ran LAST in a session whose history (the full benched
@@ -478,20 +486,20 @@ def _bench_m33_trend_subprocess(timings: dict[str, float]) -> None:
     JVM. The export base (x1 headline, target-bound Derby) is passed down
     for the x2 ratio; the CTAS base is re-measured inside the subprocess
     (warm-to-warm, one environment)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS") == "1":
+        return True
     out = _run_bench_child(["--m33-trend-only"], timings, timeout=1800)
     if out is None:
         # Degrade honestly: report the legs from this session rather than
         # dropping them, and say so on stderr.
         print(
-            "m33 trend subprocess failed; falling back to in-session "
-            "measurement",
+            "m33 trend subprocess failed; deferring in-session measurement "
+            "until after the m33 headline section",
             file=sys.stderr,
         )
-        from hdfs_hive_sql_playground_spark.session import get_spark
-
-        _bench_m33_trend(get_spark(app_name="bench"), timings)
-        return
+        return True
     timings.update(out)
+    return False
 
 
 def _run_bench_child(
@@ -1051,8 +1059,9 @@ def main() -> None:
     measured_in_child: set[str] = set()
     if os.environ.get("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS") != "1":
         measured_in_child = _bench_registry_legs_subprocess(sf_dir, timings)
+    m33_trend_in_session = False
     if run_trend and run_m33 and M33_SCALE == 1:
-        _bench_m33_trend_subprocess(timings)
+        m33_trend_in_session = _bench_m33_trend_subprocess(timings)
     q124_in_session = False
     if run_trend:
         q124_in_session = _bench_q124_trend_subprocess(spark, sf_dir, timings)
@@ -1106,11 +1115,14 @@ def main() -> None:
     # excluded from the wall-clock total, and may leave the heap loaded
     # (which is why the child-JVM sections already ran, first).
     if run_trend:
+        # deferred child-JVM fallbacks (child suppressed by
+        # SPARK_GRAFT_SKIP_SUBPROCESS_LEGS=1, or failed): run with the
+        # other in-session trend sections, AFTER the m33 headlines,
+        # keeping the 'headlines first in a quiesced JVM' discipline
+        # intact on the one-JVM and failure paths too
+        if m33_trend_in_session and run_m33 and M33_SCALE == 1:
+            _bench_m33_trend(spark, timings)
         if q124_in_session:
-            # deferred q124 fallback (child suppressed or failed): runs
-            # with the other in-session trend sections, AFTER the m33
-            # headlines, keeping the 'headlines first in a quiesced JVM'
-            # discipline intact on the failure path too
             _bench_q124_trend(spark, sf_dir, timings)
         _bench_doc_trend(spark, sf_dir, timings)
         _bench_doc_skew_trend(spark, sf_dir, timings)

@@ -297,6 +297,19 @@ def adversarial_events_dir(spark, tmp_path_factory):
         (20, ts(hours=4, minutes=6), 5, "click", 7.0, '{"k": "\\n42\\n"}'),
         (21, ts(hours=4, minutes=7), 5, "view", 8.0, '{"k": "7\\u000b"}'),
         (22, ts(hours=4, minutes=8), 5, "buy", 9.0, '{"k": "3\\u00a0"}'),
+        # JSON parser-leniency classes (round 13, measured in
+        # test_adversarial_json.py) — only the q60-ALIGNED ones ride
+        # here: NaN is DuckDB-lenient (yyjson extracts 'NaN', json_valid
+        # TRUE; Spark's Jackson rejects the doc to NULL) but q60's
+        # integral-regexp gate rejects 'NaN' on the oracle side, so k is
+        # NULL on both; an unquoted key is a SYMMETRIC rejection (Spark
+        # NULL, DuckDB json_valid false). The ASYMMETRIC classes —
+        # single-quoted JSON (Spark-lenient) and trailing commas
+        # (DuckDB-lenient past the json_valid guard) — can NOT ride any
+        # shared oracle and are pinned as divergences with the
+        # portable-strict guard recipe in test_adversarial_json.py.
+        (23, ts(hours=4, minutes=9), 5, "view", 1.0, '{"k": NaN}'),
+        (24, ts(hours=4, minutes=10), 5, "buy", 2.0, "{k: 5}"),
     ]
     d = str(tmp_path_factory.mktemp("adversarial_events"))
     staging = os.path.join(d, "_staging")

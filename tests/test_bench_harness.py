@@ -144,6 +144,36 @@ def test_q124_trend_subprocess_honors_skip_subprocess_legs(monkeypatch):
     assert timings == {}
 
 
+def test_m33_trend_subprocess_defers_like_q124(monkeypatch, capsys):
+    """The m33 trend child follows the same round-13 contract as q124:
+    SKIP_SUBPROCESS_LEGS=1 suppresses the spawn entirely (it is the
+    LARGEST child, so the one-JVM cap must cover it), and a dead child
+    signals the deferred in-session path instead of running the legs
+    pre-headline."""
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS", "1")
+    monkeypatch.setattr(
+        bench,
+        "_run_bench_child",
+        lambda argv, t, timeout: (_ for _ in ()).throw(
+            AssertionError("no child may be spawned under SKIP_SUBPROCESS_LEGS")
+        ),
+    )
+    assert bench._bench_m33_trend_subprocess({}) is True
+
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS")
+    monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: None)
+    assert bench._bench_m33_trend_subprocess({}) is True
+    assert "deferring" in capsys.readouterr().err
+
+    child = {"trend_m33_ctas_x1": 3.2}
+    monkeypatch.setattr(
+        bench, "_run_bench_child", lambda argv, t, timeout: dict(child)
+    )
+    timings = {}
+    assert bench._bench_m33_trend_subprocess(timings) is False
+    assert timings == child
+
+
 def test_emit_records_two_lines_headlines_last_and_watches():
     """The stdout contract: full record FIRST, compact headline record
     LAST (with any trend-norm records between); the full record keys the
