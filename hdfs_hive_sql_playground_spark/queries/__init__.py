@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # format round-trips (q75-q78), multimodal (q95-q96, q107), the
 # aggregation block (q01-q05, q06b, q07-q08), joins (q10-q12, q17),
 # sketches/text (q104, q113-q114), pandas UDFs (q09, q111), and
-# warehouse q101 — then (b) the 8 stalest r11 greens as backfill
+# warehouse q101 — then (b) the 7 stalest r11 greens as backfill
 # (q18, q24_percent_rank, q48_hash, q49_map_bitwise, q59, q135, q87) —
 # then (c) q145_nfc_exact_dedup, NEW this round (the opt-in NFC
 # normalize-before-hash dedup recipe), which must claim a slot for its
@@ -67,7 +67,7 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose semantics changed
 # that round; backfill to 50 with the stalest remaining greens; registry
-# (143) ~ 3x window, so the full cycle is ~3 rounds — report vintage
+# (144) ~ 3x window, so the full cycle is ~3 rounds — report vintage
 # honestly, and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window no
 # query's latest driver green is older than r11; the r14 window leads
