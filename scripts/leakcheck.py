@@ -22,12 +22,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Public/synthetic hosts that are expected to appear in docs/comments:
-# RFC 2606 example.* (any subdomain, any case — test fixtures use
-# HOST.Example.COM etc.), localhost, bare placeholder hosts, and the
+# RFC 2606 example.* and the reserved bare `.example` TLD (any
+# subdomain, any case — test fixtures use HOST.Example.COM etc.), with
+# an optional userinfo@ prefix (the hostile-URL sweep's credentialed
+# fixtures), unicode-label hosts (the IDN case-fold sweep: the host run
+# breaks at the first non-ASCII char, so whitelist an ASCII prefix
+# followed by one), localhost, bare placeholder hosts, and the
 # Apache/public-doc sites cited for provenance.
 PUBLIC_URL = re.compile(
     r"https?://(?!("
+    r"([a-z0-9:._-]+@)?("
     r"([a-z0-9-]+\.)*example\.(com|org|net)\b|"
+    r"([a-z0-9-]+\.)+example(?![a-z0-9.-]))|"
+    r"[a-z0-9-]*(?=[^\x00-\x7f])|"
     r"localhost\b|127\.0\.0\.1|host\b|"
     r"([a-z0-9-]+\.)*apache\.org\b|"
     r"github\.com|raw\.githubusercontent\.com|arxiv\.org|doi\.org|"

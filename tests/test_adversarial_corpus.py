@@ -861,7 +861,7 @@ def test_idn_case_folding_agrees_cross_engine(spark):
     hosts = [
         "BÜCHER.example",          # U+00DC -> U+00FC (1:1)
         "STRAẞE.example",     # capital sharp s U+1E9E
-        "DİYANET.example.tr", # dotted capital I U+0130 (1:2 fold)
+        "DİYANET.example", # dotted capital I U+0130 (1:2 fold)
         "ΣΟΦΟΣ.example",  # sigma incl. final position
         "МОСКВА.example",          # Cyrillic uppercase
         "ＥＸＡＭＰＬＥ.example",  # fullwidth ASCII (not folded to ASCII)
@@ -898,8 +898,8 @@ def test_idn_case_folding_agrees_cross_engine(spark):
     assert got[6] == "https://xn--bcher-kva.example/p?id=1"  # lowered, not decoded
     # The U+0130 divergence reaches the canonical form: Spark keeps the
     # combining dot, DuckDB drops it — a split-duplicate across engines.
-    assert got[I_DOT_ROW] == "https://di̇yanet.example.tr/p?id=1"
-    assert want[I_DOT_ROW] == "https://diyanet.example.tr/p?id=1"
+    assert got[I_DOT_ROW] == "https://di̇yanet.example/p?id=1"
+    assert want[I_DOT_ROW] == "https://diyanet.example/p?id=1"
     # ... and the pinned realignment recipe (DuckDB pre-expand U+0130 ->
     # 'i'+U+0307 before lower) restores byte agreement in the IDN context:
     realigned = con.execute(
