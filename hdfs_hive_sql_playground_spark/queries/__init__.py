@@ -37,19 +37,20 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  This round-13 window executes the rotation round 12
 # committed to, computed mechanically by scripts/propose_window.py with
-# NO forced-changed names (round 13 is a freshness + normalization-
-# posture round; no query semantics changed when the window was cut):
+# the round's two NEW queries as the only forced names (no EXISTING
+# query's semantics changed):
 # (a) all 42 r10-vintage greens — the unpivot/CTE/lateral block
 # (q34-q39, q54, q57-q58), the LSH family (q81-q83, q116), the span/
 # decontam/incremental-dedup block (q105, q108-q109), events q60,
 # format round-trips (q75-q78), multimodal (q95-q96, q107), the
 # aggregation block (q01-q05, q06b, q07-q08), joins (q10-q12, q17),
 # sketches/text (q104, q113-q114), pandas UDFs (q09, q111), and
-# warehouse q101 — then (b) the 7 stalest r11 greens as backfill
-# (q18, q24_percent_rank, q48_hash, q49_map_bitwise, q59, q135, q87) —
-# then (c) q145_nfc_exact_dedup, NEW this round (the opt-in NFC
-# normalize-before-hash dedup recipe), which must claim a slot for its
-# first-ever driver check.
+# warehouse q101 — then (b) the 6 stalest r11 greens as backfill
+# (q18, q24_percent_rank, q48_hash, q49_map_bitwise, q59, q135) — then
+# (c) the two NEW queries, which must claim slots for their first-ever
+# driver checks: q145_nfc_exact_dedup (the opt-in NFC
+# normalize-before-hash dedup recipe) and q146_width_fold_dedup (the
+# fullwidth/NBSP confusable-fold dedup key).
 #
 # NFC/NFD posture (decided round 13, pinned in docs/VERIFICATION.md):
 # the DEFAULT content-hash recipe (q80/q109/q140/q143) stays BYTE-EXACT
@@ -67,7 +68,7 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Rotation discipline (standing): lead each round with the queries whose
 # last driver row is oldest, plus every query whose semantics changed
 # that round; backfill to 50 with the stalest remaining greens; registry
-# (144) ~ 3x window, so the full cycle is ~3 rounds — report vintage
+# (145) ~ 3x window, so the full cycle is ~3 rounds — report vintage
 # honestly, and keep the local oracle gate (ALL queries, every round,
 # tests/test_queries_oracle.py) green regardless.  After this window no
 # query's latest driver green is older than r11; the r14 window leads
@@ -123,8 +124,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q49_map_bitwise",  # r11
     "q59_values_inline",  # r11
     "q135_recursive_hierarchy",  # r11
-    "q87_neardup_components",  # r11
     "q145_nfc_exact_dedup",  # new this round (changed)
+    "q146_width_fold_dedup",  # new this round (changed)
 )
 
 

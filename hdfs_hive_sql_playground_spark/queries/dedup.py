@@ -169,6 +169,57 @@ def q145_nfc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q146 width-fold dedup (confusable-width spam/evasion resistance)
+# ---------------------------------------------------------------------------
+#
+# Fullwidth ASCII (Ｈｅｌｌｏ, U+FF01-FF5E), ideographic space (U+3000)
+# and NBSP (U+00A0) are the classic duplicate-evasion spellings in CJK
+# crawl corpora. Full NFKC would fold them, but DuckDB has no NFKC and
+# Spark no JVM normalizer (the q145 story) — so this recipe folds the
+# DETERMINISTIC 1:1 SUBSET of NFKC that a per-codepoint translate can
+# express on BOTH engines: each mapped char's image equals its NFKC
+# image (asserted by tests/test_adversarial_corpus.py::
+# test_width_fold_is_the_nfkc_image_on_its_domain), the fold is pure
+# JVM whole-stage-codegen on the Spark side (no Python, text never
+# shuffles), and the oracle is byte-identical DuckDB translate().
+WIDTH_FOLD_FROM = "".join(chr(0xFF01 + i) for i in range(94)) + "　 "
+WIDTH_FOLD_TO = "".join(chr(0x21 + i) for i in range(94)) + "  "
+_WIDTH_FOLD_TO_SQL = WIDTH_FOLD_TO.replace("'", "''")
+
+
+@register(
+    "q146_width_fold_dedup",
+    oracle=f"""
+    SELECT
+      md5(lower(trim(translate(text, '{WIDTH_FOLD_FROM}', '{_WIDTH_FOLD_TO_SQL}'), ' '))) AS content_hash,
+      COUNT(*) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+      CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup under a width/confusable fold: fullwidth ASCII "
+    "(U+FF01-FF5E), ideographic space and NBSP fold to their ASCII "
+    "images (the 1:1 SQL-expressible subset of NFKC) before the "
+    "content hash, so width-spoofed duplicate twins collapse. Pure "
+    "JVM translate projection + the same 16-byte-hash single exchange "
+    "as q80 — zero Python, text never shuffles.",
+)
+def q146_width_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    folded = F.translate(F.col("text"), WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(folded))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q81 MinHash-LSH near-dup (oracle-checked: the shingle hash is the
 # engine-portable md5-nibble construction, so DuckDB replicates the whole
 # minhash → band → verify pipeline)

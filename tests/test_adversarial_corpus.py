@@ -71,8 +71,21 @@ ADVERSARIAL_DOCS = [
     # pinned below.
     (18, "caf\u00e9 r\u00e9sum\u00e9 twin na\u00efve \u00fcber"),  # NFC
     (19, "cafe\u0301 re\u0301sume\u0301 twin nai\u0308ve u\u0308ber"),  # NFD
+    # Width-spoof twins (round 13): same text, ASCII vs fullwidth-ASCII
+    # spelling (+ ideographic space) \u2014 the classic CJK-corpus duplicate
+    # evasion. Byte-exact q80 keeps them distinct (both engines); the
+    # q146 width-fold recipe merges them (both engines). Pinned below.
+    (20, "width twin spam offer #1 visit now!"),  # ASCII
+    (
+        21,
+        "\uff57\uff49\uff44\uff54\uff48\u3000\uff54\uff57\uff49\uff4e\u3000"
+        "\uff53\uff50\uff41\uff4d\u3000\uff4f\uff46\uff46\uff45\uff52\u3000"
+        "\uff03\uff11\u3000\uff56\uff49\uff53\uff49\uff54\u3000"
+        "\uff4e\uff4f\uff57\uff01",
+    ),  # fullwidth + ideographic-space spelling of doc 20
 ]
 NFC_TWIN_IDS = (18, 19)
+WIDTH_TWIN_IDS = (20, 21)
 
 # Documents-only operators whose semantics must survive the corpus above.
 # (Operators needing other tables, fixture-scale caps, or multimodal
@@ -119,6 +132,7 @@ ADVERSARIAL_QUERIES = (
     "q142_html_boilerplate_strip",
     "q143_crawl_front_pipeline",
     "q145_nfc_exact_dedup",
+    "q146_width_fold_dedup",
 )
 
 
@@ -828,6 +842,73 @@ def test_fixture_is_nfc_invariant(sf_dir):
         "WHERE text IS NOT NULL AND text <> nfc_normalize(text)"
     ).fetchone()[0]
     assert n == 0, f"{n} fixture docs are not NFC-invariant"
+
+
+def test_width_fold_is_the_nfkc_image_on_its_domain():
+    """q146's translate map is a 1:1 SUBSET of NFKC: every mapped
+    codepoint's image equals its NFKC normalization (fullwidth ASCII
+    block, ideographic space, NBSP), so the fold never invents an
+    equivalence NFKC would not — it only misses NFKC's one-to-many
+    expansions (ligatures, ², …), which a per-codepoint translate
+    cannot express in SQL on both engines."""
+    import unicodedata
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        WIDTH_FOLD_FROM,
+        WIDTH_FOLD_TO,
+    )
+
+    assert len(WIDTH_FOLD_FROM) == len(WIDTH_FOLD_TO) == 96
+    for src, dst in zip(WIDTH_FOLD_FROM, WIDTH_FOLD_TO):
+        assert unicodedata.normalize("NFKC", src) == dst, hex(ord(src))
+
+
+def test_width_fold_merges_fullwidth_twins_on_both_engines(
+    spark, adversarial_dir
+):
+    """The width-spoof twins (docs 20/21) stay DISTINCT under byte-exact
+    q80 but merge into ONE group under q146 — on Spark and on the DuckDB
+    oracle alike, with the ASCII doc canonical."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        WIDTH_FOLD_FROM,
+        _WIDTH_FOLD_TO_SQL,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    d = load(spark, adversarial_dir, "documents")
+    plain = {
+        r["doc_id"]: r["h"]
+        for r in d.filter(F.col("doc_id").isin(list(WIDTH_TWIN_IDS)))
+        .select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+        .collect()
+    }
+    assert plain[20] != plain[21], "byte-exact recipe unexpectedly merged"
+
+    rows = {
+        r["canonical_doc"]: r
+        for r in SPECS["q146_width_fold_dedup"]
+        .fn(spark, adversarial_dir)
+        .filter(F.col("canonical_doc").isin(list(WIDTH_TWIN_IDS)))
+        .collect()
+    }
+    assert list(rows) == [20], f"expected one merged group, got {rows}"
+    assert rows[20]["n_docs"] == 2 and rows[20]["n_removable"] == 1
+    fold = (
+        f"md5(lower(trim(translate(text, '{WIDTH_FOLD_FROM}', "
+        f"'{_WIDTH_FOLD_TO_SQL}'), ' ')))"
+    )
+    want_hash, want_n = duckdb.connect().execute(
+        f"WITH k AS (SELECT doc_id, {fold} AS h "
+        f"FROM read_parquet('{adversarial_dir}/documents.parquet')) "
+        "SELECT h, COUNT(*) FROM k "
+        "WHERE h = (SELECT h FROM k WHERE doc_id = 20) GROUP BY 1"
+    ).fetchone()
+    assert rows[20]["content_hash"] == want_hash
+    assert want_n == 2
 
 
 def test_idn_case_folding_agrees_cross_engine(spark):
