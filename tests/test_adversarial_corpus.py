@@ -642,6 +642,86 @@ def test_text_recipe_agrees_on_random_unicode_sweep(spark):
         assert not mism, f"{col}: {len(mism)} disagreements, first: {mism[:3]}"
 
 
+def test_normalization_recipes_agree_on_random_unicode_sweep(spark):
+    """Round-13 sibling of the sweep above, for the two NEW dedup-key
+    recipes: q145's NFC normalize-before-hash (CPython unicodedata via
+    Arrow pandas UDF vs DuckDB's utf8proc nfc_normalize — two
+    INDEPENDENT Unicode implementations that must agree byte-for-byte
+    for the recipe to be oracle-checkable) and q146's width fold (same
+    translate map on both engines). 400 seeded strings over the hostile
+    pools PLUS the fullwidth block and the NFC-active precomposed/
+    decomposed accent pairs — a far denser normalization stress than
+    the 4 twin corpus docs. U+0130 stays excluded (lower() itself
+    diverges there, pinned elsewhere)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        WIDTH_FOLD_FROM,
+        _WIDTH_FOLD_TO_SQL,
+        WIDTH_FOLD_TO,
+        nfc_normalize_col,
+    )
+
+    rng = random.Random(424242)
+    pools = [
+        [chr(c) for c in range(0x20, 0x7F)],                    # ASCII
+        [" ", " ", "　", " "],               # Zs spaces
+        ["́", "̈", "̧", "̊", "⃗"],    # combining
+        ["é", "Å", "ï", "ü", "ß"],    # precomposed
+        [chr(c) for c in range(0xFF01, 0xFF5F, 7)],             # fullwidth
+        [chr(c) for c in range(0x4E00, 0x4E20)],                # CJK
+        ["\U0001f642", "‍", "‎"],                     # emoji/ZWJ/bidi
+        ["\u212b", "\u01c4"],  # angstrom sign (NFC -> U+00C5), DZ-caron
+    ]
+    texts = []
+    for _ in range(400):
+        n = rng.randint(0, 24)
+        texts.append("".join(rng.choice(rng.choice(pools)) for _ in range(n)))
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "i",
+            F.md5(F.lower(F.trim(nfc_normalize_col(F.col("text"))))).alias(
+                "h_nfc"
+            ),
+            F.md5(
+                F.lower(
+                    F.trim(F.translate("text", WIDTH_FOLD_FROM, WIDTH_FOLD_TO))
+                )
+            ).alias("h_fold"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("sweep", pdf)
+    want = (
+        con.execute(
+            "SELECT i,"
+            " md5(lower(trim(nfc_normalize(text), ' '))) AS h_nfc,"
+            f" md5(lower(trim(translate(text, '{WIDTH_FOLD_FROM}',"
+            f" '{_WIDTH_FOLD_TO_SQL}'), ' '))) AS h_fold"
+            " FROM sweep ORDER BY i"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    for col in ("h_nfc", "h_fold"):
+        mism = [
+            (i, repr(texts[i]))
+            for i in range(len(texts))
+            if got[col][i] != want[col][i]
+        ]
+        assert not mism, f"{col}: {len(mism)} disagreements, first: {mism[:3]}"
+
+
 def test_no_oracle_uses_regex_whitespace_class():
     """Dialect lint, companion to the bare-trim lint above (round 12,
     after the unicode sweep caught vertical tab): Java's regex \\s is
