@@ -920,3 +920,34 @@ def test_q144_quarantine_split_aggregates_before_exchange(spark, sf_dir):
     # BELOW each exchange (string order: partial aggregates are printed
     # after their exchange lines in each branch)
     assert plan.count("partial_count") == 2, plan
+
+
+def test_q146_width_fold_is_pure_codegen_hash_exchange(spark, sf_dir):
+    """The width-fold dedup key must stay JVM-side: no Python evaluation
+    node of any kind (translate folds inside whole-stage codegen), one
+    exchange carrying only the 16-byte hash (partial agg below it), and
+    the scan pruned to (doc_id, text)."""
+    df = SPECS["q146_width_fold_dedup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "EvalPython" not in p and "MapInPandas" not in p, p
+    assert plans.count_exchanges(df) == 1, p
+    assert "partial_count" in p, p
+    for ln in p.splitlines():
+        if "ReadSchema" in ln:
+            schema = ln.split("ReadSchema:")[1]
+            assert "lang" not in schema and "source" not in schema, ln
+
+
+def test_q145_nfc_is_one_arrow_pass_then_hash_exchange(spark, sf_dir):
+    """The opt-in NFC recipe pays exactly ONE Arrow round-trip (a single
+    ArrowEvalPython projection for the normalize) before the same
+    16-byte-hash single exchange as q80 — the text column reaches the
+    Python worker but never an exchange (the registry-wide
+    no-text-in-exchange invariant still covers this plan). Measured at
+    sf0.1: ~+12% wall over byte-exact q80 (0.493 vs 0.441 s min-of-3) —
+    the posture's cost number, docs/VERIFICATION.md 'NFC/NFD'."""
+    df = SPECS["q145_nfc_exact_dedup"].fn(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert p.count("ArrowEvalPython") == 1, p
+    assert plans.count_exchanges(df) == 1, p
+    assert "partial_count" in p, p
