@@ -38,7 +38,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -281,6 +281,7 @@ def incremental_ingest_stream(
     text_col: str = "text",
     ts_col: str = "ts",
     probe_n: int | None = None,
+    content_key: Column | None = None,
 ) -> DataFrame:
     """The streaming dual of the per-ingest pair q109 + q108: dedup a live
     document stream against the EXISTING corpus, then within itself, then
@@ -308,7 +309,14 @@ def incremental_ingest_stream(
     the eval suite is thousands of grams (real suites are) — past that,
     swap the literal for a broadcast join or a bloom filter, same stage
     position. Cites the reference's batch-only scope
-    (/root/reference/README.md:179-181): streams are pure headroom."""
+    (/root/reference/README.md:179-181): streams are pure headroom.
+
+    ``content_key`` swaps the dedup-key recipe (default: the byte-exact
+    ``md5(lower(trim(text)))``, per the pinned NFC/NFD posture) — pass
+    e.g. the q146 width fold or the q145 NFC normalize built on
+    ``text_col``. The caller owns recipe CONSISTENCY: ``corpus_hashes``
+    must be built with the same recipe, or history dedup silently
+    misses (the same contract the batch q109 pair documents)."""
     from hdfs_hive_sql_playground_spark.queries.curation2 import PROBE_N, PROBES
 
     if probe_grams is None:
@@ -365,9 +373,11 @@ def incremental_ingest_stream(
             f"would be bounded by the wrong event-time clock; watermark the "
             f"input on {ts_col!r} (or pass ts_col={wm_cols[0]!r})."
         )
-    staged = docs.withColumn(
-        "content_hash", F.md5(F.lower(F.trim(F.col(text_col))))
-    ).join(corpus_hashes.select("content_hash"), "content_hash", "left_anti")
+    if content_key is None:
+        content_key = F.md5(F.lower(F.trim(F.col(text_col))))
+    staged = docs.withColumn("content_hash", content_key).join(
+        corpus_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
     if not already_watermarked:
         staged = staged.withWatermark(ts_col, WATERMARK)
     surv = (

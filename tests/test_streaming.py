@@ -669,6 +669,55 @@ def test_streaming_incremental_ingest_composed(spark, tmp_path):
     assert PROBE_N == 3  # the probe gram above is a 3-gram by construction
 
 
+def test_streaming_incremental_ingest_width_fold_key(spark, tmp_path):
+    """The content_key knob (round 13): keyed with the q146 width fold,
+    the ingest stream catches fullwidth respellings the byte-exact
+    default misses — a fullwidth twin of a corpus page is history-
+    dropped, a fullwidth twin of an in-stream page collapses to its
+    first arrival, and the ASCII novel page survives. The corpus hash
+    table is built with the SAME recipe (the caller-owned consistency
+    contract in the docstring)."""
+    import datetime
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        WIDTH_FOLD_FROM,
+        WIDTH_FOLD_TO,
+    )
+
+    def fold_key(col):
+        return F.md5(F.lower(F.trim(F.translate(col, WIDTH_FOLD_FROM, WIDTH_FOLD_TO))))
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    known = "row filter join the window group"
+    known_fw = "ｒｏｗ　ｆｉｌｔｅｒ　ｊｏｉｎ　ｔｈｅ　ｗｉｎｄｏｗ　ｇｒｏｕｐ"
+    novel = "fresh tokens alpha beta gamma delta"
+    novel_fw = "ｆｒｅｓｈ　ｔｏｋｅｎｓ　ａｌｐｈａ　ｂｅｔａ　ｇａｍｍａ　ｄｅｌｔａ"
+    corpus = spark.createDataFrame([(known,)], "text string").select(
+        fold_key(F.col("text")).alias("content_hash")
+    )
+    rows = [
+        (20, known_fw, t0),                                   # history dup (folded)
+        (21, novel, t0 + datetime.timedelta(seconds=1)),      # kept
+        (22, novel_fw, t0 + datetime.timedelta(seconds=2)),   # in-stream dup (folded)
+    ]
+    src = str(tmp_path / "ingest_fold_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    docs = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    sink = streaming.run_to_memory(
+        streaming.incremental_ingest_stream(
+            docs, corpus, content_key=fold_key(F.col("text"))
+        ),
+        "t_ingest_fold",
+        output_mode="append",
+    )
+    got = {r.doc_id for r in sink.collect()}
+    assert got == {21}, got
+
+
 def test_streaming_incremental_ingest_plan_shape(spark, tmp_path):
     """Plan contract for the ingest back half: exactly ONE
     DeduplicateWithinWatermark state operator (the in-stream dedup), a
