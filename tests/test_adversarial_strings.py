@@ -278,3 +278,51 @@ def test_lower_fold_dotted_capital_i_boundary(spark):
         [text, I_DOT, "i̇"],
     ).fetchone()[0]
     assert s_h == d_recipe
+
+
+def test_string_order_is_codepoint_order_across_astral_boundary(spark):
+    """Agreement pin (round 13): every top-k tie-break and min/max in the
+    registry stands on cross-engine STRING ORDER (q30's order keys,
+    q100's bigram tie-break, keep-longest canonical picks). The one
+    place binary orders can diverge is the U+FFFF/astral boundary:
+    Java's String.compareTo is UTF-16 code-unit order, which sorts
+    U+FFFF ABOVE every astral code point, while UTF-8 byte order (=
+    code-point order) sorts it below. MEASURED: Spark compares strings
+    with UTF8String's byte-wise comparator, NOT Java String order, so
+    ORDER BY, <, and min/max all agree with DuckDB byte-for-byte across
+    the boundary (astral emoji, U+10FFFD, fullwidth, private-use) — a
+    non-ASCII tie-break is oracle-safe."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    vals = [
+        "￿",
+        "\U00010000",
+        "\U0001f642",
+        "z",
+        "é",
+        "",
+        "\U0010fffd",
+        "Ａ",
+    ]
+    pdf = pd.DataFrame({"s": vals})
+    sdf = spark.createDataFrame(pdf)
+    got = [r.s for r in sdf.orderBy("s").collect()]
+    con.register("astral_t", pdf)
+    want = [r[0] for r in con.execute("SELECT s FROM astral_t ORDER BY s").fetchall()]
+    assert got == want, (got, want)
+    # the boundary itself: U+FFFF < U+10000 in BOTH (code-point order —
+    # Java UTF-16 code-unit order would say the opposite)
+    assert got.index("￿") < got.index("\U00010000")
+    from pyspark.sql import functions as F
+
+    s_lt = sdf.limit(1).select(
+        (F.lit("￿") < F.lit("\U00010000")).alias("v")
+    ).collect()[0].v
+    d_lt = con.execute("SELECT ? < ?", ["￿", "\U00010000"]).fetchone()[0]
+    assert s_lt is True and d_lt is True
+    assert (
+        sdf.agg(F.max("s")).collect()[0][0]
+        == con.execute("SELECT max(s) FROM astral_t").fetchone()[0]
+        == "\U0010fffd"
+    )
