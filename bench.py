@@ -473,7 +473,8 @@ def _bench_m33_trend_subprocess(timings: dict[str, float]) -> bool:
     timeout, so the one-JVM cap is meaningless unless it covers it).
     Deferred to the caller for the same reason as the q124 child: the
     in-session legs load the heap the m33 headlines are about to be
-    timed in, so main() runs them after the headline section.
+    timed in, so main() runs them after the headline section
+    (_child_or_defer carries the shared contract).
 
     Round 6's trend_m33_ctas_x10 tripled (9.3 s -> 28.0 s) with zero plan
     change: the leg ran LAST in a session whose history (the full benched
@@ -486,14 +487,25 @@ def _bench_m33_trend_subprocess(timings: dict[str, float]) -> bool:
     JVM. The export base (x1 headline, target-bound Derby) is passed down
     for the x2 ratio; the CTAS base is re-measured inside the subprocess
     (warm-to-warm, one environment)."""
+    return _child_or_defer("m33 trend", ["--m33-trend-only"], timings, 1800)
+
+
+def _child_or_defer(
+    what: str, argv: list[str], timings: dict[str, float], timeout: float
+) -> bool:
+    """Shared one-JVM-cap / dead-child contract for the trend children
+    (m33 and q124): SPARK_GRAFT_SKIP_SUBPROCESS_LEGS=1 suppresses the
+    spawn entirely, and a dead child is reported on stderr — in BOTH
+    cases the caller (main()) runs the in-session legs AFTER the m33
+    headline section, so the watch never silently disappears and the
+    headlines always time in a quiesced heap. Returns True iff the
+    caller must run the deferred in-session fallback."""
     if os.environ.get("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS") == "1":
         return True
-    out = _run_bench_child(["--m33-trend-only"], timings, timeout=1800)
+    out = _run_bench_child(argv, timings, timeout=timeout)
     if out is None:
-        # Degrade honestly: report the legs from this session rather than
-        # dropping them, and say so on stderr.
         print(
-            "m33 trend subprocess failed; deferring in-session measurement "
+            f"{what} child failed; deferring in-session measurement "
             "until after the m33 headline section",
             file=sys.stderr,
         )
@@ -745,18 +757,7 @@ def _bench_q124_trend_subprocess(
     be timed in — the exact contamination the child-JVM promotion exists
     to prevent — so main() runs it where _bench_doc_trend runs, after the
     headline section. The watch never silently disappears either way."""
-    if os.environ.get("SPARK_GRAFT_SKIP_SUBPROCESS_LEGS") == "1":
-        return True
-    out = _run_bench_child(["--q124-trend-only"], timings, timeout=900)
-    if out is None:
-        print(
-            "q124 trend child failed; deferring in-session measurement "
-            "until after the m33 headline section",
-            file=sys.stderr,
-        )
-        return True
-    timings.update(out)
-    return False
+    return _child_or_defer("q124 trend", ["--q124-trend-only"], timings, 900)
 
 
 def _bench_q124_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -1309,11 +1310,14 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
         if k.endswith("_norm") and k.startswith("trend_"):
             compact[k[len("trend_") : -len("_norm")]] = round(v, 3)
         elif k.endswith("_skew_over_balanced_ratio"):
-            compact[k[len("trend_") :]] = v
+            # round here too (not just trust the producer): an unrounded
+            # division is ~18 chars of float repr per key, and the tail
+            # budget this record exists for assumes short values
+            compact[k[len("trend_") :]] = round(v, 3)
         elif k.startswith("trend_q124_semdedup") and k.endswith("_over_x1_ratio"):
             # the fixed-cells watch band adjudicated each round —
             # explicit even though derivable from its norm twins
-            compact[k[len("trend_") :]] = v
+            compact[k[len("trend_") :]] = round(v, 3)
     norm_lines: list[str] = []
     if compact:
         chunk: dict[str, float] = {}

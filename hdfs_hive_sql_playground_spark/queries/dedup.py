@@ -67,17 +67,40 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None = None) 
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q80_exact_dedup",
-    oracle="""
+# Shared dedup-group contract for the exact-dedup family (q80 default
+# byte-exact, q145 NFC opt-in, q146 width fold): one row per distinct
+# content key with the canonical (min) doc_id and removable count. The
+# key expression is the ONLY thing that varies — keeping the group/agg
+# body and the oracle scaffold here means a contract change (as the
+# round-12 trim-class alignment was) edits one place, not three.
+_DEDUP_ORACLE_TEMPLATE = """
     SELECT
-      md5(lower(trim(text, ' '))) AS content_hash,
+      {key_sql} AS content_hash,
       COUNT(*) AS n_docs,
       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
       CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
     FROM documents
     GROUP BY 1
-    """,
+    """
+
+
+def _dedup_groups(d: DataFrame, key: Column) -> DataFrame:
+    return (
+        d.select("doc_id", key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+        )
+    )
+
+
+@register(
+    "q80_exact_dedup",
+    oracle=_DEDUP_ORACLE_TEMPLATE.format(
+        key_sql="md5(lower(trim(text, ' ')))"
+    ),
     doc="Exact deduplication: group by md5 of normalized content; one row per "
     "distinct content with the canonical (min) doc_id and removable count. "
     "Shuffles 16-byte hashes, never text — the plan that survives 100 TB. "
@@ -88,15 +111,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None = None) 
 )
 def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("canonical_doc"),
-            (F.count(F.lit(1)) - 1).alias("n_removable"),
-        )
-    )
+    return _dedup_groups(d, F.md5(F.lower(F.trim(F.col("text")))))
 
 
 # ---------------------------------------------------------------------------
@@ -140,15 +155,9 @@ def nfc_normalize_col(col: Column) -> Column:
 
 @register(
     "q145_nfc_exact_dedup",
-    oracle="""
-    SELECT
-      md5(lower(trim(nfc_normalize(text), ' '))) AS content_hash,
-      COUNT(*) AS n_docs,
-      CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
-      CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
-    FROM documents
-    GROUP BY 1
-    """,
+    oracle=_DEDUP_ORACLE_TEMPLATE.format(
+        key_sql="md5(lower(trim(nfc_normalize(text), ' ')))"
+    ),
     doc="Exact dedup with NFC normalize-before-hash: canonically-equivalent "
     "NFC/NFD twins (e.g. precomposed vs combining-mark accents) collapse to "
     "one group. Same 16-byte-hash single exchange as q80; adds one Arrow "
@@ -156,15 +165,8 @@ def nfc_normalize_col(col: Column) -> Column:
 )
 def q145_nfc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    key = F.md5(F.lower(F.trim(nfc_normalize_col(F.col("text")))))
-    return (
-        d.select("doc_id", key.alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("canonical_doc"),
-            (F.count(F.lit(1)) - 1).alias("n_removable"),
-        )
+    return _dedup_groups(
+        d, F.md5(F.lower(F.trim(nfc_normalize_col(F.col("text")))))
     )
 
 
@@ -189,15 +191,12 @@ _WIDTH_FOLD_TO_SQL = WIDTH_FOLD_TO.replace("'", "''")
 
 @register(
     "q146_width_fold_dedup",
-    oracle=f"""
-    SELECT
-      md5(lower(trim(translate(text, '{WIDTH_FOLD_FROM}', '{_WIDTH_FOLD_TO_SQL}'), ' '))) AS content_hash,
-      COUNT(*) AS n_docs,
-      CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
-      CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
-    FROM documents
-    GROUP BY 1
-    """,
+    oracle=_DEDUP_ORACLE_TEMPLATE.format(
+        key_sql=(
+            f"md5(lower(trim(translate(text, '{WIDTH_FOLD_FROM}', "
+            f"'{_WIDTH_FOLD_TO_SQL}'), ' ')))"
+        )
+    ),
     doc="Exact dedup under a width/confusable fold: fullwidth ASCII "
     "(U+FF01-FF5E), ideographic space and NBSP fold to their ASCII "
     "images (the 1:1 SQL-expressible subset of NFKC) before the "
@@ -208,15 +207,7 @@ _WIDTH_FOLD_TO_SQL = WIDTH_FOLD_TO.replace("'", "''")
 def q146_width_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     folded = F.translate(F.col("text"), WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
-    return (
-        d.select("doc_id", F.md5(F.lower(F.trim(folded))).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("canonical_doc"),
-            (F.count(F.lit(1)) - 1).alias("n_removable"),
-        )
-    )
+    return _dedup_groups(d, F.md5(F.lower(F.trim(folded))))
 
 
 # ---------------------------------------------------------------------------

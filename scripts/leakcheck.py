@@ -29,14 +29,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # breaks at the first non-ASCII char, so whitelist an ASCII prefix
 # followed by one), localhost, bare placeholder hosts, and the
 # Apache/public-doc sites cited for provenance.
+# END marks the end of the authority: the whitelisted host must be
+# followed by a path/port/end — NOT by '@' (which would make it a
+# userinfo decoy in front of a private host), another label char, or a
+# further dotted label (example.com.evil.corp must flag).
+_END = r"(?![.@a-z0-9-])"
 PUBLIC_URL = re.compile(
     r"https?://(?!("
     r"([a-z0-9:._-]+@)?("
-    r"([a-z0-9-]+\.)*example\.(com|org|net)\b|"
-    r"([a-z0-9-]+\.)+example(?![a-z0-9.-]))|"
-    r"[a-z0-9-]*(?=[^\x00-\x7f])|"
-    r"localhost\b|127\.0\.0\.1|host\b|"
-    r"([a-z0-9-]+\.)*apache\.org\b|"
+    rf"([a-z0-9-]+\.)*example\.(com|org|net){_END}|"
+    rf"([a-z0-9-]+\.)+example{_END})|"
+    # unicode-label fixture hosts ONLY under the reserved .example TLD
+    # (the IDN case-fold sweep): scan the whole authority — no '/', '@',
+    # or whitespace — and require it to end at .example
+    rf"[^\s/@]*[^\x00-\x7f][^\s/@]*\.example{_END}|"
+    rf"localhost{_END}|127\.0\.0\.1|host{_END}|"
+    rf"([a-z0-9-]+\.)*apache\.org{_END}|"
     r"github\.com|raw\.githubusercontent\.com|arxiv\.org|doi\.org|"
     r"duckdb\.org|docs\.python\.org|en\.wikipedia\.org|"
     r"dl\.acm\.org|research\.google\b|openreview\.net|aclanthology\.org"

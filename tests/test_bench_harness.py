@@ -314,7 +314,9 @@ def test_emit_records_tail_budget():
         f"trend_export_x{bench.EXPORT_TREND_SCALE}_over_x1_ratio": 2.228,
         "trend_q124_semdedup_prune_x1": 2.1234,
         f"trend_q124_semdedup_prune_x{bench.DOC_TREND_SCALE}": 8.5678,
-        f"trend_q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio": 4.035,
+        # unrounded on purpose: the compact record must re-round, not
+        # trust the producer (round-13 review finding)
+        f"trend_q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio": 4.0351234567890123,
         f"trend_q124_cells_scaled_x{bench.DOC_TREND_SCALE}": 4.2501,
         f"trend_q124_cells_scaled_x{bench.DOC_TREND_SCALE}_over_x1_ratio": 2.002,
     }
@@ -324,7 +326,7 @@ def test_emit_records_tail_budget():
         timings[f"trend_{name}_x{bench.DOC_TREND_SCALE}_over_x1_ratio"] = 10.001
     for name in bench.SKEW_TREND_QUERIES:
         timings[f"trend_{name}_x{bench.DOC_TREND_SCALE}_skew"] = 12.3456
-        timings[f"trend_{name}_skew_over_balanced_ratio"] = 1.012
+        timings[f"trend_{name}_skew_over_balanced_ratio"] = 1.0123456789012345
     lines = bench._emit_records(timings, "0.1")
     norm_lines, headline_line = lines[1:-1], lines[-1]
     assert norm_lines, "full inventory must produce trend-norm records"
@@ -346,8 +348,11 @@ def test_emit_records_tail_budget():
     for name in bench.SKEW_TREND_QUERIES:
         assert f"{name}_skew_over_balanced_ratio" in merged
     assert (
-        f"q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio" in merged
+        merged[f"q124_semdedup_prune_x{bench.DOC_TREND_SCALE}_over_x1_ratio"]
+        == 4.035
     )
+    for name in bench.SKEW_TREND_QUERIES:
+        assert merged[f"{name}_skew_over_balanced_ratio"] == 1.012
     # the combined tail (all norm records + headline, newline-joined) must
     # fit the driver's 2000-char capture with headroom for line breaks
     tail = "\n".join([*norm_lines, headline_line])
