@@ -239,3 +239,72 @@ def test_date_string_accept_set_diverges(spark):
         "       TRY_CAST('2024/01/05' AS DATE), TRY_CAST('2024-02-30' AS DATE)"
     ).fetchone()
     assert d == (d5, d5, d5, None)  # the slash format is the divergence
+
+
+def test_named_zone_conversion_forward_agrees_reverse_ambiguity_diverges(spark):
+    """Named-timezone conversion (round 13 — the one temporal surface no
+    gate had touched). MEASURED:
+
+    - FORWARD (utc-instant -> zone wall time): Spark's
+      ``from_utc_timestamp(ts, zone)`` equals DuckDB's
+      ``timezone(zone, TIMESTAMPTZ)`` on every edge — both sides of the
+      US spring-forward gap, both halves of the fall-back double hour,
+      plain EST/EDT, and a 45-minute-offset zone. This direction is
+      oracle-safe.
+    - REVERSE (zone wall time -> utc) on an AMBIGUOUS fall-back wall
+      time diverges by one hour SILENTLY: Spark's ``to_utc_timestamp``
+      resolves '2026-11-01 01:30' America/New_York to the EARLIER
+      offset (EDT, 05:30Z) while DuckDB's ``AT TIME ZONE`` picks the
+      LATER (EST, 06:30Z). The NONEXISTENT spring-forward wall time
+      agrees (both shift via the pre-transition offset). Recipe: shared
+      oracles must never reverse-convert wall-clock strings that can be
+      ambiguous — store instants (epoch/UTC) and convert FORWARD only;
+      if a reverse conversion is unavoidable, gate out the two
+      ambiguous hours per zone-year explicitly."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    forward = [
+        ("2026-03-08 06:59:59", "America/New_York"),  # pre-gap edge
+        ("2026-03-08 07:00:00", "America/New_York"),  # gap edge
+        ("2026-11-01 05:30:00", "America/New_York"),  # fall-back 1st pass
+        ("2026-11-01 06:30:00", "America/New_York"),  # fall-back 2nd pass
+        ("2026-06-15 12:00:00", "America/New_York"),  # plain EDT
+        ("2026-01-15 12:00:00", "America/New_York"),  # plain EST
+        ("2026-06-15 12:00:00", "Asia/Kathmandu"),    # +05:45 offset
+        ("2026-06-15 12:00:00", "Asia/Tokyo"),        # DST-less zone
+    ]
+    for ts, zone in forward:
+        s = spark.sql(
+            f"SELECT CAST(from_utc_timestamp(timestamp'{ts}', '{zone}') "
+            "AS STRING) AS v"
+        ).collect()[0].v
+        d = con.execute(
+            f"SELECT CAST(timezone('{zone}', TIMESTAMPTZ '{ts}+00') AS VARCHAR)"
+        ).fetchone()[0]
+        assert str(s) == str(d), (ts, zone, s, d)
+
+    # reverse, NONEXISTENT wall time (spring-forward gap): agrees
+    s = spark.sql(
+        "SELECT CAST(to_utc_timestamp(timestamp'2026-03-08 02:30:00', "
+        "'America/New_York') AS STRING) AS v"
+    ).collect()[0].v
+    d = con.execute(
+        "SELECT CAST((TIMESTAMP '2026-03-08 02:30:00' "
+        "AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS VARCHAR)"
+    ).fetchone()[0]
+    assert str(s) == str(d) == "2026-03-08 07:30:00", (s, d)
+
+    # reverse, AMBIGUOUS wall time: the pinned one-hour divergence
+    s = spark.sql(
+        "SELECT CAST(to_utc_timestamp(timestamp'2026-11-01 01:30:00', "
+        "'America/New_York') AS STRING) AS v"
+    ).collect()[0].v
+    d = con.execute(
+        "SELECT CAST((TIMESTAMP '2026-11-01 01:30:00' "
+        "AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS VARCHAR)"
+    ).fetchone()[0]
+    assert str(s) == "2026-11-01 05:30:00", s  # Spark: earlier offset (EDT)
+    assert str(d) == "2026-11-01 06:30:00", d  # DuckDB: later offset (EST)
