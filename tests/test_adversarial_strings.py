@@ -326,3 +326,35 @@ def test_string_order_is_codepoint_order_across_astral_boundary(spark):
         == con.execute("SELECT max(s) FROM astral_t").fetchone()[0]
         == "\U0010fffd"
     )
+
+
+def test_string_indexing_is_codepoint_based_across_astral_chars(spark):
+    """Agreement pin (round 13, companion to the astral ORDER pin):
+    every positional string function the oracles stand on counts CODE
+    POINTS, not UTF-16 units, on both engines — an astral char (2 Java
+    chars, 4 UTF-8 bytes) is ONE position for length / substring
+    (positive and negative start) / left / instr / reverse. A Java
+    String.length()-based implementation would count it as two and
+    shift every index after it; MEASURED: Spark's UTF8String paths do
+    not."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    s = "a\U0001f642b汉é"
+    pdf = pd.DataFrame({"t": [s]})
+    sdf = spark.createDataFrame(pdf)
+    con.register("astral_idx_t", pdf)
+    exprs = [
+        "length(t)",
+        "substring(t, 2, 2)",
+        "substring(t, -2, 2)",
+        "upper(t)",
+        "reverse(t)",
+        "left(t, 2)",
+        "instr(t, '汉')",
+    ]
+    for e in exprs:
+        sv = sdf.selectExpr(f"{e} AS v").collect()[0].v
+        dv = con.execute(f"SELECT {e} FROM astral_idx_t").fetchone()[0]
+        assert sv == dv, (e, sv, dv)
+    assert sdf.selectExpr("length(t) AS v").collect()[0].v == 5  # 5 code points
