@@ -1108,3 +1108,58 @@ def test_q141_dsir_selection_matches_naive_reference(spark, sf_dir):
         for r in SPECS["q141_target_affinity_select"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_q145_q146_match_naive_python_references(spark, sf_dir):
+    """Layer-3 naive references for the round-13 dedup-key variants (the
+    repo rule: every registry query ships with all four layers). A pure
+    Python implementation — unicodedata NFC / str.translate width fold,
+    hashlib md5, dict grouping; no Spark, no SQL — must reproduce every
+    group byte-for-byte: same hash keys, same n_docs, same canonical
+    min-doc_id. This is the third independent implementation next to
+    the Spark plan and the DuckDB oracle, so a shared construction bug
+    (e.g. an encoding or trim-class mistake copied into both engine
+    spellings) cannot pass silently."""
+    import hashlib
+    import unicodedata
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        WIDTH_FOLD_FROM,
+        WIDTH_FOLD_TO,
+    )
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    fold_table = str.maketrans(WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
+
+    def groups(key_fn):
+        out: dict[str, list[int]] = {}
+        for doc_id in sorted(docs):
+            h = hashlib.md5(key_fn(docs[doc_id]).encode("utf-8")).hexdigest()
+            out.setdefault(h, []).append(doc_id)
+        return {
+            h: (len(ids), min(ids), len(ids) - 1) for h, ids in out.items()
+        }
+
+    # Spark trim strips ASCII space only; fixture text is ASCII so
+    # Python str.lower() == Spark lower byte-for-byte here (the unicode
+    # case edges have their own gates).
+    for name, key_fn in (
+        (
+            "q145_nfc_exact_dedup",
+            lambda t: unicodedata.normalize("NFC", t).strip(" ").lower(),
+        ),
+        (
+            "q146_width_fold_dedup",
+            lambda t: t.translate(fold_table).strip(" ").lower(),
+        ),
+    ):
+        want = groups(key_fn)
+        got = {
+            r.content_hash: (r.n_docs, r.canonical_doc, r.n_removable)
+            for r in SPECS[name].fn(spark, sf_dir).collect()
+        }
+        assert got == want, f"{name}: naive reference mismatch"
