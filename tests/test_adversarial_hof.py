@@ -1,0 +1,271 @@
+"""Cross-engine adversarial gate: higher-order-function (lambda) semantics.
+
+Round-13 family: the HOF surface every array-shaped oracle silently
+stands on. The shipping recipes pair Spark ``transform/filter/exists/
+forall/aggregate/zip_with`` with DuckDB ``list_transform/list_filter/
+list_sum`` spellings (q133 `queries/relational.py:1682-1691`, the ANN
+dot product `queries/similarity.py:81` vs its oracle
+`queries/similarity.py:176`, the q136 rewrite's index lambda
+`queries/dedup.py:1114`, q134's map HOFs `queries/relational.py:1740`).
+Measured on Spark 4.1.2 (ANSI ON) vs DuckDB 1.0.0, same discipline as
+the other gates: silent divergences pinned with alignment recipes,
+agreements pinned so upgrades fail loudly.
+
+Measured divergence summary:
+- Index lambdas: Spark's two-arg ``(x, i) ->`` lambda is 0-BASED;
+  DuckDB's is 1-BASED — the bracket-base split (indexing gate) leaks
+  into lambda land, and a mirrored predicate silently selects the
+  NEIGHBORING element. Recipe: spell ``i - 1`` on the DuckDB side
+  (or ``i + 1`` on Spark's); q136's oracle avoids index lambdas
+  entirely (it recomputes removals relationally).
+- exists/forall are THREE-valued in Spark (NULL when no witness
+  decides and some element is NULL); the oracle spelling
+  ``len(list_filter(..)) > 0`` / ``= 0`` is TWO-valued (a NULL
+  predicate row just drops). On a NULL-bearing array the pair silently
+  flips NULL<->false (exists) / NULL<->true (forall). Recipes:
+  ``coalesce(exists(..), false)`` / ``coalesce(forall(..), true)``
+  align Spark to the 2VL oracle; the 3VL-faithful DuckDB spelling is a
+  CASE that re-checks for NULL elements. q133's domain (split() output,
+  never-NULL elements) keeps the shipping pair exact.
+- Folds: Spark ``aggregate(arr, 0.0, (s,v) -> s+v)`` NULL-POISONS
+  (one NULL element nulls the whole sum) and returns the INIT on an
+  empty array; DuckDB ``list_sum`` SKIPS NULLs (SQL SUM semantics) and
+  is NULL on an empty list; ``list_reduce`` RAISES on empty input and
+  takes no init in 1.0.0. The shipping dot-product pair is exact only
+  on its guaranteed domain (fixed EMB_DIM, non-null doubles); off the
+  domain a short vector is NULL in Spark but a PARTIAL SUM in DuckDB
+  (bracket-OOB -> NULL product -> skipped by list_sum).
+Agreements pinned: lambda bodies pass NULL elements through
+identically (transform keeps them, filter/map_filter drop a NULL
+predicate); NULL array -> NULL result; zip_with pads the shorter side
+with NULL exactly like list_zip / bracket-OOB; empty-array
+exists=false / forall=true; both engines sum doubles strictly
+left-to-right (the 1e16 cancellation probe agrees bit-for-bit);
+Spark's ``reduce`` is a true alias of ``aggregate``. Spark's
+array_sort comparator lambda has no DuckDB counterpart (list_sort
+binds no lambda) AND silently no-ops when the comparator returns NULL
+(a NULL-blind CASE comparator leaves the array unsorted) — oracle-
+paired queries use natural-order sorts only.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+def _s1(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def _d1(con, expr):
+    return con.execute(f"SELECT {expr}").fetchone()[0]
+
+
+def test_lambda_null_element_passthrough_agrees(spark):
+    """transform keeps NULL elements, a NULL array maps to NULL, and a
+    NULL predicate row is DROPPED by filter — identically in both
+    engines, in both the scalar and map-entry spellings (q134's
+    map_filter serialization stands on the drop)."""
+    assert _s1(spark, "transform(array(1, NULL, 3), x -> x + 1)") == [2, None, 4]
+    assert _s1(spark, "transform(CAST(NULL AS array<int>), x -> x + 1)") is None
+    assert _s1(spark, "filter(array(1, NULL, 3), x -> x > 0)") == [1, 3]
+    assert _s1(
+        spark, "map_filter(map('a', 1, 'b', CAST(NULL AS INT)), (k, v) -> v > 0)"
+    ) == {"a": 1}
+
+    con = duckdb.connect()
+    assert _d1(con, "list_transform([1, NULL, 3], x -> x + 1)") == [2, None, 4]
+    assert _d1(con, "list_transform(NULL::INT[], x -> x + 1)") is None
+    assert _d1(con, "list_filter([1, NULL, 3], x -> x > 0)") == [1, 3]
+    got = _d1(
+        con,
+        "map_from_entries(list_filter(map_entries(MAP(['a','b'], [1, NULL])),"
+        " e -> e.value > 0))",
+    )
+    # duckdb's Python layer renders MAP as a dict of key/value lists
+    assert got == {"key": ["a"], "value": [1]}
+
+
+def test_index_lambda_base_diverges_with_alignment_recipe(spark):
+    """Spark's (x, i) lambda index is 0-based, DuckDB's is 1-based: the
+    SAME predicate `i = 1` selects element #2 in Spark and element #1
+    in DuckDB. Alignment recipe: spell `i - 1` on the DuckDB side.
+    q136 (`queries/dedup.py:1114`) relies on the Spark 0-base to match
+    posexplode's 0-based `pos`; its oracle never uses an index lambda."""
+    assert _s1(spark, "filter(array(10, 20, 30), (x, i) -> i = 1)") == [20]
+    assert _s1(spark, "transform(array(10, 20, 30), (x, i) -> i)") == [0, 1, 2]
+
+    con = duckdb.connect()
+    assert _d1(con, "list_filter([10, 20, 30], (x, i) -> i = 1)") == [10]  # !
+    assert _d1(con, "list_transform([10, 20, 30], (x, i) -> i)") == [1, 2, 3]
+    # the alignment recipe restores agreement
+    assert _d1(con, "list_filter([10, 20, 30], (x, i) -> i - 1 = 1)") == [20]
+    assert _d1(con, "list_transform([10, 20, 30], (x, i) -> i - 1)") == [0, 1, 2]
+
+
+def test_exists_forall_ternary_vs_filter_count_recipe(spark):
+    """Spark exists/forall follow SQL three-valued logic: when no
+    element decides and some predicate row is NULL, the answer is NULL.
+    The q133 oracle spelling (len(list_filter) > 0 / = 0) is two-valued
+    — the NULL row drops, so the same array answers false/true. The
+    pair agrees exactly on never-NULL elements (q133's split() domain)
+    and on the empty array; coalesce() aligns the nullable case."""
+    # Spark 3VL: NULL when undecided-with-a-NULL, decided answers win
+    assert _s1(spark, "exists(array(NULL, 1), x -> x > 5)") is None
+    assert _s1(spark, "exists(array(NULL, 10), x -> x > 5)") is True
+    assert _s1(spark, "exists(array(), x -> x > 5)") is False
+    assert _s1(spark, "forall(array(NULL, 10), x -> x > 5)") is None
+    assert _s1(spark, "forall(array(NULL, 1), x -> x > 5)") is False
+    assert _s1(spark, "forall(array(), x -> x > 5)") is True
+
+    con = duckdb.connect()
+    # the oracle's 2VL spelling: NULL rows drop, answers are never NULL
+    assert _d1(con, "len(list_filter([NULL, 1], x -> x > 5)) > 0") is False  # !
+    assert _d1(con, "len(list_filter([NULL, 10], x -> NOT (x > 5))) = 0") is True  # !
+    assert _d1(con, "len(list_filter([]::INT[], x -> x > 5)) > 0") is False
+    assert _d1(con, "len(list_filter([]::INT[], x -> NOT (x > 5))) = 0") is True
+
+    # alignment recipes: Spark -> 2VL via coalesce (exists defaults
+    # false, forall defaults true) ...
+    assert _s1(spark, "coalesce(exists(array(NULL, 1), x -> x > 5), false)") is False
+    assert _s1(spark, "coalesce(forall(array(NULL, 10), x -> x > 5), true)") is True
+    # ... or DuckDB -> 3VL via an explicit NULL-element re-check
+    assert (
+        _d1(
+            con,
+            "CASE WHEN len(list_filter([NULL, 1], x -> x > 5)) > 0 THEN true"
+            "     WHEN len(list_filter([NULL, 1], x -> x IS NULL)) > 0 THEN NULL"
+            "     ELSE false END",
+        )
+        is None
+    )
+
+
+def test_fold_null_poisoning_vs_list_sum_skipping_diverges(spark):
+    """Spark's aggregate fold with `s + v` NULL-poisons — one NULL
+    element nulls the entire sum — while DuckDB's list_sum SKIPS NULLs
+    like the SUM aggregate. Silent value split on any nullable array.
+    Recipes: coalesce the ELEMENT on the Spark side (null-skip
+    semantics), or CASE-guard + coalesce on the DuckDB side
+    (null-poison semantics)."""
+    poison = "aggregate(array(1.0D, NULL, 3.0D), 0.0D, (s, v) -> s + v)"
+    assert _s1(spark, poison) is None  # !
+
+    con = duckdb.connect()
+    assert _d1(con, "list_sum([1.0, NULL, 3.0]::DOUBLE[])") == 4.0  # !
+
+    # null-skip alignment: coalesce the element in Spark == coalesced
+    # list_sum in DuckDB (all-NULL list: 0.0 on both)
+    skip_s = "aggregate(array(1.0D, NULL, 3.0D), 0.0D, (s, v) -> s + coalesce(v, 0.0D))"
+    assert _s1(spark, skip_s) == 4.0
+    assert _d1(con, "coalesce(list_sum([1.0, NULL, 3.0]::DOUBLE[]), 0.0)") == 4.0
+    assert (
+        _d1(con, "coalesce(list_sum([NULL, NULL]::DOUBLE[]), 0.0)")
+        == _s1(
+            spark,
+            "aggregate(array(CAST(NULL AS DOUBLE), NULL), 0.0D,"
+            " (s, v) -> s + coalesce(v, 0.0D))",
+        )
+        == 0.0
+    )
+    # null-poison alignment: explicit NULL-element guard in DuckDB
+    assert (
+        _d1(
+            con,
+            "CASE WHEN len(list_filter([1.0, NULL, 3.0]::DOUBLE[],"
+            " x -> x IS NULL)) > 0 THEN NULL"
+            " ELSE coalesce(list_sum([1.0, NULL, 3.0]::DOUBLE[]), 0.0) END",
+        )
+        is None
+    )
+    # Spark's `reduce` is a true alias of `aggregate`
+    assert _s1(spark, "reduce(array(1.0D, 2.0D), 0.0D, (s, v) -> s + v)") == 3.0
+
+
+def test_fold_empty_array_init_vs_reduce_raise_vs_sum_null(spark):
+    """Empty input splits three ways: Spark aggregate returns the INIT
+    value, DuckDB list_sum returns NULL, DuckDB list_reduce RAISES
+    (and binds no init argument in 1.0.0). The oracle recipe is
+    coalesce(list_sum(..), <init>) — never list_reduce — which q84-q97's
+    dot products satisfy vacuously (EMB_DIM-wide, never empty)."""
+    assert _s1(
+        spark, "aggregate(CAST(array() AS array<double>), 0.0D, (s, v) -> s + v)"
+    ) == 0.0
+    con = duckdb.connect()
+    assert _d1(con, "list_sum([]::DOUBLE[])") is None  # !
+    with pytest.raises(duckdb.Error, match="empty input list"):
+        con.execute("SELECT list_reduce([]::DOUBLE[], (a, b) -> a + b)")
+    with pytest.raises(duckdb.Error):
+        con.execute("SELECT list_reduce([1.0, 2.0]::DOUBLE[], (a, b) -> a + b, 10.0)")
+    assert _d1(con, "coalesce(list_sum([]::DOUBLE[]), 0.0)") == 0.0
+
+
+def test_dot_product_pair_exact_on_domain_diverges_off_it(spark):
+    """The shipping ANN dot product (`queries/similarity.py:81` fold vs
+    the `:176` range-indexed list_sum oracle) is exact on its
+    guaranteed domain — equal-length, non-null double vectors — because
+    BOTH engines sum strictly left-to-right (the 1e16 cancellation
+    probe agrees bit-for-bit, no pairwise/Kahan reassociation). Off the
+    domain it splits silently: zip_with pads the short side with NULL,
+    the NULL product poisons Spark's fold to NULL, while the oracle's
+    bracket-OOB NULL products are SKIPPED by list_sum — a PARTIAL dot
+    product. The embeddings fixture (fixed EMB_DIM, non-null) plus the
+    q89 int8 path's explicit casts keep every registered query on the
+    exact domain."""
+    con = duckdb.connect()
+    a_s, b_s = "array(1.0D, 2.0D, 3.0D)", "array(4.0D, 5.0D, 6.0D)"
+    a_d, b_d = "[1.0, 2.0, 3.0]::DOUBLE[]", "[4.0, 5.0, 6.0]::DOUBLE[]"
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+    oracle = "list_sum(list_transform(range(1, len({a}) + 1), i -> ({a})[i] * ({b})[i]))"
+    assert _s1(spark, fold.format(a=a_s, b=b_s)) == 32.0
+    assert _d1(con, oracle.format(a=a_d, b=b_d)) == 32.0
+
+    # summation ORDER agrees: left-to-right loses the +1.0s to rounding
+    probe_s = "array(1.0D, 1e16D, 1.0D, -1e16D)"
+    probe_d = "[1.0, 1e16, 1.0, -1e16]::DOUBLE[]"
+    assert (
+        _s1(spark, f"aggregate({probe_s}, 0.0D, (s, v) -> s + v)")
+        == _d1(con, f"list_sum({probe_d})")
+        == (1.0 + 1e16 + 1.0 - 1e16)  # = 0.0 left-to-right, 2.0 exact
+        == 0.0
+    )
+
+    # off-domain: a short b-vector is NULL in Spark, a partial sum in
+    # DuckDB — the padding semantics agree (NULL), the FOLDS differ
+    assert _s1(
+        spark, "zip_with(array(1, 2, 3), array(9), (x, y) -> x + y)"
+    ) == [10, None, None]
+    # duckdb's Python layer renders the zip structs as tuples
+    assert _d1(con, "list_zip([1, 2, 3], [9])") == [(1, 9), (2, None), (3, None)]
+    b_short = "[4.0]::DOUBLE[]"
+    assert _s1(
+        spark,
+        "aggregate(zip_with(array(1.0D, 2.0D, 3.0D), array(4.0D), (x, y) -> x * y),"
+        " 0.0D, (s, v) -> s + v)",
+    ) is None  # !
+    assert _d1(con, oracle.format(a=a_d, b=b_short)) == 4.0  # ! partial
+
+
+def test_array_sort_comparator_spark_only_and_null_blind_footgun(spark):
+    """Spark's array_sort accepts a comparator lambda; DuckDB's
+    list_sort binds no lambda at all (documented-won't in oracle pairs:
+    natural-order sorts only, null placement pinned in the complex
+    gate). The Spark-only path has its own trap: a comparator built
+    from plain comparisons returns NULL on NULL operands, and a NULL
+    comparator verdict is treated as 'no decision' — the array comes
+    back UNSORTED, silently."""
+    got = _s1(
+        spark,
+        "array_sort(array(3, NULL, 1), (a, b) ->"
+        " CASE WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END)",
+    )
+    assert got == [3, None, 1]  # ! unsorted passthrough, no error
+    # the same data under the natural-order sort behaves (nulls last)
+    assert _s1(spark, "array_sort(array(3, NULL, 1))") == [1, 3, None]
+
+    con = duckdb.connect()
+    with pytest.raises(duckdb.BinderException, match="lambda"):
+        con.execute("SELECT list_sort([3, 1], (a, b) -> 1)")
