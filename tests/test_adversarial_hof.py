@@ -269,3 +269,32 @@ def test_array_sort_comparator_spark_only_and_null_blind_footgun(spark):
     con = duckdb.connect()
     with pytest.raises(duckdb.BinderException, match="lambda"):
         con.execute("SELECT list_sort([3, 1], (a, b) -> 1)")
+
+
+def test_no_oracle_uses_implicit_index_lambda():
+    """Dialect lint, enforcing the index-base pin forever: no registry
+    oracle may use DuckDB's two-arg index lambda `(x, i) ->`, whose `i`
+    is 1-BASED where the mirrored Spark lambda's is 0-based — the one
+    HOF spelling whose silent off-by-one this gate measured. The
+    aligned house spelling is an explicit `list_transform(range(1,
+    len(a) + 1), i -> a[i] ...)`, which names its base in the code
+    (every current use: `queries/similarity.py:176,576`,
+    `queries/relational.py:1657`, `queries/text.py:683,1324`)."""
+    import re
+
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    # a lambda arrow whose parameter list has >1 name: `(x, i) ->`
+    implicit = re.compile(r"\(\s*\w+\s*,\s*\w+\s*\)\s*->")
+    for name, spec in all_queries().items():
+        if not spec.oracle:
+            continue
+        code = "\n".join(l.split("--", 1)[0] for l in spec.oracle.splitlines())
+        for m in implicit.finditer(code):
+            # struct-pair lambdas over map_entries don't index; only an
+            # `i`-style second param binds the 1-based position
+            raise AssertionError(
+                f"{name} oracle uses a two-arg (1-based index) lambda at: "
+                f"...{code[m.start():m.end() + 60]}... — spell the index "
+                "with an explicit range(1, len(..) + 1) instead"
+            )
