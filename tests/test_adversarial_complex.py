@@ -260,3 +260,75 @@ def test_array_sort_null_placement(spark):
     assert d[0] == [1, 3, None]     # default matches Spark array_sort
     assert d[1] == [3, 1, None]     # matches sort_array desc
     assert d[2] == [None, 1, 3]     # the sort_array-asc recipe
+
+
+def test_map_construction_duplicate_and_null_key_postures(spark):
+    """Map CONSTRUCTION postures, round-13 addition (measured while
+    building the HOF gate). Duplicate keys in a single constructor are
+    LOUD in both engines — Spark map()/map_from_entries raise
+    DUPLICATED_MAP_KEY (default mapKeyDedupPolicy=EXCEPTION), DuckDB
+    MAP()/map_from_entries raise Invalid Input — and NULL keys are loud
+    in both too. The one SILENT split is merging: Spark map_concat on
+    overlapping keys RAISES where DuckDB map_concat silently LAST-WINS
+    ({'a': 2}); and under Spark's LAST_WIN opt-in the split flips ends —
+    map_concat now agrees with DuckDB but Spark's map('a',1,'a',2)
+    constructor goes silent last-win where DuckDB's MAP still raises.
+    No alignment config exists that is loud/silent-consistent across
+    both constructors and merges, so the recipe is structural: never
+    map_concat overlapping keyspaces in an oracle-paired query (none
+    does — q134's maps use disjoint literal keys), and keep the engine
+    on the default EXCEPTION policy so a 100 TB corpus with colliding
+    keys fails the job instead of silently dropping values. Spark-only
+    pins: a transform_keys lambda that COLLAPSES keys raises rather
+    than silently merging; map_zip_with unions keys with NULL fill (the
+    coalesce recipe sums overlaps exactly)."""
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql("SELECT map('a', 1, 'a', 2)").collect()
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql(
+            "SELECT map_from_entries(array(struct('a', 1), struct('a', 2)))"
+        ).collect()
+    with pytest.raises(Exception, match="NULL_MAP_KEY"):
+        spark.sql("SELECT map(CAST(NULL AS STRING), 1)").collect()
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql("SELECT map_concat(map('a', 1), map('a', 2))").collect()
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql(
+            "SELECT transform_keys(map('a', 1, 'b', 2), (k, v) -> 'x')"
+        ).collect()
+    assert spark.sql(
+        "SELECT map_zip_with(map('a', 1), map('a', 10, 'b', 20),"
+        " (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)) AS v"
+    ).collect()[0].v == {"a": 11, "b": 20}
+
+    con = duckdb.connect()
+    with pytest.raises(duckdb.InvalidInputException, match="unique"):
+        con.execute("SELECT MAP(['a', 'a'], [1, 2])")
+    with pytest.raises(duckdb.InvalidInputException, match="unique"):
+        con.execute("SELECT map_from_entries([('a', 1), ('a', 2)])")
+    with pytest.raises(duckdb.InvalidInputException, match="NULL"):
+        con.execute("SELECT MAP([NULL], [1])")
+    # the silent end of the split: DuckDB merge last-wins, no error
+    got = con.execute(
+        "SELECT map_concat(MAP(['a'], [1]), MAP(['a'], [2]))"
+    ).fetchone()[0]
+    assert got == {"key": ["a"], "value": [2]}  # ! silent last-win
+
+    # Spark's LAST_WIN opt-in aligns the merge but silences the
+    # constructor — measured, then restored (the engine default is
+    # EXCEPTION and the registered queries depend on it staying loud)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        r = spark.sql(
+            "SELECT map_concat(map('a', 1), map('a', 2)) AS c,"
+            "       map('a', 1, 'a', 2) AS m"
+        ).collect()[0]
+        assert r.c == {"a": 2} and r.m == {"a": 2}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+
+    # structural recipe lint: no registry oracle merges maps at all
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    for name, spec in all_queries().items():
+        assert "map_concat" not in (spec.oracle or ""), name
