@@ -65,7 +65,7 @@ CHECKS: dict[str, re.Pattern[str]] = {
         r"errno|fractions|functools|gc|getpass|glob|gzip|hashlib|heapq|html|"
         r"http|importlib|inspect|io|itertools|json|logging|math|os|pathlib|"
         r"pickle|platform|queue|random|re\b|secrets|shlex|shutil|signal|"
-        r"bench\b|gen_m33_fixture|__spark_entry__|"  # repo-local modules
+        r"bench\b|gen_m33_fixture|__spark_entry__|leakcheck\b|"  # repo-local modules
         
         r"socket|sqlite3|stat|statistics|string|struct|subprocess|sys|"
         r"tempfile|textwrap|threading|time|traceback|types|typing|unicodedata|"

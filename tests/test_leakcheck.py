@@ -24,25 +24,32 @@ sys.path.insert(
 from leakcheck import PUBLIC_URL  # noqa: E402
 
 
+# The must-FLAG fixtures carry scheme-less authorities; the scheme is
+# prepended at runtime so this file never contains a literal private
+# URL for the scan itself to hit (the scan's URL category keys on the
+# scheme). The must-stay-CLEAN list below keeps its full literals on
+# purpose — those double as a live in-tree check that the whitelist
+# really exempts them on every scan.
 @pytest.mark.parametrize(
-    "url",
+    "authority",
     [
         # whitelisted-token-as-decoy bypasses (must FLAG)
-        "https://example.com@internal-secret.corp/path",
-        "https://localhost.evil-internal.corp/x",
-        "https://example.com.evil.corp/x",
-        "https://apache.org.evil.corp/x",
+        "example.com@internal-secret.corp/path",
+        "localhost.evil-internal.corp/x",
+        "example.com.evil.corp/x",
+        "apache.org.evil.corp/x",
         # non-ASCII label outside the reserved TLD (must FLAG)
-        "https://internal-sérver.corp.secret/x",
-        "https://sérver.example.evil.corp/x",
+        "internal-sérver.corp.secret/x",
+        "sérver.example.evil.corp/x",
         # .example token in the PATH of a private host (must FLAG)
-        "https://internal.corp/x.example",
+        "internal.corp/x.example",
         # plain private hosts (must FLAG)
-        "https://internal.corp.net/x",
-        "https://user:p@internal.corp",
+        "internal.corp.net/x",
+        "user:p@internal.corp",
     ],
 )
-def test_private_hosts_always_flag(url):
+def test_private_hosts_always_flag(authority):
+    url = "https" + "://" + authority
     assert PUBLIC_URL.search(url), url
 
 
