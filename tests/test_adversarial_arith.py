@@ -137,3 +137,91 @@ def test_arithmetic_agreement_pins(spark):
         " FROM (VALUES ('b'), ('a'), ('c')) t(x)"
     ).fetchone()[0]
     assert s_agg == d_agg == "a,b,c"
+
+
+def test_bool_and_double_cast_accept_sets_diverge(spark):
+    """String->BOOLEAN and string->DOUBLE accept sets, round-13 addition
+    completing the accept-set series (string->BIGINT lives in the events
+    gate, date strings in the temporal gate). Every cell measured with
+    try_cast/TRY_CAST — all divergences are SILENT value-vs-NULL flips,
+    the row-dropper class.
+
+    BOOLEAN: Spark accepts the Postgres-ish extended set (y/n/yes/no)
+    and TRIMS whitespace first; DuckDB accepts only t/f/true/false/1/0
+    and does NOT trim — so ' true ' is TRUE in Spark, NULL in DuckDB.
+    Agreement: t/f/true/false/1/0 case-insensitive, '2' and on/off
+    are NULL in both. Portable recipe: a CASE over lower(trim(x)) IN
+    ('true','t','1') / ('false','f','0') — explicit, engine-blind.
+
+    DOUBLE: Spark inherits Java parsing — HEX FLOATS ('0x1p3' = 8.0)
+    and type SUFFIXES ('1d' = 1.0, '1.5f' = 1.5) cast silently;
+    DuckDB NULLs all three but accepts UNDERSCORE separators
+    ('1_000' = 1000.0) that Spark NULLs. Both engines trim doubles
+    (note the asymmetry: DuckDB trims doubles but not booleans) and
+    agree on inf/infinity/+Inf/nan spellings, exponents, and bare
+    leading/trailing dots. Portable recipe: gate behind the strict
+    decimal regexp (same pattern bytes both engines) before casting —
+    the q60 integral-regexp recipe generalized to doubles."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    # BOOLEAN: the divergent cells (Spark value, DuckDB NULL)
+    s = spark.sql(
+        "SELECT try_cast('y' AS BOOLEAN) AS y, try_cast('no' AS BOOLEAN) AS no,"
+        "       try_cast(' true ' AS BOOLEAN) AS pad"
+    ).collect()[0]
+    assert (s.y, s.no, s.pad) == (True, False, True)
+    for v in ("y", "no", " true "):
+        assert con.execute(f"SELECT TRY_CAST('{v}' AS BOOLEAN)").fetchone()[0] is None
+    # the agreeing core set
+    for v, want in [("t", True), ("F", False), ("TRUE", True), ("false", False),
+                    ("1", True), ("0", False), ("2", None), ("on", None)]:
+        got_s = spark.sql(f"SELECT try_cast('{v}' AS BOOLEAN) AS v").collect()[0].v
+        got_d = con.execute(f"SELECT TRY_CAST('{v}' AS BOOLEAN)").fetchone()[0]
+        assert got_s == got_d == want or (got_s is None and got_d is None and want is None), v
+    # the portable CASE recipe agrees on every probed cell
+    probe = ("y", "no", " true ", "t", "F", "TRUE", "false", "1", "0", "2", "on")
+    case = ("CASE WHEN lower(trim({x})) IN ('true','t','1') THEN true "
+            "WHEN lower(trim({x})) IN ('false','f','0') THEN false END")
+    for v in probe:
+        got_s = spark.sql(
+            f"SELECT {case.format(x=repr(v))} AS v"
+        ).collect()[0].v
+        got_d = con.execute(f"SELECT {case.format(x=repr(v))}").fetchone()[0]
+        assert got_s == got_d, v
+
+    # DOUBLE: Spark's Java-isms are silent values, DuckDB NULLs them
+    s = spark.sql(
+        "SELECT try_cast('0x1p3' AS DOUBLE) AS hx, try_cast('1d' AS DOUBLE) AS sd,"
+        "       try_cast('1.5f' AS DOUBLE) AS sf, try_cast('1_000' AS DOUBLE) AS us"
+    ).collect()[0]
+    assert (s.hx, s.sd, s.sf) == (8.0, 1.0, 1.5)  # ! Java hex float + suffixes
+    assert s.us is None
+    d = con.execute(
+        "SELECT TRY_CAST('0x1p3' AS DOUBLE), TRY_CAST('1d' AS DOUBLE),"
+        "       TRY_CAST('1.5f' AS DOUBLE), TRY_CAST('1_000' AS DOUBLE)"
+    ).fetchone()
+    assert d[:3] == (None, None, None)
+    assert d[3] == 1000.0  # ! underscore separators, DuckDB-only
+    # agreeing cells: inf/nan spellings, exponent, bare dots, trimmed pad
+    agree = [("inf", math.inf), ("infinity", math.inf), ("+Inf", math.inf),
+             ("1e3", 1000.0), (".5", 0.5), ("5.", 5.0), (" 2.5 ", 2.5)]
+    for v, want in agree:
+        got_s = spark.sql(f"SELECT try_cast('{v}' AS DOUBLE) AS v").collect()[0].v
+        got_d = con.execute(f"SELECT TRY_CAST('{v}' AS DOUBLE)").fetchone()[0]
+        assert got_s == got_d == want, v
+    assert math.isnan(
+        spark.sql("SELECT try_cast('NaN' AS DOUBLE) AS v").collect()[0].v
+    ) and math.isnan(con.execute("SELECT TRY_CAST('NaN' AS DOUBLE)").fetchone()[0])
+    # the strict-regexp guard (same pattern bytes both engines) keeps
+    # every Java-ism and separator out; inf/nan handled explicitly
+    pat = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    for v in ("0x1p3", "1d", "1.5f", "1_000", "1.5", "1e3", ".5", "5."):
+        s_ok = spark.sql(
+            f"SELECT '{v}' rlike '{pat.replace(chr(92), chr(92)*2)}' AS v"
+        ).collect()[0].v
+        d_ok = con.execute(
+            "SELECT regexp_matches(?, ?)", [v, pat]
+        ).fetchone()[0]
+        assert s_ok == d_ok == (v in ("1.5", "1e3", ".5", "5.")), v
