@@ -343,3 +343,59 @@ def test_engine_session_runs_ansi_enabled(spark):
     would turn decimal overflow into silent NULL and bigint overflow
     into silent wraparound — this test makes that drift loud."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_rollup_null_key_grouping_disambiguation_agrees(spark):
+    """ROLLUP/CUBE over a NULL-bearing key, round-13 agreement pin: a
+    data-NULL group row and the rollup-indicator NULL are rendered
+    identically in both engines (same k=NULL, disambiguated ONLY by
+    GROUPING()), GROUPING() numbering matches bit-for-bit, and Spark's
+    GROUPING_ID() is the same (ga,gb) bit pack as composing DuckDB's
+    per-column GROUPING bits — the basis on which the q03/q04/q05
+    oracles stay safe if the fixture ever grows NULL group keys. (The
+    oracle harness compares hashes column-wise, so the indicator column
+    must ride along whenever a grouped key is nullable.)"""
+    import duckdb as _duck
+
+    sql = (
+        "SELECT k, GROUPING(k) AS g, count(*) AS n "
+        "FROM {src} GROUP BY ROLLUP(k) ORDER BY g, k NULLS FIRST"
+    )
+    s = [
+        tuple(r)
+        for r in spark.sql(
+            sql.format(src="VALUES ('a'), (NULL), (NULL) t(k)")
+        ).collect()
+    ]
+    d = _duck.connect().execute(
+        sql.format(src="(VALUES ('a'), (NULL), (NULL)) t(k)")
+    ).fetchall()
+    assert s == d == [(None, 0, 2), ("a", 0, 1), (None, 1, 3)]
+
+    cube = (
+        "SELECT a, b, GROUPING(a) AS ga, GROUPING(b) AS gb "
+        "FROM {src} GROUP BY CUBE(a, b) "
+        "ORDER BY ga, gb, a NULLS FIRST, b NULLS FIRST"
+    )
+    s2 = [
+        tuple(r)
+        for r in spark.sql(
+            cube.format(src="VALUES (1, CAST(NULL AS INT)) t(a, b)")
+        ).collect()
+    ]
+    d2 = _duck.connect().execute(
+        cube.format(src="(VALUES (1, NULL::INT)) t(a, b)")
+    ).fetchall()
+    assert s2 == d2 == [
+        (1, None, 0, 0), (1, None, 0, 1), (None, None, 1, 0), (None, None, 1, 1)
+    ]
+    # Spark's GROUPING_ID() == (ga << 1) | gb on the same rows
+    gids = [
+        r.gid
+        for r in spark.sql(
+            "SELECT GROUPING_ID() AS gid, GROUPING(a) AS ga, GROUPING(b) AS gb"
+            " FROM VALUES (1, CAST(NULL AS INT)) t(a, b) GROUP BY CUBE(a, b)"
+            " ORDER BY ga, gb"
+        ).collect()
+    ]
+    assert gids == [0, 1, 2, 3]
