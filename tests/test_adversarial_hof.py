@@ -298,3 +298,25 @@ def test_no_oracle_uses_implicit_index_lambda():
                 f"...{code[m.start():m.end() + 60]}... — spell the index "
                 "with an explicit range(1, len(..) + 1) instead"
             )
+
+
+def test_array_min_max_edges_agree(spark):
+    """q133's max_word pairing (Spark array_max <-> DuckDB
+    list_aggregate('max')): both engines SKIP NULL elements (unlike the
+    + fold above), return NULL on an empty array, and propagate a NULL
+    array — agreement pinned on every edge, min dual included."""
+    s = spark.sql(
+        "SELECT array_max(array('a', NULL)) AS a,"
+        "       array_max(CAST(array() AS array<string>)) AS b,"
+        "       array_max(CAST(NULL AS array<string>)) AS c,"
+        "       array_min(array('a', NULL)) AS d"
+    ).collect()[0]
+    assert (s.a, s.b, s.c, s.d) == ("a", None, None, "a")
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT list_aggregate(['a', NULL], 'max'),"
+        "       list_aggregate([]::VARCHAR[], 'max'),"
+        "       list_aggregate(NULL::VARCHAR[], 'max'),"
+        "       list_aggregate(['a', NULL], 'min')"
+    ).fetchone()
+    assert d == ("a", None, None, "a")
