@@ -320,3 +320,71 @@ def test_array_min_max_edges_agree(spark):
         "       list_aggregate(['a', NULL], 'min')"
     ).fetchone()
     assert d == ("a", None, None, "a")
+
+
+def test_dot_product_pair_bit_agrees_on_random_vector_sweep(
+    spark, tmp_path_factory
+):
+    """Randomized underwrite of the ANN oracle family's exactness claim
+    (same discipline as the corpus gate's random-unicode sweeps): 200
+    random double-vector pairs over HOSTILE magnitude regimes — mixed
+    1e±16 spreads that round away small addends (summation-order
+    sensitive), denormal-scale components, negative zeros, exact
+    cancellations — written ONCE as parquet and read by both engines,
+    so the compare is over identical stored bits, not two literal
+    parsers. The Spark fold (`similarity.py:81`) and the DuckDB
+    range-indexed list_sum oracle (`similarity.py:176`) must agree
+    BIT-FOR-BIT on every pair: any reassociation, compensation, or
+    NULL-handling difference in either engine's fold surfaces as a
+    payload mismatch here long before a fixture could expose it."""
+    import random
+    import struct
+
+    rng = random.Random(13)
+    dim = 16
+
+    def vec(regime):
+        if regime == 0:  # plain
+            return [rng.uniform(-1, 1) for _ in range(dim)]
+        if regime == 1:  # magnitude spread: big terms swallow small ones
+            return [
+                rng.choice([1.0, -1.0]) * (10.0 ** rng.randint(-16, 16))
+                for _ in range(dim)
+            ]
+        if regime == 2:  # denormal-scale components
+            return [rng.uniform(-1, 1) * 5e-324 * rng.randint(1, 1 << 30)
+                    for _ in range(dim)]
+        # exact-cancellation pairs + negative zeros
+        half = [rng.uniform(-1e8, 1e8) for _ in range(dim // 2)]
+        v = half + [-h for h in half]
+        v[rng.randrange(dim)] = -0.0
+        return v
+
+    rows = [
+        (i, vec(i % 4), vec((i + 1) % 4)) for i in range(200)
+    ]
+    p = str(tmp_path_factory.mktemp("hofdot") / "vecs.parquet")
+    spark.createDataFrame(
+        rows, "id int, a array<double>, b array<double>"
+    ).coalesce(1).write.parquet(p)
+
+    s_rows = spark.sql(
+        "SELECT id, aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,"
+        " (s, v) -> s + v) AS dot"
+        f" FROM parquet.`{p}` ORDER BY id"
+    ).collect()
+    con = duckdb.connect()
+    d_rows = con.execute(
+        "SELECT id, list_sum(list_transform(range(1, len(a) + 1),"
+        " i -> a[i] * b[i]))::DOUBLE AS dot"
+        f" FROM read_parquet('{p}/*.parquet') ORDER BY id"
+    ).fetchall()
+    assert len(s_rows) == len(d_rows) == 200
+    mism = []
+    for srow, (did, ddot) in zip(s_rows, d_rows):
+        assert srow.id == did
+        sb = struct.pack("<d", srow.dot)
+        db = struct.pack("<d", ddot)
+        if sb != db:
+            mism.append((srow.id, srow.dot, ddot))
+    assert not mism, f"{len(mism)} bit mismatches, first: {mism[:3]}"
