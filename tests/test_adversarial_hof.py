@@ -45,7 +45,14 @@ Spark's ``reduce`` is a true alias of ``aggregate``. Spark's
 array_sort comparator lambda has no DuckDB counterpart (list_sort
 binds no lambda) AND silently no-ops when the comparator returns NULL
 (a NULL-blind CASE comparator leaves the array unsorted) — oracle-
-paired queries use natural-order sorts only.
+paired queries use natural-order sorts only. array_max/min <->
+list_aggregate('max'/'min') agree on every NULL/empty edge (they SKIP
+null elements, unlike the + fold). A 200-pair randomized sweep over
+shared parquet bytes (hostile magnitude regimes: 1e+/-16 spreads,
+denormals, exact cancellations, negative zeros) proves the shipping
+dot-product pair bit-identical beyond the fixture's distribution.
+Plus a dialect lint: no oracle may use the implicit (1-based) two-arg
+index lambda — the explicit range(1, len+1) spelling names its base.
 """
 
 from __future__ import annotations
