@@ -40,14 +40,24 @@ PUBLIC_URL = re.compile(
     rf"([a-z0-9-]+\.)*example\.(com|org|net){_END}|"
     rf"([a-z0-9-]+\.)+example{_END})|"
     # unicode-label fixture hosts ONLY under the reserved .example TLD
-    # (the IDN case-fold sweep): scan the whole authority — no '/', '@',
-    # or whitespace — and require it to end at .example
-    rf"[^\s/@]*[^\x00-\x7f][^\s/@]*\.example{_END}|"
-    rf"localhost{_END}|127\.0\.0\.1|host{_END}|"
+    # (the IDN case-fold sweep): scan the whole AUTHORITY — no '/', '@',
+    # whitespace, or the '?#:' delimiters that would let the scan slip
+    # past the host into a query/fragment/port to find '.example' there
+    # (round-13 review: a no-path private IDN host whose query string
+    # mentions .example must still flag) — and require the authority
+    # itself to end at .example
+    rf"[^\s/@?#:]*[^\x00-\x7f][^\s/@?#:]*\.example{_END}|"
+    rf"localhost{_END}|127\.0\.0\.1{_END}|host{_END}|"
     rf"([a-z0-9-]+\.)*apache\.org{_END}|"
-    r"github\.com|raw\.githubusercontent\.com|arxiv\.org|doi\.org|"
-    r"duckdb\.org|docs\.python\.org|en\.wikipedia\.org|"
-    r"dl\.acm\.org|research\.google\b|openreview\.net|aclanthology\.org"
+    # every doc-citation host gets the SAME end-of-authority anchor as
+    # example/apache (round-13 review: the unanchored tokens re-opened
+    # the decoy classes — github.com@internal.corp, duckdb.org.evil.corp
+    # — that _END was added to close)
+    rf"github\.com{_END}|raw\.githubusercontent\.com{_END}|"
+    rf"arxiv\.org{_END}|doi\.org{_END}|"
+    rf"duckdb\.org{_END}|docs\.python\.org{_END}|en\.wikipedia\.org{_END}|"
+    rf"dl\.acm\.org{_END}|research\.google{_END}|openreview\.net{_END}|"
+    rf"aclanthology\.org{_END}"
     r"))[A-Za-z0-9.-]+",
     re.IGNORECASE,
 )

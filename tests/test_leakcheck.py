@@ -46,6 +46,19 @@ from leakcheck import PUBLIC_URL  # noqa: E402
         # plain private hosts (must FLAG)
         "internal.corp.net/x",
         "user:p@internal.corp",
+        # round-13 review: decoys built from the DOC-CITATION tokens,
+        # which lacked the end-of-authority anchor the example/apache
+        # tokens got (must FLAG)
+        "github.com@internal-secret.corp/x",
+        "github.com.internal-secret.corp/x",
+        "duckdb.org.evil.corp/x",
+        "research.google.evil.corp/x",
+        "127.0.0.1.evil.corp/x",
+        # round-13 review: '.example' in the QUERY of a no-path private
+        # IDN host must not whitelist the host (must FLAG)
+        "sécret-internal.corp?x=.example",
+        "sécret-internal.corp#.example",
+        "sécret-internal.corp:8080?.example",
     ],
 )
 def test_private_hosts_always_flag(authority):
