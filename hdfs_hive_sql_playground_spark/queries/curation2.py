@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
-from hdfs_hive_sql_playground_spark.queries.dedup import _words
+from hdfs_hive_sql_playground_spark.queries.dedup import (
+    _words,
+    default_content_key,
+)
 from hdfs_hive_sql_playground_spark.tables import load
 
 # Deterministic stand-in for a benchmark suite's n-gram probe index
@@ -125,7 +128,7 @@ def q108_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q109_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    h = default_content_key(F.col("text")).alias("content_hash")
     corpus = d.filter(F.col("doc_id") % 10 != 0).select(h)
     batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
     fresh = batch.join(corpus, "content_hash", "left_anti")

@@ -96,6 +96,41 @@ def _dedup_groups(d: DataFrame, key: Column) -> DataFrame:
     )
 
 
+# The dedup-KEY recipes are exported as named helpers for the same
+# one-place-edit reason as _dedup_groups above: the batch queries
+# (q80/q109/q145/q146), the streaming ingest's default/opt-in
+# content_key, and any corpus_hashes builder must all spell the SAME
+# key, or history dedup silently misses (the content_key docstring's
+# own warning). A recipe change (as the round-12 trim-class alignment
+# was) edits these three definitions, not every call site.
+
+
+def content_norm(col: Column) -> Column:
+    """The shared pre-hash normalization: lowercase + ASCII-space trim
+    (= DuckDB ``lower(trim(x, ' '))``, the round-12 aligned class)."""
+    return F.lower(F.trim(col))
+
+
+def default_content_key(col: Column) -> Column:
+    """The byte-exact content key (q80/q109 and the streaming default):
+    md5 over :func:`content_norm`. NFC/NFD twins stay distinct by
+    pinned posture (docs/VERIFICATION.md "NFC/NFD")."""
+    return F.md5(content_norm(col))
+
+
+def nfc_content_key(col: Column) -> Column:
+    """The q145 opt-in: NFC normalize-before-hash (one Arrow pass)."""
+    return F.md5(content_norm(nfc_normalize_col(col)))
+
+
+def width_fold_key(col: Column) -> Column:
+    """The q146 opt-in: width/confusable fold before the hash (pure
+    JVM translate; the 1:1 SQL-expressible subset of NFKC)."""
+    return F.md5(
+        content_norm(F.translate(col, WIDTH_FOLD_FROM, WIDTH_FOLD_TO))
+    )
+
+
 @register(
     "q80_exact_dedup",
     oracle=_DEDUP_ORACLE_TEMPLATE.format(
@@ -111,7 +146,7 @@ def _dedup_groups(d: DataFrame, key: Column) -> DataFrame:
 )
 def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return _dedup_groups(d, F.md5(F.lower(F.trim(F.col("text")))))
+    return _dedup_groups(d, default_content_key(F.col("text")))
 
 
 # ---------------------------------------------------------------------------
@@ -165,9 +200,7 @@ def nfc_normalize_col(col: Column) -> Column:
 )
 def q145_nfc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return _dedup_groups(
-        d, F.md5(F.lower(F.trim(nfc_normalize_col(F.col("text")))))
-    )
+    return _dedup_groups(d, nfc_content_key(F.col("text")))
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +239,7 @@ _WIDTH_FOLD_TO_SQL = WIDTH_FOLD_TO.replace("'", "''")
 )
 def q146_width_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    folded = F.translate(F.col("text"), WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
-    return _dedup_groups(d, F.md5(F.lower(F.trim(folded))))
+    return _dedup_groups(d, width_fold_key(F.col("text")))
 
 
 # ---------------------------------------------------------------------------

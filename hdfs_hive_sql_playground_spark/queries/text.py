@@ -25,6 +25,7 @@ from hdfs_hive_sql_playground_spark.queries.dedup import (
     _synth_url,
     _token_hash32,
     _words,
+    content_norm,
 )
 from hdfs_hive_sql_playground_spark.tables import load
 
@@ -1855,7 +1856,7 @@ def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _canonical_url(_synth_url()).alias("canonical_url"),
         F.regexp_extract(_synth_html(), "<p>((?s:.*))</p>", 1).alias("__content"),
     )
-    norm = F.lower(F.trim(F.col("__content")))
+    norm = content_norm(F.col("__content"))
     nw = F.size(F.split(norm, " ")).cast("bigint")
     base = ex.select(
         "doc_id",

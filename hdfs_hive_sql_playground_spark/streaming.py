@@ -243,7 +243,10 @@ def crawl_front_stream(
     O(pages per watermark window); the quality gate is stateless
     projection. Stage order matches DEPLOYMENT_100TB §8: each stage sees
     only the prior stage's survivors."""
-    from hdfs_hive_sql_playground_spark.queries.dedup import _canonical_url
+    from hdfs_hive_sql_playground_spark.queries.dedup import (
+        _canonical_url,
+        content_norm,
+    )
     from hdfs_hive_sql_playground_spark.queries.text import (
         CRAWL_MIN_WCHARS,
         CRAWL_MIN_WORDS,
@@ -253,7 +256,7 @@ def crawl_front_stream(
         min_words = CRAWL_MIN_WORDS
     if min_word_chars is None:
         min_word_chars = CRAWL_MIN_WCHARS
-    norm = F.lower(F.trim(F.col(text_col)))
+    norm = content_norm(F.col(text_col))
     nw = F.size(F.split(norm, " ")).cast("bigint")
     mw = F.floor(
         (F.length(norm) - (nw - F.lit(1))) / nw
@@ -311,12 +314,15 @@ def incremental_ingest_stream(
     position. Cites the reference's batch-only scope
     (/root/reference/README.md:179-181): streams are pure headroom.
 
-    ``content_key`` swaps the dedup-key recipe (default: the byte-exact
-    ``md5(lower(trim(text)))``, per the pinned NFC/NFD posture) — pass
-    e.g. the q146 width fold or the q145 NFC normalize built on
-    ``text_col``. The caller owns recipe CONSISTENCY: ``corpus_hashes``
+    ``content_key`` swaps the dedup-key recipe (default:
+    ``dedup.default_content_key``, the byte-exact recipe per the pinned
+    NFC/NFD posture) — pass ``dedup.width_fold_key(F.col(text_col))``
+    or ``dedup.nfc_content_key(F.col(text_col))`` for the q146/q145
+    variants. The caller owns recipe CONSISTENCY: ``corpus_hashes``
     must be built with the same recipe, or history dedup silently
-    misses (the same contract the batch q109 pair documents)."""
+    misses (the same contract the batch q109 pair documents) — which
+    is exactly why the recipes ship as named helpers in
+    ``queries/dedup.py`` instead of being re-spelled per site."""
     from hdfs_hive_sql_playground_spark.queries.curation2 import PROBE_N, PROBES
 
     if probe_grams is None:
@@ -374,7 +380,11 @@ def incremental_ingest_stream(
             f"input on {ts_col!r} (or pass ts_col={wm_cols[0]!r})."
         )
     if content_key is None:
-        content_key = F.md5(F.lower(F.trim(F.col(text_col))))
+        from hdfs_hive_sql_playground_spark.queries.dedup import (
+            default_content_key,
+        )
+
+        content_key = default_content_key(F.col(text_col))
     staged = docs.withColumn("content_hash", content_key).join(
         corpus_hashes.select("content_hash"), "content_hash", "left_anti"
     )

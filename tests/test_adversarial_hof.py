@@ -298,8 +298,11 @@ def test_no_oracle_uses_implicit_index_lambda():
             continue
         code = "\n".join(l.split("--", 1)[0] for l in spec.oracle.splitlines())
         for m in implicit.finditer(code):
-            # struct-pair lambdas over map_entries don't index; only an
-            # `i`-style second param binds the 1-based position
+            # in DuckDB's list functions a second lambda parameter ALWAYS
+            # binds the 1-based element index — there is no two-arg
+            # struct-pair form (map-entry logic is spelled single-arg
+            # over map_entries, as q134's oracle does) — so every match
+            # here is the indexing form and unconditionally flagged
             raise AssertionError(
                 f"{name} oracle uses a two-arg (1-based index) lambda at: "
                 f"...{code[m.start():m.end() + 60]}... — spell the index "

@@ -680,12 +680,8 @@ def test_streaming_incremental_ingest_width_fold_key(spark, tmp_path):
     import datetime
 
     from hdfs_hive_sql_playground_spark.queries.dedup import (
-        WIDTH_FOLD_FROM,
-        WIDTH_FOLD_TO,
+        width_fold_key as fold_key,
     )
-
-    def fold_key(col):
-        return F.md5(F.lower(F.trim(F.translate(col, WIDTH_FOLD_FROM, WIDTH_FOLD_TO))))
 
     t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
     known = "row filter join the window group"
