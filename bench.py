@@ -742,9 +742,7 @@ def _bench_doc_trend(spark, sf_dir: str, timings: dict[str, float]) -> None:
             )
 
 
-def _bench_q124_trend_subprocess(
-    spark, sf_dir: str, timings: dict[str, float]
-) -> bool:
+def _bench_q124_trend_subprocess(timings: dict[str, float]) -> bool:
     """Run the q124 legs in a fresh child JVM (--q124-trend-only).
 
     Returns True if the caller must run the in-session fallback INSTEAD —
@@ -1065,7 +1063,7 @@ def main() -> None:
         m33_trend_in_session = _bench_m33_trend_subprocess(timings)
     q124_in_session = False
     if run_trend:
-        q124_in_session = _bench_q124_trend_subprocess(spark, sf_dir, timings)
+        q124_in_session = _bench_q124_trend_subprocess(timings)
 
     # BASELINE.md-comparable m33 headlines first, in a quiesced JVM — these
     # are the numbers judged directly against the reference.

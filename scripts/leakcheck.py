@@ -31,23 +31,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Apache/public-doc sites cited for provenance.
 # END marks the end of the authority: the whitelisted host must be
 # followed by a path/port/end — NOT by '@' (which would make it a
-# userinfo decoy in front of a private host), another label char, or a
-# further dotted label (example.com.evil.corp must flag).
-_END = r"(?![.@a-z0-9-])"
+# userinfo decoy in front of a private host), another label char
+# (ASCII *or* non-ASCII: the round-13 high-review found that an IDN
+# char glued to a whitelisted token — example.comü.evil.corp —
+# slipped the ASCII-only anchor), or a further dotted label
+# (example.com.evil.corp must flag).
+_END = r"(?![.@a-z0-9-]|[^\x00-\x7f])"
+# Characters that can legitimately appear inside a hostname label:
+# ASCII label chars, dots, or non-ASCII (IDN). An ALLOWLIST, not a
+# delimiter denylist — the round-13 high-review showed any delimiter
+# left off a denylist (comma, quote, paren ...) let the IDN whitelist
+# scan slurp trailing prose to find '.example'.
+_HOST_CHARS = r"(?:[a-z0-9.-]|[^\x00-\x7f])"
 PUBLIC_URL = re.compile(
     r"https?://(?!("
     r"([a-z0-9:._-]+@)?("
     rf"([a-z0-9-]+\.)*example\.(com|org|net){_END}|"
     rf"([a-z0-9-]+\.)+example{_END})|"
     # unicode-label fixture hosts ONLY under the reserved .example TLD
-    # (the IDN case-fold sweep): scan the whole AUTHORITY — no '/', '@',
-    # whitespace, or the '?#:' delimiters that would let the scan slip
-    # past the host into a query/fragment/port to find '.example' there
-    # (round-13 review: a no-path private IDN host whose query string
-    # mentions .example must still flag) — and require the authority
-    # itself to end at .example
-    rf"[^\s/@?#:]*[^\x00-\x7f][^\s/@?#:]*\.example{_END}|"
+    # (the IDN case-fold sweep): the authority is a run of HOST chars
+    # (allowlist above — cannot cross whitespace, quotes, commas,
+    # parens, '?#:' or any other delimiter into a query string or
+    # trailing prose) containing at least one non-ASCII char and
+    # ending at .example
+    rf"{_HOST_CHARS}*[^\x00-\x7f]{_HOST_CHARS}*\.example{_END}|"
     rf"localhost{_END}|127\.0\.0\.1{_END}|host{_END}|"
+    # the RFC 3849 IPv6 documentation prefix (the only bracket-literal
+    # fixture class; any other IPv6 literal must flag)
+    r"\[2001:db8:[0-9a-f:.]*\]|"
     rf"([a-z0-9-]+\.)*apache\.org{_END}|"
     # every doc-citation host gets the SAME end-of-authority anchor as
     # example/apache (round-13 review: the unanchored tokens re-opened
@@ -58,7 +69,12 @@ PUBLIC_URL = re.compile(
     rf"duckdb\.org{_END}|docs\.python\.org{_END}|en\.wikipedia\.org{_END}|"
     rf"dl\.acm\.org{_END}|research\.google{_END}|openreview\.net{_END}|"
     rf"aclanthology\.org{_END}"
-    r"))[A-Za-z0-9.-]+",
+    # the flagging matcher must be able to MATCH any authority the
+    # lookahead rejected: ASCII host chars, IDN chars, ports, and IPv6
+    # bracket literals (round-13 high-review: the old ASCII-only
+    # matcher could not even match a leading-non-ASCII or '['-literal
+    # authority, so those private hosts shipped unflagged)
+    rf"))(?:{_HOST_CHARS}|[\[\]:])+",
     re.IGNORECASE,
 )
 

@@ -102,7 +102,7 @@ def test_q124_trend_subprocess_merges_child_dict(monkeypatch):
     }
     monkeypatch.setattr(bench, "_run_bench_child", lambda argv, t, timeout: dict(child))
     timings = {}
-    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is False
+    assert bench._bench_q124_trend_subprocess(timings) is False
     assert timings == child
 
 
@@ -121,7 +121,7 @@ def test_q124_trend_subprocess_defers_fallback_on_dead_child(monkeypatch, capsys
         ),
     )
     timings = {}
-    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is True
+    assert bench._bench_q124_trend_subprocess(timings) is True
     assert timings == {}
     assert "deferring" in capsys.readouterr().err
 
@@ -140,7 +140,7 @@ def test_q124_trend_subprocess_honors_skip_subprocess_legs(monkeypatch):
         ),
     )
     timings = {}
-    assert bench._bench_q124_trend_subprocess(object(), "/sf", timings) is True
+    assert bench._bench_q124_trend_subprocess(timings) is True
     assert timings == {}
 
 

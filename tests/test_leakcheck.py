@@ -59,6 +59,20 @@ from leakcheck import PUBLIC_URL  # noqa: E402
         "sécret-internal.corp?x=.example",
         "sécret-internal.corp#.example",
         "sécret-internal.corp:8080?.example",
+        # round-13 high-review: an IDN char GLUED to a whitelisted token
+        # must not end the authority early (must FLAG)
+        "example.comü.evil.corp/creds",
+        "github.comévil.corp/x",
+        # round-13 high-review: authorities the old ASCII matcher could
+        # not even match (must FLAG)
+        "ünternal.corp/secret",
+        "挖矿.corp/secret",
+        "[fd00::1]/secret",
+        # round-13 high-review: non-'?#:' delimiters (comma, quote,
+        # paren) must not let the IDN scan slurp prose to '.example'
+        "intérnal.corp,foo.example",
+        'intérnal.corp".example',
+        "intérnal.corp)x.example",
     ],
 )
 def test_private_hosts_always_flag(authority):
