@@ -398,3 +398,43 @@ def test_dot_product_pair_bit_agrees_on_random_vector_sweep(
         if sb != db:
             mism.append((srow.id, srow.dot, ddot))
     assert not mism, f"{len(mism)} bit mismatches, first: {mism[:3]}"
+
+
+def test_array_serialization_empty_vs_null_diverges(spark):
+    """The serialization layer every array-valued oracle compares
+    through (Spark array_join <-> DuckDB array_to_string): NULL
+    ELEMENTS are skipped identically — the agreement the q133/q134
+    string-hash compares stand on — but an EMPTY or all-NULL array
+    serializes to '' in Spark and NULL in DuckDB, a silent
+    value-vs-NULL flip. Recipe: COALESCE(array_to_string(..), '') on
+    any possibly-empty column — exactly what q133's primary_colors
+    (the one intersect column that CAN be empty) already spells; every
+    other registry site is domain-guarded (split() output is [''] on
+    an empty string, never [], in BOTH engines — also pinned here).
+    Spark's 3-arg null-replacement form has no DuckDB counterpart."""
+    s = spark.sql(
+        "SELECT array_join(array('a', NULL, 'b'), ',') AS a,"
+        "       array_join(CAST(array() AS array<string>), ',') AS b,"
+        "       array_join(array(CAST(NULL AS STRING), NULL), ',') AS c,"
+        "       array_join(CAST(NULL AS array<string>), ',') AS d,"
+        "       array_join(array('a', NULL), ',', '?') AS e,"
+        "       split('', ' ') AS f"
+    ).collect()[0]
+    assert (s.a, s.b, s.c, s.d, s.e) == ("a,b", "", "", None, "a,?")
+    assert s.f == [""]  # split of empty string: [''], never []
+
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT array_to_string(['a', NULL, 'b'], ','),"
+        "       array_to_string([]::VARCHAR[], ','),"
+        "       array_to_string([NULL, NULL]::VARCHAR[], ','),"
+        "       array_to_string(NULL::VARCHAR[], ','),"
+        "       coalesce(array_to_string([]::VARCHAR[], ','), ''),"
+        "       string_split('', ' ')"
+    ).fetchone()
+    assert d[0] == "a,b"            # null elements skip: agreement
+    assert d[1] is None             # ! empty -> NULL (Spark: '')
+    assert d[2] is None             # ! all-NULL -> NULL (Spark: '')
+    assert d[3] is None
+    assert d[4] == ""               # the coalesce recipe
+    assert d[5] == [""]
