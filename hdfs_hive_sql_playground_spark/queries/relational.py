@@ -1336,8 +1336,11 @@ def q125_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     doc="Hive fuzzy/format string UDFs: levenshtein (edit distance — both "
-    "engines implement the classic Wagner-Fischer definition, asserted "
-    "equal), soundex (the oracle pins the standard algorithm's codes for "
+    "engines implement the classic Wagner-Fischer recurrence, but over "
+    "DIFFERENT alphabets: Spark edits code points, DuckDB UTF-8 bytes, "
+    "so they agree exactly on ASCII only — this query's domain; the "
+    "non-ASCII split is pinned in tests/test_adversarial_strings.py), "
+    "soundex (the oracle pins the standard algorithm's codes for "
     "the five TPC-H segments — an unexpected segment yields NULL and a "
     "hash mismatch, so the mapping is load-bearing), initcap (oracle "
     "emulates via per-word case split), and format_number with thousands "

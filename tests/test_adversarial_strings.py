@@ -358,3 +358,35 @@ def test_string_indexing_is_codepoint_based_across_astral_chars(spark):
         dv = con.execute(f"SELECT {e} FROM astral_idx_t").fetchone()[0]
         assert sv == dv, (e, sv, dv)
     assert sdf.selectExpr("length(t) AS v").collect()[0].v == 5  # 5 code points
+
+
+def test_levenshtein_unit_diverges_beyond_ascii(spark):
+    """levenshtein, round-13 pin behind the q126 pairing: both engines
+    run the classic Wagner-Fischer recurrence but over DIFFERENT
+    alphabets — Spark edits CODE POINTS, DuckDB edits UTF-8 BYTES — so
+    distances agree exactly on ASCII (q126's c_name/c_mktsegment
+    domain) and silently diverge on any non-ASCII text: one accented
+    char costs 2 in DuckDB, an astral emoji 4, a CJK substitution up
+    to 3. There is no spelling-level alignment recipe in DuckDB 1.0.0
+    (no code-point distance function); the recipe is the domain
+    restriction q126 documents, or computing the distance engine-side
+    only."""
+    import duckdb as _duck
+
+    cases = [
+        ("kitten", "sitting", 3, 3),   # ASCII: agreement
+        ("café", "cafe", 1, 2),        # é = 2 UTF-8 bytes
+        ("a\U0001F600b", "ab", 1, 4),  # astral emoji = 4 bytes
+        ("你好", "你号", 1, 2),          # CJK substitution, shared bytes
+    ]
+    con = _duck.connect()
+    for a, b, want_s, want_d in cases:
+        got_s = (
+            spark.createDataFrame([(a, b)], "a string, b string")
+            .selectExpr("levenshtein(a, b) AS v")
+            .collect()[0]
+            .v
+        )
+        got_d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got_s == want_s, (a, b, got_s)
+        assert got_d == want_d, (a, b, got_d)
