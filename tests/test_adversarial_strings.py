@@ -390,3 +390,25 @@ def test_levenshtein_unit_diverges_beyond_ascii(spark):
         got_d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert got_s == want_s, (a, b, got_s)
         assert got_d == want_d, (a, b, got_d)
+
+
+def test_pad_and_ascii_units_agree_in_code_points(spark):
+    """The counter-pin to the levenshtein byte split above: lpad/rpad
+    measure their target length in CODE POINTS in both engines (a CJK
+    or astral pad char counts 1, q125's padding family is unit-safe on
+    any text), truncation to a shorter target agrees, mixed multi-byte
+    pad strings cycle identically, and ascii() returns the first CODE
+    POINT (233 for 'é', 0 for '') in both. After the levenshtein find,
+    no string function's unit is assumed — each is measured."""
+    import duckdb as _duck
+
+    s = spark.sql(
+        "SELECT lpad('你', 3, '好') a, lpad('x', 3, '😀') b,"
+        "       lpad('abc', 2, '0') c, rpad('x', 4, 'éz') d,"
+        "       ascii('é') e, ascii('') f"
+    ).collect()[0]
+    d = _duck.connect().execute(
+        "SELECT lpad('你', 3, '好'), lpad('x', 3, '😀'), lpad('abc', 2, '0'),"
+        "       rpad('x', 4, 'éz'), ascii('é'), ascii('')"
+    ).fetchone()
+    assert tuple(s) == d == ("好好你", "😀😀x", "ab", "xézé", 233, 0)
