@@ -412,3 +412,40 @@ def test_pad_and_ascii_units_agree_in_code_points(spark):
         "       rpad('x', 4, 'éz'), ascii('é'), ascii('')"
     ).fetchone()
     assert tuple(s) == d == ("好好你", "😀😀x", "ab", "xézé", 233, 0)
+
+
+def test_string_reverse_unit_diverges_beyond_ascii(spark):
+    """String reverse, the third entry on the unit axis: Spark reverses
+    CODE POINTS (astral chars survive as units — no surrogate split —
+    but a combining mark detaches from its base and lands on the
+    preceding character, and a ZWJ emoji sequence shatters into its
+    components in reverse order) while DuckDB reverses GRAPHEME
+    CLUSTERS (the composed sequence moves as one unit). Exact
+    agreement on ASCII only — q09's oracle uses reverse(p_name) on
+    exactly that domain. No DuckDB code-point-reversal spelling exists;
+    the recipe is the domain restriction."""
+    import duckdb as _duck
+
+    combining = "aéb"            # a, e+combining acute, b
+    zwj = "a\U0001F469‍\U0001F4BB"  # a + woman-technologist
+    row = (
+        spark.createDataFrame([(combining, zwj, "abc")], "x string, y string, z string")
+        .selectExpr("reverse(x) rx", "reverse(y) ry", "reverse(z) rz")
+        .collect()[0]
+    )
+    # code-point reversal: the combining mark now precedes 'e' (it
+    # visually attaches to 'b'), the ZWJ sequence is shattered
+    assert list(row.rx) == ["b", "́", "e", "a"]
+    assert list(row.ry) == ["\U0001F4BB", "‍", "\U0001F469", "a"]
+    assert row.rz == "cba"
+
+    con = _duck.connect()
+    d = con.execute(
+        "SELECT reverse('ae' || chr(769) || 'b'),"
+        "       reverse('a' || chr(128105) || chr(8205) || chr(128187)),"
+        "       reverse('abc')"
+    ).fetchone()
+    # grapheme-cluster reversal: composed units move intact
+    assert d[0] == "béa"
+    assert d[1] == "\U0001F469‍\U0001F4BBa"
+    assert d[2] == "cba"
