@@ -31,11 +31,21 @@ including three divergences a future oracle author would hit silently:
   the constraint on oracle SQL is explicit.
 
 Where the engines AGREE the pins keep them honest: code-point (not
-UTF-16, not grapheme) semantics for length/substring/instr/reverse/
-lpad/ascii including astral-plane emoji and ZWJ sequences; binary
+UTF-16, not grapheme) semantics for length/substring/instr/lpad/rpad/
+ascii/translate including astral-plane emoji and ZWJ sequences; binary
 (codepoint-order) collation for comparisons; NFC vs NFD never merging
 in keys (both engines are normalization-blind); root-locale case
 mapping (no Turkish-i surprise).
+
+Round 13 mapped the UNIT AXIS function-by-function, because it turned
+out unit semantics cannot be assumed even within one engine's library:
+levenshtein edits code points in Spark but UTF-8 BYTES in DuckDB
+(silent distance split beyond ASCII), string reverse moves code points
+in Spark but GRAPHEME CLUSTERS in DuckDB (a single astral char is a
+degenerate cluster, which is why the agreement pin above still holds —
+combining marks and ZWJ sequences are where they part), while
+lpad/rpad/ascii/translate measure code points in BOTH (translate's
+agreement is what makes q146's width-fold key portable).
 
 All non-ASCII fixture strings are built from explicit escapes so the
 test file itself cannot be corrupted by editor/tooling normalization.
@@ -449,3 +459,37 @@ def test_string_reverse_unit_diverges_beyond_ascii(spark):
     assert d[0] == "béa"
     assert d[1] == "\U0001F469‍\U0001F4BBa"
     assert d[2] == "cba"
+
+
+def test_translate_units_agree_in_code_points(spark):
+    """translate — the function q146's width-fold dedup key is BUILT on
+    — maps CODE POINTS in both engines on every probed edge: an astral
+    from-char replaces as one unit, a base letter under a combining
+    mark replaces leaving the mark in place (identical code-point
+    sequences), the delete form (to shorter than from) drops unmatched
+    chars identically, and CJK maps agree. This is the measured
+    agreement that makes the width-fold recipe (fullwidth -> ASCII, a
+    94-char astral-free map) portable; with levenshtein and reverse
+    both unit-divergent, it is measured, not assumed."""
+    import duckdb as _duck
+
+    # the combining case must be DECOMPOSED (a, e, U+0301, b) so the
+    # bare base letter 'e' exists to be mapped — a precomposed é is a
+    # different code point and correctly passes through untouched
+    s = spark.createDataFrame(
+        [("a\U0001F600b", "aéb", "abc", "你好")],
+        "w string, x string, y string, z string",
+    ).selectExpr(
+        "translate(w, '\U0001F600', 'X') a",
+        "translate(x, 'e', 'X') b",
+        "translate(y, 'b', '') c",
+        "translate(z, '好', '号') d",
+    ).collect()[0]
+    con = _duck.connect()
+    d = con.execute(
+        "SELECT translate('a' || chr(128512) || 'b', chr(128512), 'X'),"
+        "       translate('ae' || chr(769) || 'b', 'e', 'X'),"
+        "       translate('abc', 'b', ''),"
+        "       translate('你好', '好', '号')"
+    ).fetchone()
+    assert (s.a, s.b, s.c, s.d) == d == ("aXb", "aX\u0301b", "ac", "你号")
