@@ -438,3 +438,80 @@ def test_array_serialization_empty_vs_null_diverges(spark):
     assert d[3] is None
     assert d[4] == ""               # the coalesce recipe
     assert d[5] == [""]
+
+
+def test_oracle_function_vocabulary_is_audited():
+    """Meta-lint institutionalizing the adversarial program: every
+    function name appearing in ANY registry oracle must be on the
+    audited list below — the vocabulary the cross-engine gates have
+    measured (or whose agreement a fixture-green query pins). Adding
+    new oracle vocabulary fails this test until the name is added HERE,
+    which is the reviewer's cue to ask: is its cross-engine contract
+    (NULL posture, unit semantics, accept set, rounding mode) measured
+    by a gate, domain-guarded, or silently assumed? The round-13 unit
+    axis (levenshtein bytes, reverse graphemes) shows 'same name, same
+    fixture answer' is not evidence of 'same function'."""
+    import re
+
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+
+    audited = {
+        # aggregates / windows
+        "count", "sum", "min", "max", "avg", "string_agg", "list",
+        "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or",
+        "quantile_cont", "row_number", "rank", "dense_rank", "ntile",
+        "percent_rank", "cume_dist", "lag", "lead", "first_value",
+        "last_value", "nth_value", "grouping", "rollup", "cube", "sets",
+        # math
+        "abs", "ceil", "floor", "round", "sqrt", "ln", "pow", "xor",
+        "bit_count", "greatest", "least", "nullif",
+        # strings (unit axis mapped round 13)
+        "length", "len", "lower", "upper", "trim", "substr", "strpos",
+        "concat", "concat_ws", "replace", "repeat", "reverse", "lpad",
+        "rpad", "ascii", "ord", "translate", "levenshtein", "format",
+        "string_split", "string_split_regex", "str_split", "split_part",
+        # regex (dialect gate)
+        "regexp_extract", "regexp_extract_all", "regexp_matches",
+        "regexp_replace",
+        # hashes
+        "md5", "sha256",
+        # temporal (temporal gate)
+        "date_diff", "date_trunc", "dayofweek", "extract", "epoch_us",
+        "year", "month",
+        # lists / maps (HOF + complex gates)
+        "array_to_string", "flatten", "list_aggregate", "list_contains",
+        "list_distinct", "list_filter", "list_intersect", "list_max",
+        "list_min", "list_reverse", "list_sort", "list_sum",
+        "list_transform", "unnest",
+        # json (json gate)
+        "json_extract_string", "json_valid",
+        # casts / misc
+        "cast", "try_cast", "decimal", "coalesce", "nfc_normalize",
+        "read_csv",
+    }
+    # SQL keywords / aliases / table functions that look like calls
+    not_functions = {
+        "values", "over", "filter", "select", "exists", "case", "when",
+        "then", "else", "end", "and", "or", "not", "from", "where",
+        "group", "order", "by", "row", "rows", "range", "interval",
+        "partition", "on", "in", "as", "using", "join", "int", "integer",
+        "bigint", "varchar", "double", "boolean", "date", "timestamp",
+        # one-letter/local aliases used as `alias(...)` in FROM clauses
+        "t", "d", "b", "w", "u", "v", "lex", "probes", "seeds", "reach",
+        "walk",
+    }
+    unknown = set()
+    for name, spec in all_queries().items():
+        if not spec.oracle:
+            continue
+        code = "\n".join(
+            l.split("--", 1)[0] for l in spec.oracle.splitlines()
+        )
+        for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\s*\(", code.lower()):
+            tok = m.group(1)
+            if tok not in audited and tok not in not_functions:
+                unknown.add((name, tok))
+    assert not unknown, (
+        f"unaudited oracle vocabulary (measure its cross-engine contract "
+        f"and add it to the audited list): {sorted(unknown)[:10]}"
+    )
