@@ -357,3 +357,36 @@ def test_emit_records_tail_budget():
     # fit the driver's 2000-char capture with headroom for line breaks
     tail = "\n".join([*norm_lines, headline_line])
     assert len(tail) < 1900, f"tail budget exceeded: {len(tail)} chars"
+
+
+def test_derby_table_lock_export_roundtrips_exactly(spark):
+    """The round-13 export-sink tuning (derby.storage.rowLocking=false —
+    table-level locks for the bulk append) must not change WHAT the export
+    writes: 16 concurrent writers appending to one fresh table under
+    table-level locking round-trip every row and every value exactly.
+    Runs in the shared test JVM, so the property is set the same way the
+    bench sets it (System property before this database's first boot)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.sources.jdbc import (
+        export_jdbc,
+        read_jdbc,
+    )
+
+    bench._tune_derby_sink(spark)
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3 % 997).alias("v"),
+    )
+    url = "jdbc:derby:memory:tablelock_rt;create=true"
+    export_jdbc(df, url, "t", mode="overwrite", num_partitions=16, batchsize=10_000)
+    back = read_jdbc(spark, url, "t")
+    assert back.count() == 100_000
+    got = back.agg(
+        F.sum("k").alias("sk"), F.sum("v").alias("sv"), F.count(F.lit(1))
+    ).first()
+    want = df.agg(
+        F.sum("k").alias("sk"), F.sum("v").alias("sv"), F.count(F.lit(1))
+    ).first()
+    assert tuple(got) == tuple(want)
+    bench._drop_derby_memory(spark, "tablelock_rt")
