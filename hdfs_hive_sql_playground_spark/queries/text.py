@@ -1606,11 +1606,25 @@ def q141_target_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(_shingle_hash48(F.col("w")), F.lit(DSIR_BUCKETS)).alias("bucket"),
     )
-    bcnt = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("t"),
+    from hdfs_hive_sql_playground_spark.caching import track_persist
+
+    # BOUNDED persist (<= DSIR_BUCKETS rows, round 13): bcnt has three
+    # consumers — the broadcast lookup, and the nc/nt totals — and Spark's
+    # exchange reuse cannot unify them because column pruning gives each
+    # consumer a differently-projected aggregation subtree, so the plan
+    # re-derived the ENTIRE token stream (explode + hash + bucket agg)
+    # once per consumer: 3 full token passes where 2 are fundamental
+    # (guide §2.4 — the bucket distribution must exist before per-doc
+    # scoring can use it). Persisting the 4096-row bucket table caps it
+    # at 2 passes at ANY corpus size; measured at sf0.1: 1.42/1.43 ->
+    # 1.31/1.37 s (min-of-4, interleaved A/B), values bit-identical.
+    bcnt = track_persist(
+        tok.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("t"),
+        )
     )
     tot = bcnt.agg(
         F.sum("c").cast("decimal(38,0)").alias("nc"),
