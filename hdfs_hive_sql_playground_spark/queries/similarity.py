@@ -779,7 +779,21 @@ def q124_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if max_cell <= SEMDEDUP_CELL_CAP:
+        # Parallelism floor for the pair stage (guide §2.6 idle capacity):
+        # the probe side inherits the SCAN's partitioning, and a small
+        # embeddings table is one parquet file -> 1-2 partitions, so the
+        # O(sum cell^2) dominance enumeration — 505k pairs at sf0.1 —
+        # serialized onto 1-2 cores while 30 idled (measured 2.1-2.5 s;
+        # 0.3 s after). Round-robin over the narrow cached assignment
+        # rows; the build side is broadcast, so no co-partitioning is
+        # lost. Gated on the actual partition count: at production scale
+        # the scan already carries >= cores partitions and this is a
+        # no-op (the sharded hot-cell branch below has always done the
+        # analogous repartition on its composite key).
+        par = spark.sparkContext.defaultParallelism
         a = assign
+        if a.rdd.getNumPartitions() < par:
+            a = a.repartition(par)
         b = assign.select(
             F.col("vec_id").alias("b_id"),
             F.col("v").alias("bv"),
