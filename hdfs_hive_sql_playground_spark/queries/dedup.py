@@ -1122,23 +1122,27 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = segs.select(
         "doc_id", "pos", _shingle_hash48(F.col("seg")).alias("h")
     )
-    first = hashed.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
-    # shuffle_hash, not the optimizer's broadcast: `first` has one row per
-    # DISTINCT segment hash — corpus-sized, not duplicated-segment-sized —
-    # so letting stats pick broadcast (they do at bench SF) rebuilds a
-    # ~1M-row driver HashedRelation per run (measured bimodal: 1.9 s warm
-    # but 9.5 s under driver-heap pressure) and would flip to SMJ at some
-    # corpus size anyway. The hinted hash join is stats-independent,
-    # key-equi on h with narrow rows on both sides, and A/B-equal warm
-    # (1.93 s vs 1.94 s at the x8 fixture).
+    # First-occurrence resolution as ONE rank over the h exchange (the
+    # oracle's own formulation): every non-first segment occurrence is
+    # rn > 1 under row_number ordered by (doc_id, pos) within h. The
+    # round-3..12 shape — min(struct(doc_id, pos)) per h, then a
+    # shuffle_hash join of the raw hashed stream back against it —
+    # computed the segment explode + 48-bit hash over the whole corpus
+    # TWICE (both join subtrees re-derived `hashed`; exchange reuse
+    # can't unify a partial-aggregate exchange with a raw-row exchange)
+    # and paid a SortAggregate pair on top. The window form explodes and
+    # hashes once, exchanges the same narrow (h, doc_id, pos) rows once,
+    # and sorts once. A/B at the x8 doc fixture (min-of-4, interleaved,
+    # two rounds): 4.87/2.07 s -> 2.55/1.49 s; sf0.1 within noise; rows
+    # bit-identical both scales. Skew profile is unchanged — a
+    # mega-duplicated segment lands its h on one task under either
+    # shape, and rows entering the exchange are identical.
+    from pyspark.sql.window import Window
+
+    w_first = Window.partitionBy("h").orderBy("doc_id", "pos")
     removals = (
-        hashed.join(first.hint("shuffle_hash"), "h")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        hashed.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("__rm"))
     )

@@ -623,8 +623,14 @@ def test_q136_rewrite_join_broadcasts_and_text_never_shuffles(spark, sf_dir):
     # the rewrite join against the full documents scan must be the
     # broadcast (text side streamed, never exchanged)
     assert re.search(r"BroadcastHashJoin \[doc_id#\d+L?\]", p), p
-    # first-occurrence resolution is key-equi on the 48-bit segment hash
-    assert re.search(
+    # first-occurrence resolution is ONE rank over the 48-bit segment-hash
+    # exchange (round-13: replaced the min(struct) + shuffle_hash join,
+    # which re-derived the segment explode+hash for both join subtrees)
+    assert re.search(r"Window \[row_number\(\)", p), p
+    assert re.search(r"hashpartitioning\(h#", p), p
+    # ... and the raw segment stream is exploded+hashed exactly once: no
+    # join on h remains
+    assert not re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[h#", p
     ), p
     _assert_no_full_text_in_exchange("q136_segment_dedup_rewrite", p)
