@@ -365,7 +365,16 @@ EXPORT_TREND_SCALE = int(os.environ.get("SPARK_GRAFT_EXPORT_TREND_SCALE", "2"))
 # CTAS_MAX_REDRAWS extra draws (each one re-checks), and emits how many
 # it used — a real plan regression survives the redraws and still fires,
 # now with evidence the transient explanation was tested.
-CTAS_RATIO_BAND = (2.7, 3.8)
+# Round-13 re-center (2.7,3.8 -> 2.2,3.6): the wholetext scan no longer
+# pays a whole-file substring copy per file (sources/text.py, commit
+# e2d1e95), which cut the per-file fixed cost both legs pay per FILE —
+# the 4-file x1 leg more than the 40-file x10 leg per unit work, so the
+# slope itself legitimately moved. Re-measured clean-box draws with the
+# new scan: ratios 2.43 / 2.86 (x1 base 2.95-3.23 s), vs the r11/r12
+# 2.79-3.04 at x1 3.21-3.33 s. Upper margin keeps the documented
+# dirty-box drift (one writeback-loaded r13 draw read 4.12 before its
+# redraws) adjudicable by the same redraw + calibration machinery.
+CTAS_RATIO_BAND = (2.2, 3.6)
 CTAS_MAX_REDRAWS = 3
 
 
