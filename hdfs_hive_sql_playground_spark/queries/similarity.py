@@ -353,6 +353,17 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PROBE_CELLS)
         .select("query_id", "qv", "__nq", F.col("cid").alias("cell"))
     )
+    # Broadcast the probe list (round 13): qcells is N_QUERIES x
+    # PROBE_CELLS rows — bounded by the serving query batch, NEVER the
+    # corpus (same boundedness argument as q97's closure constant). The
+    # planner can't see that through the window+crossJoin subtree and
+    # was sort-merge-joining it: BOTH sides exchanged on `cell` — the
+    # candidate side being the whole corpus, shuffled over N_CELLS
+    # distinct keys, an unbounded and skew-prone exchange at scale.
+    # With the explicit broadcast the corpus side streams map-side with
+    # zero shuffle (A/B warm min-of-4: 1.51 -> 1.29 s at sf0.1, rows
+    # identical, SortMergeJoin eliminated from the plan).
+    qcells = F.broadcast(qcells)
     # candidate ranking is the hot stage: per-row candidate norms come
     # precomputed on the assignment, one fold per (query, candidate) —
     # order-identical to _cos
