@@ -237,7 +237,15 @@ def _bucketed_hash_order_rank(
 def q90_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # Per-doc token count as a map-side array size (round 13): the
+    # explode+groupBy form re-derived the whole token stream and paid a
+    # doc_id exchange for a number the scan row already knows. Identical
+    # by construction: split() always returns >= 1 element, so
+    # count-over-explode == size(_words) for every document (empty text
+    # gives [""], one exploded row, size 1 — no doc can vanish).
+    sizes = d.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("long").alias("n_tokens")
+    )
     lex = F.broadcast(
         spark.createDataFrame(
             [(lang, w) for lang, ws in sorted(LEXICON.items()) for w in ws],
