@@ -1002,9 +1002,18 @@ def q137_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Parallelism floor on the re-assignment scan (round 13, the q124/q84
+    # pattern): the cached assignment carries the 1-2-partition layout of
+    # a small single-file scan, serializing the n x N_CELLS x dim rescore
+    # onto 1-2 cores. Gated round-robin over the narrow rows; no-op at
+    # production partition counts. Warm A/B min-of-4: 1.48 -> 1.36 s,
+    # output identical.
+    base = a.select("vec_id", "v", "__nv", F.col("cell").alias("cell0"))
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     picked = (
-        a.select("vec_id", "v", "__nv", F.col("cell").alias("cell0"))
-        .crossJoin(cents)
+        base.crossJoin(cents)
         .withColumn("__best", best)
         .select(
             "vec_id",
