@@ -430,8 +430,17 @@ def q88_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # N as a broadcast one-row relation keeps the whole operator lazy (no
-    # driver-side action while building the plan).
-    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    # driver-side action while building the plan). Counted on the
+    # UN-exploded scan (round 13): split() always returns >= 1 element,
+    # so every filtered doc contributes >= 1 token row and
+    # countDistinct(doc_id) over the token stream equals the same count
+    # over the scan — the third full token explode this branch paid was
+    # pure waste.
+    nd = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.expr("(tf * n * 1000) DIV df").desc(), F.col("word")
     )
