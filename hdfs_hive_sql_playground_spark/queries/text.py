@@ -1864,9 +1864,11 @@ CRAWL_MIN_WCHARS = 4  # quality gate: mean word length floor (chars)
     "smallest possible input. Scale shape: ALL per-document signals "
     "(canonical URL, content hash, word stats) are computed in one "
     "map-side projection before any exchange — exchanges carry only "
-    "(doc_id, short-key, two ints); the keep-first aggregations key on "
-    "the canonical string and the 16-byte hash; join strategies stay "
-    "stats-picked (§7). Document text never enters an Exchange. On this "
+    "(doc_id, short-key, two ints); the keep-first stages are analytic "
+    "windows over the canonical string and the 16-byte hash (round 13: "
+    "replacing agg+join, which re-derived the extraction projection per "
+    "consumer), so the plan has no join at all. Document text never "
+    "enters an Exchange. On this "
     "all-unique synthetic corpus the exact_dup stage is honestly empty — "
     "the URL stage (~3.5x collapse) and the quality gate do the cutting.",
     bench=True,
@@ -1902,11 +1904,30 @@ def q143_crawl_front_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mw_chars"),
     )
-    u = base.groupBy("canonical_url").agg(F.min("doc_id").alias("keeper"))
-    b2 = base.join(u, "canonical_url")
-    surv = b2.filter(F.col("doc_id") == F.col("keeper"))
-    e = surv.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    b3 = b2.join(e, "h", "left")
+    # Keep-first stages as ANALYTIC WINDOWS, not agg+join (round 13):
+    # the agg+join form consumed `base` — the expensive markup-regex
+    # extraction + signal projection — from four differently-shaped
+    # subtrees (each keep-first agg AND each join probe side), and
+    # exchange reuse cannot unify a partial-aggregate exchange with a
+    # raw-row exchange, so the corpus was extracted up to four times per
+    # run. min(doc_id) OVER (PARTITION BY canonical_url) is the same
+    # keeper; min(CASE WHEN survivor THEN doc_id END) OVER (PARTITION BY
+    # h) is exactly the old left-join semantics (NULL when no survivor
+    # shares the hash). One extraction pass, two short-key exchanges of
+    # the same narrow rows, zero joins. A/B min-of-4, interleaved:
+    # sf0.1 0.82 -> 0.49 s, x8 fixture 1.00 -> 0.78 s, output
+    # bit-identical at both scales.
+    from pyspark.sql.window import Window
+
+    b2 = base.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("canonical_url"))
+    )
+    b3 = b2.withColumn(
+        "first_doc",
+        F.min(
+            F.when(F.col("doc_id") == F.col("keeper"), F.col("doc_id"))
+        ).over(Window.partitionBy("h")),
+    )
     stage = (
         F.when(F.col("doc_id") != F.col("keeper"), "url_dup")
         .when(F.col("doc_id") != F.col("first_doc"), "exact_dup")

@@ -815,11 +815,18 @@ def test_q143_pipeline_signals_computed_before_any_exchange(spark, sf_dir):
     """Crawl front-half: every per-document signal (canonical URL, content
     hash, word stats) is projected map-side BEFORE any exchange — hash
     exchanges carry only the canonical string / md5 / doc_id keys, never
-    the text column, and there is no cartesian or window anywhere."""
+    the text column, and there is no cartesian and no join (round 13:
+    the keep-first stages are analytic windows over those same short
+    keys, replacing the agg+join form that re-derived the extraction
+    projection per consumer)."""
     df = SPECS["q143_crawl_front_pipeline"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
     plans.assert_no_cartesian(df)
-    assert "Window" not in p, p
+    assert "Join" not in p, p
+    # the keep-first windows partition only on the short keys
+    for ln in p.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert re.search(r"windowspecdefinition\((canonical_url|h)#", ln), ln
     for ln in p.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert re.search(r"hashpartitioning\((canonical_url|h|doc_id)#", ln), ln
