@@ -49,6 +49,41 @@ def _lex_values_sql() -> str:
     return f"(VALUES {rows}) AS lex(lang, word)"
 
 
+def _lid_best(words: Column) -> Column:
+    """Map-side lexicon-vote argmax: ``struct(n, lang)`` of the language
+    with the most lexicon-word hits in ``words`` (hits counted with
+    multiplicity), ties to the lexicographically FIRST language; ``n = 0``
+    (lang ``''``) when no lexicon word occurs.
+
+    Exactly the explode → broadcast-lexicon equi-join → count →
+    ``row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang)``
+    pipeline, evaluated as one projection: per-lang hit counts are
+    ``size(filter(words, w -> w IN lexicon[lang]))`` (same string-equality
+    semantics as the join; the lexicon is a 20-word constant, so the IN
+    compiles to a hash-set probe just like the join's build side), and the
+    fold keeps the earlier (sorted-asc) language on strict-greater only —
+    the window's ``n_hits DESC, lang ASC`` tie-break. A NULL ``words``
+    (NULL text) yields NULL per-lang counts, the fold keeps the (0, '')
+    seed, and the caller's ``n > 0`` test maps it to 'und' — identical to
+    the join form, where explode(NULL) emits no token row at all."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(words, lambda w: w.isin(*LEXICON[lang]))
+                ).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LEXICON)
+        ]
+    )
+    return F.aggregate(
+        cands,
+        F.struct(F.lit(0).alias("n"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["n"] > acc["n"], x).otherwise(acc),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-pass bucketed prefix machinery
 #
@@ -236,36 +271,36 @@ def _bucketed_hash_order_rank(
 )
 def q90_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
-    # Per-doc token count as a map-side array size (round 13): the
-    # explode+groupBy form re-derived the whole token stream and paid a
-    # doc_id exchange for a number the scan row already knows. Identical
-    # by construction: split() always returns >= 1 element, so
-    # count-over-explode == size(_words) for every document (empty text
-    # gives [""], one exploded row, size 1 — no doc can vanish).
-    sizes = d.select(
-        "doc_id", F.size(_words(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    lex = F.broadcast(
-        spark.createDataFrame(
-            [(lang, w) for lang, ws in sorted(LEXICON.items()) for w in ws],
-            "lang string, word string",
-        )
-    )
-    hits = (
-        toks.join(lex, toks.tok == lex.word)
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return sizes.join(best, "doc_id", "left").select(
+    # One pure projection, zero exchanges (round 13): the 20-word constant
+    # lexicon never needed a distributed join — the explode → broadcast
+    # join → per-(doc,lang) count exchange → argmax-window exchange →
+    # doc_id left-join pipeline IS the per-row expression
+    # _lid_best(words), and n_tokens is the array size the scan row
+    # already knows (split() always returns >= 1 element, so
+    # count-over-explode == size(_words) for every document). Equivalence
+    # argued per-clause on _lid_best; value-verified bit-identical vs the
+    # join form at sf0.1 and oracle-green over the hostile corpus gate.
+    # Tokenize ONCE into a named column: _lid_best references its input
+    # array four times (once per language) and n_tokens a fifth, and the
+    # aggregate HOF is CodegenFallback — no common-subexpression
+    # elimination — so inlining the split would re-tokenize every row
+    # five times. CollapseProject keeps the two projections separate
+    # because the alias is non-cheap and multiply-referenced.
+    words = F.col("__ws")
+    best = _lid_best(words)
+    return d.select(
+        "doc_id", _words(F.col("text")).alias("__ws")
+    ).select(
         "doc_id",
-        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
-        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_tokens"), 6).alias("hit_ratio"),
+        F.size(words).cast("long").alias("n_tokens"),
+        best.alias("_best"),
+    ).select(
+        "doc_id",
+        F.when(F.col("_best.n") > 0, F.col("_best.lang"))
+        .otherwise("und")
+        .alias("pred_lang"),
+        F.col("_best.n").cast("bigint").alias("n_hits"),
+        F.round(F.col("_best.n") / F.col("n_tokens"), 6).alias("hit_ratio"),
     )
 
 
@@ -596,29 +631,35 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.select("doc_id", t.alias("t")).filter(
         (n_tokens >= 20) & (n_tokens <= 1000) & (n_stop / n_tokens >= 0.01)
     )
-    w_dedup = Window.partitionBy(F.md5(F.col("t"))).orderBy("doc_id")
-    canon = (
-        quality.withColumn("rn", F.row_number().over(w_dedup))
-        .filter(F.col("rn") == 1)
-        .select("doc_id")
-    )
-    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
-    lex = F.broadcast(
-        spark.createDataFrame(
-            [(lang, w) for lang, ws in sorted(LEXICON.items()) for w in ws],
-            "lang string, word string",
+    # LID as a map-side expression on the quality rows (round 13): the
+    # explode → broadcast-lexicon join → (doc,lang) count exchange →
+    # argmax-window exchange branch — plus the doc_id left-join that
+    # attached it to canon — is _lid_best(split(t)), one projection.
+    # Computed BEFORE the dedup-window exchange so the exchange still
+    # carries only (doc_id, md5, pred_lang) — never the document text —
+    # and only for QUALITY survivors (the old branch scored every
+    # document, then the join dropped all non-canon rows anyway; a doc's
+    # pred_lang is a pure function of t, so where it is computed cannot
+    # change its value). split(t, '\\s+') == _words(text) exactly:
+    # _words is split(lower(trim(text))) and t IS lower(trim(text)).
+    # tokenized ONCE into a named column (same CodegenFallback-CSE reason
+    # as q90 — _lid_best references its input array once per language)
+    best = _lid_best(F.col("__ws"))
+    langed = (
+        quality.select(
+            "doc_id", F.md5(F.col("t")).alias("_h"), F.split(F.col("t"), r"\s+").alias("__ws")
         )
-    )
-    hits = (
-        toks.join(lex, toks.tok == lex.word)
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    w_best = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w_best))
+        .select(
+            "doc_id",
+            "_h",
+            F.when(best["n"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
+        )
         .filter(F.col("rn") == 1)
-        .select("doc_id", "lang")
+        .select("doc_id", "pred_lang")
     )
     # The quota stage consumes its input twice (per-row ranks + per-bucket
     # counts), and here that input is the entire upstream pipeline — but
@@ -628,9 +669,6 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only adds columnar encode/decode on top (measured at sf0.1: ~1.10 s
     # uncached vs ~1.48 s cached, 3-run A/B). The round-6 directive to
     # try the persist was executed and rejected on measurement.
-    langed = canon.join(best, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang")
-    )
     ranked = _bucketed_hash_order_rank(
         langed, "pred_lang", "doc_id", "rn", keep_at_most=CURATION_QUOTA
     )

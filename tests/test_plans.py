@@ -257,15 +257,17 @@ def test_q99_composed_pipeline_bounded_exchanges(spark, sf_dir):
     no stage multiplies shuffles, the lexicon joins broadcast, nothing
     plans nested-loop/cartesian, and the final quota stage windows on the
     bucketed composite key (the bare pred_lang running rank was the last
-    low-cardinality scale-killer).  The static plan shows the quota
-    counts branch re-deriving its upstream (14 exchanges); at runtime
-    ReusedExchange collapses the expensive dedup-window exchange, leaving
-    7 executed shuffles, all key-narrow (a persist of the pre-window
-    projection was A/B-measured SLOWER than the reused exchange and is
-    deliberately absent)."""
+    low-cardinality scale-killer).  Round 13 folded the LID branch
+    (explode → broadcast lexicon join → count + argmax exchanges → doc_id
+    left join) into the map-side _lid_best projection, so the corpus is
+    scanned ONCE and the static plan is down from 14 exchanges to 6 (the
+    quota counts branch still re-derives its upstream; at runtime
+    ReusedExchange collapses the expensive dedup-window exchange — a
+    persist of the pre-window projection was A/B-measured SLOWER than
+    the reused exchange and is deliberately absent)."""
     df = SPECS["q99_curation_pipeline"].fn(spark, sf_dir)
     p = plans.executed_plan(df)
-    assert plans.count_exchanges(df) <= 14
+    assert plans.count_exchanges(df) <= 6
     assert "BroadcastNestedLoop" not in p
     plans.assert_no_cartesian(df)
     _assert_no_full_text_in_exchange("q99_curation_pipeline", p)
