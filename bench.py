@@ -341,12 +341,20 @@ def _bench_m33(spark, timings: dict[str, float]) -> None:
     # x2 trend leg in its fresh child JVM read 26.1 s, i.e. the x1
     # single draw was the outlier). Old methodology's numbers: r12
     # driver 37.06 s; r13 single-draw draws 16.75 / 17.08 / 27.7 s.
+    # Batchsize re-swept UNDER table-level locking (round 13, interleaved
+    # min-of-3, fresh DB per draw): 16x100k 10.91 s vs 16x50k 11.75 s vs
+    # 16x10k 12.73 s — with the per-row lock gone, the next overhead is
+    # per-executeBatch round-trip bookkeeping, so bigger batches win
+    # (ordering consistent in every interleaved round). The r4 10k
+    # optimum was measured against the row-locked sink. Both export legs
+    # (this headline and the x2 trend) move to 16 x 100k together, so
+    # the watched ratio compares like against like.
     wall = float("inf")
     for i in range(2):
         _quiesce(spark)
         url = f"jdbc:derby:memory:m33bench{i};create=true"
         t0 = time.perf_counter()
-        export_jdbc(back, url, "m33", mode="overwrite", num_partitions=16, batchsize=10_000)
+        export_jdbc(back, url, "m33", mode="overwrite", num_partitions=16, batchsize=100_000)
         n = read_jdbc(spark, url, "m33").count()
         assert n == M33_TOTAL_ROWS, n
         wall = min(wall, round(time.perf_counter() - t0, 4))
@@ -507,7 +515,7 @@ def _bench_m33_trend(spark, timings: dict[str, float]) -> None:
         _quiesce(spark)
         url = f"jdbc:derby:memory:m33trend{i};create=true"
         t0 = time.perf_counter()
-        export_jdbc(back, url, "m33", mode="overwrite", num_partitions=16, batchsize=10_000)
+        export_jdbc(back, url, "m33", mode="overwrite", num_partitions=16, batchsize=100_000)
         n = read_jdbc(spark, url, "m33").count()
         assert n == 4 * M33_FULL_ROWS_PER_FILE * EXPORT_TREND_SCALE, n
         wall = min(wall, round(time.perf_counter() - t0, 4))
