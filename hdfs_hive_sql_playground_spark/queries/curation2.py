@@ -40,14 +40,13 @@ def _probe_values_sql() -> str:
 
 
 def _doc_ngrams(n: int):
-    w = _words(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(w) - n + 1)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
-        ),
-    ).otherwise(F.array())
+    """n-grams of the ``__w`` words column — call sites materialize
+    ``_words(text)`` as ``__w`` first (a captured split EXPRESSION would
+    re-tokenize per gram under the interpreted HOF path — see
+    dedup._ngrams_of, which this delegates to)."""
+    from hdfs_hive_sql_playground_spark.queries.dedup import _ngrams_of
+
+    return _ngrams_of(F.col("__w"), n)
 
 
 @register(
@@ -83,7 +82,9 @@ def _doc_ngrams(n: int):
 def q108_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     probes = spark.createDataFrame([(p,) for p in PROBES], "gram string")
-    g = d.select("doc_id", F.explode(_doc_ngrams(PROBE_N)).alias("gram"))
+    g = d.select("doc_id", _words(F.col("text")).alias("__w")).select(
+        "doc_id", F.explode(_doc_ngrams(PROBE_N)).alias("gram")
+    )
     hits = (
         g.join(F.broadcast(probes), "gram")
         .groupBy("doc_id")

@@ -45,21 +45,42 @@ def _words(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def _shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingles as an array column (empty if < n words)."""
-    w = _words(col)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    make = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
-    )
-    return F.array_distinct(F.when(F.size(w) >= n, make).otherwise(F.array()))
+def _ngrams_of(w: Column, n: int) -> Column:
+    """Non-distinct n-word grams of a words-array column; empty (typed)
+    when the document has fewer than n words — the `when` guard also keeps
+    `sequence` from descending on short docs (see q106's note).
+
+    ``w`` MUST be a materialized NAMED COLUMN, never the split expression
+    itself: higher-order functions run interpreted (CodegenFallback), and
+    the interpreted lambda re-evaluates captured EXPRESSIONS once per
+    element per reference — a captured ``split(lower(trim(text)))`` here
+    re-tokenizes the whole document n times per gram, turning the builder
+    O(words²). Measured on the q81 shingle stage at sf0.1: 7.0 s as a
+    captured expression vs 0.26 s as a named column (27x), bit-identical
+    output. A named column binds to a BoundReference, which the lambda
+    reads in O(1)."""
+    idx = F.sequence(F.lit(1), F.size(w) - n + 1)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    """Distinct n-word shingles, one row per (doc, shingle). The words
+    array materializes as a named column first — see _ngrams_of."""
     d = load(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    return d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    return d.select("doc_id", _words(F.col("text")).alias("__w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_of(F.col("__w"), SHINGLE_N))).alias(
+            "shingle"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -835,16 +856,12 @@ SPAN_TOPK = 100
 )
 def q105_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(w) - SPAN_N + 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(SPAN_N)]
-        ),
-    )
-    g = d.filter(F.size(w) >= SPAN_N).select(
-        "doc_id", F.explode(grams).alias("gram")
+    # words as a named column, grams via _ngrams_of — the captured-split
+    # transform was O(words²) per doc (see _ngrams_of)
+    g = (
+        d.select("doc_id", _words(F.col("text")).alias("__w"))
+        .filter(F.size("__w") >= SPAN_N)
+        .select("doc_id", F.explode(_ngrams_of(F.col("__w"), SPAN_N)).alias("gram"))
     )
     return (
         g.groupBy("gram")
@@ -903,17 +920,17 @@ NOVELTY_N = 3
 )
 def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(w) - NOVELTY_N + 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(NOVELTY_N)]
-        ),
-    )
+    # words as a named column, grams via _ngrams_of — the captured-split
+    # transform was O(words²) per doc (see _ngrams_of)
     g = (
-        d.filter(F.size(w) >= NOVELTY_N)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        d.select("doc_id", _words(F.col("text")).alias("__w"))
+        .filter(F.size("__w") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_ngrams_of(F.col("__w"), NOVELTY_N))
+            ).alias("gram"),
+        )
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
     first = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
@@ -975,17 +992,17 @@ def q117_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q123_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(w) - SPAN_N + 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(SPAN_N)]
-        ),
-    )
+    # words as a named column, grams via _ngrams_of — the captured-split
+    # transform was O(words²) per doc (see _ngrams_of)
     g = (
-        d.filter(F.size(w) >= SPAN_N)
-        .select("source", F.explode(F.array_distinct(grams)).alias("gram"))
+        d.select("source", _words(F.col("text")).alias("__w"))
+        .filter(F.size("__w") >= SPAN_N)
+        .select(
+            "source",
+            F.explode(F.array_distinct(_ngrams_of(F.col("__w"), SPAN_N))).alias(
+                "gram"
+            ),
+        )
         .select("source", F.xxhash64("gram").alias("gh"))
         .distinct()
     )
@@ -1110,15 +1127,19 @@ REWRITE_BCAST_CAP = int(os.environ.get("SPARK_GRAFT_REWRITE_BCAST_CAP", "1000000
 )
 def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.col("text"), " ")
-    nseg = F.expr(f"(size(split(text, ' ')) + {SEG_WORDS - 1}) div {SEG_WORDS}")
+    # words as a named column (see _ngrams_of): the captured-split slice
+    # re-tokenized the document once per SEGMENT — O(words²/SEG_WORDS)
+    ws = F.col("__ws")
+    nseg = F.expr(f"(size(__ws) + {SEG_WORDS - 1}) div {SEG_WORDS}")
     seg_arr = F.transform(
         F.sequence(F.lit(0), nseg.cast("int") - 1),
         lambda i: F.array_join(
             F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
         ),
     )
-    segs = d.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    segs = d.select("doc_id", F.split(F.col("text"), " ").alias("__ws")).select(
+        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
+    )
     hashed = segs.select(
         "doc_id", "pos", _shingle_hash48(F.col("seg")).alias("h")
     )
@@ -1146,13 +1167,15 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("__rm"))
     )
-    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(rm, i))
+    kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(F.col("__rm"), i))
     # Strategy pick (see REWRITE_BCAST_CAP above): the corpus doc count is
     # a metadata-cheap upper bound on |removals| rows — broadcast only
     # while the WHOLE corpus would fit, never trusting the
     # duplicated-segment rate. parquet_row_count reads footers only (no
     # Spark action), so constructing this DataFrame schedules no job.
+    # The join itself still carries (doc_id, text) — the rewrite side's
+    # words column materializes AFTER the join, so the fallback branch
+    # shuffles exactly what it always shuffled.
     if parquet_row_count(os.path.join(sf_dir, "documents.parquet")) <= REWRITE_BCAST_CAP:
         rewrite = d.join(F.broadcast(removals), "doc_id", "left")
     else:
@@ -1161,8 +1184,13 @@ def q136_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite
         .select(
             "doc_id",
+            F.split(F.col("text"), " ").alias("__ws"),
+            F.coalesce(F.col("__rm"), F.array().cast("array<int>")).alias("__rm"),
+        )
+        .select(
+            "doc_id",
             nseg.cast("bigint").alias("n_segments"),
-            F.size(rm).cast("bigint").alias("n_removed"),
+            F.size("__rm").cast("bigint").alias("n_removed"),
             F.array_join(kept, " ").alias("cleaned_text"),
         )
     )

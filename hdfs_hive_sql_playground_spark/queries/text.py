@@ -20,6 +20,7 @@ from hdfs_hive_sql_playground_spark.queries.dedup import (
     _CANONICAL_URL_SQL,
     _SYNTH_URL_SQL,
     _canonical_url,
+    _ngrams_of,
     _shingle_hash48,
     _shingle_hash48_sql,
     _synth_url,
@@ -708,19 +709,11 @@ TOPK_BIGRAMS = 50
 )
 def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-    idx = F.sequence(F.lit(0), F.size(w) - 2)
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # words as a named column, bigrams via _ngrams_of — the captured-split
+    # transform was O(words²) per doc (see _ngrams_of in dedup.py)
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(_words(F.col("text")).alias("__w"))
+        .select(F.explode(_ngrams_of(F.col("__w"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -764,25 +757,13 @@ def q100_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-
-    def ngrams(n: int):
-        # Guarded like _doc_ngrams: for a document shorter than n,
-        # sequence(1, size-n+1) DESCENDS (Spark infers step -1), producing
-        # indices past the array and an ANSI element_at crash — one 1-token
-        # doc would kill the whole job (found by
-        # tests/test_adversarial_corpus.py). Empty array matches the
-        # oracle's empty range().
-        idx = F.sequence(F.lit(1), F.size(w) - n + 1)
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(w, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # Words AND each gram array materialize as named columns (round 13):
+    # the captured-split transform was O(words²) per doc (see _ngrams_of
+    # in dedup.py — its `when` guard also covers the descending-sequence
+    # ANSI crash this function's old inline builder guarded against), and
+    # dup_frac references its array 3x, so a named column evaluates each
+    # gram build once per row instead of 3x.
+    w = F.col("__w")
 
     def dup_frac(arr):
         total = F.size(arr)
@@ -790,18 +771,26 @@ def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((total - F.size(F.array_distinct(arr))) / total, 6)
         )
 
-    bg, tg = ngrams(2), ngrams(3)
     dup_w = dup_frac(w)
-    dup_b = dup_frac(bg)
-    return d.select(
-        "doc_id",
-        F.size(w).cast("bigint").alias("n_words"),
-        dup_w.alias("dup_word_frac"),
-        dup_b.alias("dup_bigram_frac"),
-        dup_frac(tg).alias("dup_trigram_frac"),
-        F.when((dup_w <= 0.9) & (dup_b <= 0.75), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("keep_flag"),
+    dup_b = dup_frac(F.col("__bg"))
+    return (
+        d.select("doc_id", _words(F.col("text")).alias("__w"))
+        .select(
+            "doc_id",
+            "__w",
+            _ngrams_of(w, 2).alias("__bg"),
+            _ngrams_of(w, 3).alias("__tg"),
+        )
+        .select(
+            "doc_id",
+            F.size(w).cast("bigint").alias("n_words"),
+            dup_w.alias("dup_word_frac"),
+            dup_b.alias("dup_bigram_frac"),
+            dup_frac(F.col("__tg")).alias("dup_trigram_frac"),
+            F.when((dup_w <= 0.9) & (dup_b <= 0.75), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep_flag"),
+        )
     )
 
 
@@ -875,7 +864,12 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q113_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
+    # words AND the kept array materialize as named columns (round 13):
+    # the transform lambda indexes the words array 3x per element, and a
+    # captured split EXPRESSION re-tokenizes per element under the
+    # interpreted HOF path (O(words²) — see _ngrams_of in dedup.py);
+    # `kept` is itself referenced twice by the final projection.
+    w = F.col("__w")
     idx = F.sequence(F.lit(1), F.size(w))
     kept = F.filter(
         F.transform(
@@ -894,10 +888,14 @@ def q113_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    return d.select(
-        "doc_id",
-        F.array_join(kept, " ").alias("cleaned_text"),
-        (F.size(w) - F.size(kept)).cast("bigint").alias("n_removed"),
+    return (
+        d.select("doc_id", _words(F.col("text")).alias("__w"))
+        .select("doc_id", "__w", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("cleaned_text"),
+            (F.size(w) - F.size("__kept")).cast("bigint").alias("n_removed"),
+        )
     )
 
 

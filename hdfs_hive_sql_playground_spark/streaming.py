@@ -329,17 +329,14 @@ def incremental_ingest_stream(
         probe_grams = PROBES
     if probe_n is None:
         probe_n = PROBE_N
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(w) - probe_n + 1)
-    grams = F.when(
-        F.size(w) >= probe_n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(probe_n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # grams over a MATERIALIZED words column (see dedup._ngrams_of: a
+    # captured split expression re-tokenizes per gram under the
+    # interpreted HOF path — O(words²) per doc); __w is added just before
+    # the gram projection below and dropped from the output.
+    from hdfs_hive_sql_playground_spark.queries.dedup import _ngrams_of
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = _ngrams_of(F.col("__w"), probe_n)
     probes_lit = F.array(*[F.lit(p) for p in probe_grams])
     # Assign the watermark only when the input doesn't already carry one:
     # Spark disallows REDEFINING a watermark downstream of a stateful
@@ -393,12 +390,14 @@ def incremental_ingest_stream(
     surv = (
         staged
         .dropDuplicatesWithinWatermark(["content_hash"])
+        .withColumn("__w", words)
         .withColumn(
             "n_probes_hit",
             F.size(F.array_intersect(F.array_distinct(grams), probes_lit)).cast(
                 "bigint"
             ),
         )
+        .drop("__w")
     )
     return surv.filter(F.col("n_probes_hit") == 0)
 
