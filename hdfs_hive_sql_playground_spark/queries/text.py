@@ -336,13 +336,33 @@ def q90_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q91_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
-    n_tokens = F.size(F.split(t, " "))
-    n_chars = F.length(t)
-    n_punct = F.length(F.regexp_replace(t, "[a-z0-9 ]", ""))
-    n_stop = F.size(F.filter(F.split(t, " "), lambda w: w.isin(list(STOPWORDS))))
+    # Signals stage through named columns (round 13): the stopword-filter
+    # HOF keeps this projection on the interpreted path (CodegenFallback,
+    # no common-subexpression elimination), so the one-projection form
+    # re-derived lower+trim+split per REFERENCE — n_tokens alone is
+    # referenced five times below. Values are reference-identical: same
+    # expressions, staged once each.
+    n_tokens = F.col("__ntok")
+    n_chars = F.col("__nchars")
+    n_punct = F.col("__npunct")
+    n_stop = F.col("__nstop")
     stop_ratio = n_stop / n_tokens
-    return d.select(
+    staged = (
+        d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("__t"))
+        .select("doc_id", "__t", F.split(F.col("__t"), " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("__ntok"),
+            F.length("__t").alias("__nchars"),
+            F.length(F.regexp_replace(F.col("__t"), "[a-z0-9 ]", "")).alias(
+                "__npunct"
+            ),
+            F.size(
+                F.filter(F.col("__toks"), lambda w: w.isin(list(STOPWORDS)))
+            ).alias("__nstop"),
+        )
+    )
+    return staged.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
         # try_divide, not /: an EMPTY document has n_chars = 0, and under
@@ -626,11 +646,26 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
-    n_tokens = F.size(F.split(t, " "))
-    n_stop = F.size(F.filter(F.split(t, " "), lambda w: w.isin(list(STOPWORDS))))
-    quality = d.select("doc_id", t.alias("t")).filter(
-        (n_tokens >= 20) & (n_tokens <= 1000) & (n_stop / n_tokens >= 0.01)
+    # Gate signals stage through named columns (round 13, same
+    # interpreted-projection-no-CSE reason as q91): the filter referenced
+    # n_tokens three times and n_stop once, each re-deriving
+    # lower+trim+split from text per reference.
+    n_tokens = F.size(F.col("__toks"))
+    n_stop = F.size(
+        F.filter(F.col("__toks"), lambda w: w.isin(list(STOPWORDS)))
+    )
+    quality = (
+        d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+        .select("doc_id", "t", F.split(F.col("t"), " ").alias("__toks"))
+        .select(
+            "doc_id", "t", n_tokens.alias("__ntok"), n_stop.alias("__nstop")
+        )
+        .filter(
+            (F.col("__ntok") >= 20)
+            & (F.col("__ntok") <= 1000)
+            & (F.col("__nstop") / F.col("__ntok") >= 0.01)
+        )
+        .select("doc_id", "t")
     )
     # LID as a map-side expression on the quality rows (round 13): the
     # explode → broadcast-lexicon join → (doc,lang) count exchange →
