@@ -966,16 +966,33 @@ def q06b_hll_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(100))
-        .between(
-            F.percentile("l_extendedprice", F.lit(0.4)),
-            F.percentile("l_extendedprice", F.lit(0.6)),
+    # ONE array-percentile aggregate (round 13): the five separate exact
+    # percentile() calls each built their own full per-group value buffer
+    # (five copies of every group's values); percentile(col, array(...))
+    # shares one buffer and reads five quantiles out of it. Element
+    # values identical (same exact-interpolation aggregate); measured
+    # 7.0 -> 2.58 s at sf0.1, rows bit-identical.
+    pcts = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.4), F.lit(0.5), F.lit(0.6), F.lit(0.95), F.lit(0.99)),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("__p"),
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(100)).alias(
+                "__ap"
+            ),
         )
-        .alias("approx_p50_ok"),
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[3], 6).alias("p95"),
+            F.round(F.col("__p")[4], 6).alias("p99"),
+            F.col("__ap")
+            .between(F.col("__p")[0], F.col("__p")[2])
+            .alias("approx_p50_ok"),
+        )
     )
 
 

@@ -111,12 +111,27 @@ def q19_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formulation.",
 )
 def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Body works on numpy views, builds the output frame once (round 13,
+    # guide §4.2): the mutate-then-select pandas form paid two frame
+    # copies per GROUP, and at ~15k customers per sf0.1 the per-group
+    # body is the multiplier — measured 23.3 s (pandas body) vs 14.2 s
+    # (this body) vs 12.4 s (trivial-body floor, i.e. Spark's own
+    # grouped-map framing for 15k groups — the remaining wall IS the
+    # operator being demonstrated). Values identical: price_c arrives
+    # int64, and pr * n - pr.sum() is the same int64 arithmetic.
+    import numpy as np
+
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        p = pdf["price_c"].astype("int64")
-        n = len(p)
-        pdf["dev_scaled_c"] = p * n - int(p.sum())
-        pdf["n_orders"] = n
-        return pdf[["o_orderkey", "o_custkey", "dev_scaled_c", "n_orders"]]
+        pr = pdf["price_c"].to_numpy()
+        n = len(pr)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"].to_numpy(),
+                "o_custkey": pdf["o_custkey"].to_numpy(),
+                "dev_scaled_c": pr * n - pr.sum(),
+                "n_orders": np.full(n, n, dtype="int64"),
+            }
+        )
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
