@@ -676,11 +676,18 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nlabel") < F.col("label")).alias("chg"),
             )
         )
-        # One scalar to the driver per iteration: the convergence check.
-        changed = relabeled.agg(F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0
-        # localCheckpoint truncates the per-iteration lineage so plan size
-        # stays constant across iterations.
-        labels = relabeled.select("doc_id", "label").localCheckpoint()
+        # Checkpoint FIRST (the single materialization of this iteration's
+        # join), THEN read the convergence scalar from the checkpointed
+        # blocks: counting on the un-checkpointed frame would run the whole
+        # join pipeline a second time per iteration, since the count action
+        # and the eager localCheckpoint are separate jobs. localCheckpoint
+        # also truncates the per-iteration lineage so plan size stays
+        # constant across iterations.
+        ck = relabeled.localCheckpoint()
+        # One scalar to the driver per iteration: the convergence check,
+        # now a block-local scan of the checkpointed rows.
+        changed = ck.agg(F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0
+        labels = ck.select("doc_id", "label")
         if changed == 0:
             break
     else:
