@@ -364,25 +364,35 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_shingles(spark, sf_dir)
         .select("doc_id", _shingle_hash48(F.col("shingle")).alias("h"))
     )
-    seeds = F.broadcast(
-        spark.createDataFrame(_SEEDS, "band int, a bigint, b bigint")
-    )
     # minhash m(band, doc) = min over shingles of (a*h31 + b) mod p, with h
     # first reduced mod p so the product stays well inside int64 (ANSI mode
-    # rejects silent overflow).
-    minh = (
-        sh.crossJoin(seeds)
-        .select(
-            "doc_id",
-            "band",
-            F.pmod(
-                F.col("a") * F.pmod(F.col("h"), F.lit(MERSENNE_P)) + F.col("b"),
-                F.lit(MERSENNE_P),
-            ).alias("v"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("v").alias("sig"))
+    # rejects silent overflow). All MINHASH_K minima are computed in ONE
+    # groupBy(doc_id) aggregate over the shingle relation and exploded to
+    # (doc_id, band, sig) afterward: the previous crossJoin-with-seeds form
+    # fanned every shingle row out k× through the generate and keyed the
+    # hash aggregate on (doc_id, band) — k× the rows and k× the key
+    # cardinality for the same exchanged bytes.
+    h31 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
+    minw = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(MERSENNE_P))).alias(f"_m{band}")
+            for band, a, b in _SEEDS
+        ]
     )
+    minh = minw.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("int").alias("band"),
+                        F.col(f"_m{band}").alias("sig"),
+                    )
+                    for band, _, _ in _SEEDS
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.sig").alias("sig"))
     minh = track_persist(minh)  # self-joined below: k rows/doc, tiny
     # bucket join: docs sharing any (band, sig) are candidates
     a, b = minh.alias("a"), minh.alias("b")
