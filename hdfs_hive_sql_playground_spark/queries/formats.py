@@ -127,8 +127,20 @@ def q78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a cached table from another scale factor would be stale.
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tbl = f"bkt_{name}"
+        src = load(spark, sf_dir, name)
+        # The sf-scale parquet scans arrive in 1-3 partitions, so the
+        # bucketed write (per-task sort + parquet encode) would serialize on
+        # 1-3 cores. Spread rows by the bucket key first: repartition uses
+        # the same murmur3 hash family as bucket assignment, so with a task
+        # count that is a multiple of the bucket count each task writes
+        # exactly one bucket's rows. Gated on the scan's partition count —
+        # production scans already carry >= cores partitions and skip the
+        # exchange.
+        par = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par, F.col(key))
         (
-            load(spark, sf_dir, name)
+            src
             .write.mode("overwrite")
             .bucketBy(8, key)
             .sortBy(key)
