@@ -111,25 +111,28 @@ def q19_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formulation.",
 )
 def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Body works on numpy views, builds the output frame once (round 13,
-    # guide §4.2): the mutate-then-select pandas form paid two frame
-    # copies per GROUP, and at ~15k customers per sf0.1 the per-group
-    # body is the multiplier — measured 23.3 s (pandas body) vs 14.2 s
-    # (this body) vs 12.4 s (trivial-body floor, i.e. Spark's own
-    # grouped-map framing for 15k groups — the remaining wall IS the
-    # operator being demonstrated). Values identical: price_c arrives
-    # int64, and pr * n - pr.sum() is the same int64 arithmetic.
-    import numpy as np
-
+    # The grouped-map key is a hash BUCKET of the customer key, not the
+    # customer key itself (round 13, guide §4): Spark ships every
+    # applyInPandas group as its own Arrow batch and Python call, so
+    # keying on ~15k customers paid ~15k tiny-batch boundary crossings —
+    # a measured 12.4 s trivial-body floor at sf0.1 that no body change
+    # could beat. Bucketing to ~4× cores keys keeps the SAME single hash
+    # exchange and the SAME per-customer arithmetic (a vectorized
+    # pandas groupby-transform inside each bucket), but the Python-call
+    # count now tracks the cluster, not the customer count. price_c
+    # arrives int64 and pr * n - s stays pure int64, bit-identical to
+    # the window-function oracle.
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("o_custkey")["price_c"]
+        n = g.transform("size").to_numpy()
+        s = g.transform("sum").to_numpy()
         pr = pdf["price_c"].to_numpy()
-        n = len(pr)
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"].to_numpy(),
                 "o_custkey": pdf["o_custkey"].to_numpy(),
-                "dev_scaled_c": pr * n - pr.sum(),
-                "n_orders": np.full(n, n, dtype="int64"),
+                "dev_scaled_c": pr * n - s,
+                "n_orders": n,
             }
         )
 
@@ -138,7 +141,11 @@ def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("price_c"),
     )
-    return o.groupBy("o_custkey").applyInPandas(
+    n_buckets = max(4 * spark.sparkContext.defaultParallelism, 1)
+    bucketed = o.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bkt").applyInPandas(
         demean,
         schema="o_orderkey bigint, o_custkey bigint, dev_scaled_c bigint, n_orders bigint",
     )
