@@ -123,7 +123,10 @@ def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrives int64 and pr * n - s stays pure int64, bit-identical to
     # the window-function oracle.
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby("o_custkey")["price_c"]
+        # dropna=False: a NULL customer key must form its own group (what
+        # Spark's per-customer grouped-map and the window oracle both do),
+        # not silently drop its rows from the transform output.
+        g = pdf.groupby("o_custkey", dropna=False)["price_c"]
         n = g.transform("size").to_numpy()
         s = g.transform("sum").to_numpy()
         pr = pdf["price_c"].to_numpy()
