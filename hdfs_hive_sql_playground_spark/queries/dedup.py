@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_hive_sql_playground_spark.queries import register
@@ -686,17 +686,22 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nlabel") < F.col("label")).alias("chg"),
             )
         )
-        # Checkpoint FIRST (the single materialization of this iteration's
-        # join), THEN read the convergence scalar from the checkpointed
-        # blocks: counting on the un-checkpointed frame would run the whole
-        # join pipeline a second time per iteration, since the count action
-        # and the eager localCheckpoint are separate jobs. localCheckpoint
-        # also truncates the per-iteration lineage so plan size stays
-        # constant across iterations.
-        ck = relabeled.localCheckpoint()
-        # One scalar to the driver per iteration: the convergence check,
-        # now a block-local scan of the checkpointed rows.
-        changed = ck.agg(F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0
+        # ONE job per iteration: the convergence scalar rides the eager
+        # localCheckpoint itself as an observed metric (CollectMetrics),
+        # so the join pipeline is materialized exactly once and no second
+        # count job runs at all. (History: the original loop ran the join
+        # twice per iteration — count action + eager checkpoint as separate
+        # jobs over the un-materialized frame; an intermediate version
+        # checkpointed first and counted over the cached blocks — still a
+        # second job.) localCheckpoint also truncates the per-iteration
+        # lineage so plan size stays constant across iterations.
+        obs = Observation()
+        ck = relabeled.observe(
+            obs, F.sum(F.col("chg").cast("int")).alias("changed")
+        ).localCheckpoint()
+        # obs.get blocks until the checkpoint action has processed the
+        # observed plan; one scalar to the driver per iteration.
+        changed = obs.get["changed"] or 0
         labels = ck.select("doc_id", "label")
         if changed == 0:
             break
