@@ -399,3 +399,34 @@ def test_rollup_null_key_grouping_disambiguation_agrees(spark):
         ).collect()
     ]
     assert gids == [0, 1, 2, 3]
+
+
+def test_q127_single_parse_matches_scalar_xpath_calls(spark, sf_dir):
+    """Round-14 q127 optimization gate: the single-parse node-set form
+    (one xpath() call into a named column, per-field array accesses) must
+    be value-identical to the previous three-call form (xpath_int +
+    xpath_string + xpath), which re-parsed the XML three times per row.
+    Pins the equivalence on the real part table on top of the oracle
+    hash, so a Spark upgrade that changes XPath number()/text() coercion
+    semantics for either form fails loudly here."""
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries import all_queries
+    from hdfs_hive_sql_playground_spark.tables import load
+
+    new = all_queries()["q127_xpath_funcs"].fn(spark, sf_dir)
+    p = load(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit("<part><key>"), F.col("p_partkey").cast("string"),
+        F.lit("</key><size>"), F.col("p_size").cast("string"),
+        F.lit("</size><brand>"), F.col("p_brand"), F.lit("</brand></part>"),
+    )
+    old = p.select(
+        "p_partkey",
+        F.xpath_int(xml, F.lit("part/key")).alias("xkey"),
+        F.xpath_string(xml, F.lit("part/brand")).alias("xbrand"),
+        F.size(F.xpath(xml, F.lit("part/*/text()"))).alias("n_leaves"),
+    )
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
