@@ -133,10 +133,14 @@ def q78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-3 cores. Spread rows by the bucket key first: repartition uses
         # the same murmur3 hash family as bucket assignment, so with a task
         # count that is a multiple of the bucket count each task writes
-        # exactly one bucket's rows. Gated on the scan's partition count —
+        # exactly one bucket's rows — rounded UP to the next multiple of 8
+        # (round-13 ADVICE: on hosts where cores % 8 != 0 the invariant
+        # broke, tasks straddled buckets, and each task wrote several
+        # per-bucket files). Gated on the scan's partition count —
         # production scans already carry >= cores partitions and skip the
         # exchange.
         par = spark.sparkContext.defaultParallelism
+        par = max(8, ((par + 7) // 8) * 8)
         if src.rdd.getNumPartitions() < par:
             src = src.repartition(par, F.col(key))
         (

@@ -106,9 +106,12 @@ def q19_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order price, kept exact by scaling — dev_scaled_c = price_c * n - "
     "sum_c is pure int64 arithmetic, so the whole-group transform is "
     "bit-identical to the window-function oracle. Completes the pandas "
-    "UDF family (scalar q09, grouped-agg q19, grouped-map here); the "
-    "shuffle is one hash exchange on the group key, same as the window "
-    "formulation.",
+    "UDF family (scalar q09, grouped-agg q19, grouped-map here). The "
+    "grouped-map key is a synthetic hash BUCKET of o_custkey (~4x cores "
+    "buckets), not the raw customer key: the per-customer demean runs as "
+    "a vectorized pandas groupby-transform inside each bucket, so the "
+    "shuffle is still one hash exchange and the Python-call count tracks "
+    "the cluster, not customer cardinality (round 13, guide §4).",
 )
 def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The grouped-map key is a hash BUCKET of the customer key, not the
@@ -125,7 +128,12 @@ def q111_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: a NULL customer key must form its own group (what
         # Spark's per-customer grouped-map and the window oracle both do),
-        # not silently drop its rows from the transform output.
+        # not silently drop its rows from the transform output. NB: with
+        # NULLs present, Arrow-to-pandas lands o_custkey (nullable int64)
+        # as float64 with NaN — groupby and the int64 round-trip stay
+        # exact only while custkeys < 2^53 (fine at any realistic key
+        # range; switch to pandas nullable Int64 via types_mapper if keys
+        # ever approach that bound).
         g = pdf.groupby("o_custkey", dropna=False)["price_c"]
         n = g.transform("size").to_numpy()
         s = g.transform("sum").to_numpy()
