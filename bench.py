@@ -1230,18 +1230,34 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
     retained line started mid-JSON). So every ADJUDICATION key now rides
     in small, whole lines inside the tail window:
 
-    - the trend-norm records carry every ``trend_*_norm`` twin (keys
-      shortened by stripping the ``trend_`` prefix and ``_norm`` suffix;
-      values /cal rounded to 3 decimals), the skew-over-balanced ratios,
-      and the q124 fixed-cells ratio, chunked into lines short enough
-      that a tail-parse recovers each whole (budget asserted by
+    - the trend-ratio records carry every banded slope watch NOT already
+      inside the headline's watches — the doc-trend x8-over-x1 ratios,
+      the q124 fixed-cells ratio, and the skew-over-balanced ratios —
+      with tail-budget key encoding ``<query>_x8r`` =
+      ``trend_<query>_x8_over_x1_ratio`` and ``<query>_skewr`` =
+      ``trend_<query>_skew_over_balanced_ratio`` (values rounded to 3
+      decimals), chunked into lines short enough that a tail-parse
+      recovers each whole (budget asserted by
       test_emit_records_tail_budget);
     - the headline record repeats the m33 headlines + the watched trend
       bands + host-calibration metrics, and stays the final line (the
-      driver parses the last line).
+      driver parses the last line). Round 14 (driver-visibility fix,
+      VERDICT r13 item 1): its ``queries`` dict ADDITIVELY carries every
+      registry bench leg's wall (2-decimal seconds) after the four m33
+      keys — the driver's PERF/scaling per-query surface previously saw
+      only the sink/fetch-bound m33 headlines, so core-count scaling was
+      computed over legs that cannot scale. No key was removed or
+      renamed; the m33 keys keep their exact former values and order.
 
-    x-over-x1 ratios not repeated here are exactly derivable from the
-    norm twins (the calibration factor cancels: x8_norm/x1_norm)."""
+    Per-leg ``trend_*_norm`` twins and raw trend walls stay in the FULL
+    record (line 1) only: the tail budget cannot hold them AND the
+    registry walls, the banded evidence is the ratios (now explicit —
+    previously derivable as x8_norm/x1_norm), and absolute trend levels
+    remain recoverable from the full record when stdout is kept, or from
+    watches (raw m33 ctas/export/scan-control walls, calibration
+    factors). The round-13 compact inventory (all norm twins +
+    m33_export_x2) is superseded by this selection — declared in
+    OPTIMIZATION_r14.md."""
     timings = dict(timings)
     cal_pair = [
         timings[k]
@@ -1352,11 +1368,17 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
     ]
     # compact separators on the tail-window records: ~150 chars of
     # whitespace matter against the driver's 2000-char capture
+    registry_legs = [k for k in sorted(timings) if _bucket(k) == 0]
     headline = json.dumps(
         {
             "metric": "bench_m33_headlines",
             "unit": "sec",
-            "queries": {k: timings[k] for k in headline_keys if k in timings},
+            "queries": {
+                # m33 keys first, exact values/order as every prior round;
+                # then the registry walls (additive; 2-decimal seconds)
+                **{k: timings[k] for k in headline_keys if k in timings},
+                **{k: round(timings[k], 2) for k in registry_legs},
+            },
             "watches": {k: timings[k] for k in watch_keys if k in timings},
             "calibration_ref": CALIBRATION_REF_SEC,
             "total": total,
@@ -1365,23 +1387,28 @@ def _emit_records(timings: dict[str, float], sf: str) -> list[str]:
         separators=(",", ":"),
     )
 
-    # Compact trend-norm records: every _norm twin (shortened key), the
-    # skew-over-balanced ratios, and the q124 fixed-cells ratio — the
-    # adjudication keys NOT already inside the headline's watches —
-    # chunked into whole lines that fit the driver's tail window.
+    # Compact trend-ratio records: every banded slope watch NOT already
+    # inside the headline's watches — doc-trend x8/x1 ratios, the q124
+    # fixed-cells ratio, skew-over-balanced ratios — chunked into whole
+    # lines that fit the driver's tail window. (Norm twins moved to the
+    # full record only in round 14 — see the docstring.)
+    # Key encoding (tail budget): '<query>_xNr' = trend_<query>_xN_over_x1
+    # ratio, '<query>_skewr' = trend_<query>_skew_over_balanced_ratio.
     compact: dict[str, float] = {}
     for k, v in timings.items():
-        if k.endswith("_norm") and k.startswith("trend_"):
-            compact[k[len("trend_") : -len("_norm")]] = round(v, 3)
-        elif k.endswith("_skew_over_balanced_ratio"):
+        if k.endswith("_skew_over_balanced_ratio"):
             # round here too (not just trust the producer): an unrounded
             # division is ~18 chars of float repr per key, and the tail
             # budget this record exists for assumes short values
-            compact[k[len("trend_") :]] = round(v, 3)
-        elif k.startswith("trend_q124_semdedup") and k.endswith("_over_x1_ratio"):
-            # the fixed-cells watch band adjudicated each round —
-            # explicit even though derivable from its norm twins
-            compact[k[len("trend_") :]] = round(v, 3)
+            short = k[len("trend_") : -len("_skew_over_balanced_ratio")]
+            compact[short + "_skewr"] = round(v, 3)
+        elif (
+            k.startswith("trend_")
+            and k.endswith("_over_x1_ratio")
+            and k not in watch_keys
+        ):
+            short = k[len("trend_") : -len("_over_x1_ratio")]
+            compact[short + "r"] = round(v, 3)
     norm_lines: list[str] = []
     if compact:
         chunk: dict[str, float] = {}
