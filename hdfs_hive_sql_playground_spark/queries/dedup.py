@@ -406,10 +406,27 @@ def q81_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # cand persisted (round 14): THREE downstream evaluations consume it —
+    # the two verification joins' shared subtree and the final orderBy's
+    # range-sampling job, which re-executes the whole un-materialized
+    # pipeline to sample partition bounds (profiled: the sort alone was
+    # +1.4 s of the 3.7 s wall because of that re-run). Narrow
+    # (doc_a, doc_b) pairs, the same O(candidates) class as minh;
+    # interleaved A/B favored it in every round-pair (min 3.32 -> 3.25,
+    # worst draw 4.03 -> 3.80 on a loaded box). Real stats on cand also
+    # let the planner size the verification joins from the actual
+    # candidate count instead of a self-join estimate.
+    cand = track_persist(cand)
     # Exact-Jaccard verification restricted to candidates, computed over the
     # 64-bit shingle hashes (collision odds ~n²/2⁶⁴ — negligible): the
     # intersection join shuffles longs, not shingle strings.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # sizes is persisted (round 14): its TWO consumers (the na and nb
+    # joins below) carry different pushed filters, so exchange reuse
+    # cannot unify them and the plan aggregated the full shingle relation
+    # TWICE (plans/r14/q81_*_before.txt: two HashAgg+Exchange subtrees
+    # over the persisted sh). One narrow (doc_id, n) row per document —
+    # at 100 TB this persist is the same O(n_docs) class as minh's.
+    sizes = track_persist(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     # Strategies stay stats-picked (DEPLOYMENT_100TB §7): one-shot lookups
     # get broadcast while sh/sizes fit and flip to SMJ from REAL sizes as
     # the corpus grows — pinning shuffle_hash here was interleaved-A/B
@@ -686,6 +703,54 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nlabel") < F.col("label")).alias("chg"),
             )
         )
+        # Pointer-jumping step (round 14, VERDICT item 3 — guide §5: the
+        # driver-coordinated loop costs one scheduler round-trip AND one
+        # full per-iteration shuffle, so shrink the ITERATION COUNT):
+        # after the neighbor-min, follow the new label one hop through
+        # LAST round's label map — label <- min(label, label_prev(label)).
+        # One-hop min-propagation needs O(diameter) iterations (labels
+        # crawl one edge per round); composing each round's pointers with
+        # the previous round's makes the covered label distance compound
+        # (Fibonacci-like growth ⇒ O(log diameter) rounds — the
+        # Shiloach-Vishkin / MapReduce-CC [Kiveris et al. 2014] family).
+        # The jump reads the CHECKPOINTED `labels` frame, not `relabeled`:
+        # joining relabeled against itself would evaluate the whole
+        # neighbor-join subtree twice per job (measured: that variant was
+        # wall-neutral at sf0.1 — 3 iterations but 2x per-job work),
+        # while `labels` is materialized blocks, so the jump adds one
+        # narrow hash-join probe and nothing else. Invariants unchanged:
+        # labels only decrease and label(v) is always a doc_id of v's own
+        # component (the jump reads another component member's label), so
+        # the fixpoint — label constant per component, equal to the
+        # component min — is the same frame the one-hop loop converges
+        # to; only the round count changes. Measured at sf0.1: 5 -> 4
+        # iterations, wall neutral (the local graph's diameter is ~4 and
+        # each round is scheduling-bound); the asymptotic claim — and the
+        # removal of the latent 50-iteration-cap blowup on a
+        # diameter > 50 corpus, where the one-hop loop RAISED — is pinned
+        # by test_q87_converges_on_long_chain_corpus on a 60-doc chain
+        # (measured: one-hop needs 59 rounds, this converges in 7). At 100 TB each
+        # avoided round is a full edges-shuffle plus a scheduler
+        # round-trip, and crawl-corpus shingle graphs carry long chains.
+        # The jump join keys on label==doc_id over the same bounded label
+        # frame the neighbor join uses — broadcast while labels fits,
+        # stats-flipped beyond, with the min label a hot key only for the
+        # giant-component side that AQE skew splitting already covers.
+        lmap = labels.select(
+            F.col("doc_id").alias("__pid"), F.col("label").alias("__plab")
+        )
+        jumped = (
+            relabeled.join(lmap, relabeled.label == lmap.__pid, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__plab"), F.col("label"))
+                ).alias("label"),
+                # NULL-safe like chg: false OR NULL counts 0 under the
+                # summed int cast, true wins either way
+                (F.col("chg") | (F.col("__plab") < F.col("label"))).alias("chg"),
+            )
+        )
         # ONE job per iteration: the convergence scalar rides the eager
         # localCheckpoint itself as an observed metric (CollectMetrics),
         # so the join pipeline is materialized exactly once and no second
@@ -696,7 +761,7 @@ def q87_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # second job.) localCheckpoint also truncates the per-iteration
         # lineage so plan size stays constant across iterations.
         obs = Observation()
-        ck = relabeled.observe(
+        ck = jumped.observe(
             obs, F.sum(F.col("chg").cast("int")).alias("changed")
         ).localCheckpoint()
         # obs.get blocks until the checkpoint action has processed the

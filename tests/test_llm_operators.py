@@ -1163,3 +1163,48 @@ def test_q145_q146_match_naive_python_references(spark, sf_dir):
             for r in SPECS[name].fn(spark, sf_dir).collect()
         }
         assert got == want, f"{name}: naive reference mismatch"
+
+
+def test_q87_converges_on_long_chain_corpus(spark, tmp_path):
+    """Round-14 pointer-jumping gate (VERDICT r13 item 3): on a 60-doc
+    CHAIN corpus (doc i shares exactly one shingle with doc i+1, so the
+    share-a-shingle graph is a path of diameter 59) the one-hop
+    min-label loop needs 59 rounds and RAISED its 50-iteration
+    convergence cap; the pointer-jumping loop composes each round's
+    pointers with the previous round's, so it converges in O(log
+    diameter) rounds — this test fails by RuntimeError on the old loop
+    and by assertion if the labels are ever wrong. All 60 docs must land
+    in one component labeled by the chain's min doc_id."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "chain_sf")
+    os.makedirs(d)
+    # doc i: "a{i} a{i} a{i} a{i+1} a{i+1} a{i+1}" — the only shingle two
+    # docs share is (a{j} a{j} a{j}), in docs j-1 and j (df=2, under the
+    # MAX_SHINGLE_DF cap); every mixed shingle is unique to its doc.
+    rows = [
+        (
+            i,
+            f"a{i} a{i} a{i} a{i + 1} a{i + 1} a{i + 1}",
+            "en",
+            "src0",
+            0,
+        )
+        for i in range(60)
+    ]
+    staging = os.path.join(d, "_staging")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(d, "documents.parquet"),
+    )
+    shutil.rmtree(staging)
+    got = {
+        r.doc_id: r.component
+        for r in SPECS["q87_neardup_components"].fn(spark, d).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
