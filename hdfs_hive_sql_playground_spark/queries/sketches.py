@@ -18,6 +18,21 @@ positive. The result is exactly the set of tokens with frequency
 strictly above N/capacity, independent of partitioning — which is what
 makes the operator oracle-checkable against a plain GROUP BY / HAVING.
 
+Tokenization contract (round 14): the sketch pass ALSO carries the exact
+corpus token total N (one marker row per partition), so the corpus is
+scanned twice, not three times — the separate ``sum(size(_words(text)))``
+scan N used to ride on is gone (guide §2.3 / VERDICT r13 item 5). That
+makes N's exactness depend on the pandas tokenization matching the JVM
+``_words`` bit-for-bit, so the pandas side spells the SAME recipe —
+strip ASCII spaces only (Spark ``trim``), split on the explicit Java
+``\\s`` class ``[ \\t\\n\\x0b\\f\\r]+`` keeping leading/trailing empty
+tokens (Java ``split(re, -1)`` = Python ``re.split``) — instead of
+Python's wider-whitespace ``str.split()``. The equivalence is pinned
+per-document on the hostile corpus (NBSP/VT/NEL/tab boundaries) by
+``test_pandas_tokenizer_matches_jvm_words`` and end-to-end by the
+adversarial corpus gate (q104's DuckDB compare exercises N on exactly
+those documents).
+
 Reference capability: corpus-level token statistics of the kind the
 reference's aggregation surface (SURVEY §2 Tier B, GROUP BY/HAVING over
 exploded tokens) expresses — re-shaped here so the 100 TB plan is a
@@ -41,27 +56,60 @@ from hdfs_hive_sql_playground_spark.tables import load
 # the threshold meaningful on the synthetic corpus vocabulary.
 MG_CAPACITY = 64
 
+# Java \s, spelled explicitly: Python's \s (and pandas' default
+# str.split()) also matches unicode spaces, which Java's does not — the
+# exact class keeps the pandas tokenization identical to _words.
+_JAVA_WS_RUN = r"[ \t\n\x0b\f\r]+"
 
-def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Weighted Misra-Gries over one partition's documents.
+
+def _pandas_words(text: pd.Series) -> pd.Series:
+    """JVM ``_words`` replicated on a pandas Series (NULLs dropped):
+    lower(trim-ASCII-spaces(text)) split on the Java ``\\s`` class with
+    leading/trailing empty tokens KEPT — ``re.split`` and Java
+    ``split(re, -1)`` agree on that, ``str.split()`` does not. Returns a
+    Series of token lists; pinned ≡ _words by the tokenizer contract
+    test."""
+    return (
+        text.dropna()
+        .str.strip(" ")
+        .str.lower()
+        .str.split(_JAVA_WS_RUN, regex=True)
+    )
+
+
+def _mg_candidates_and_total(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Weighted Misra-Gries over one partition's documents, plus the
+    partition's EXACT token count as one marker row (tok NULL).
 
     Per Arrow batch the token counts are computed vectorized
-    (``str.split`` + ``explode`` + ``value_counts``); the sequential MG
-    merge then runs over DISTINCT tokens of the batch (vocabulary-sized,
-    not corpus-sized). Weighted update: add the batch count, and when
-    the summary exceeds capacity subtract the minimum counter from all
-    entries and drop the zeros — the standard weighted MG step, same
-    error bound (≤ N_partition / capacity) as the unit-update variant.
-    """
+    (``_pandas_words`` + ``explode`` + ``value_counts``); the sequential
+    MG merge then runs over DISTINCT tokens of the batch
+    (vocabulary-sized, not corpus-sized). Weighted update: add the batch
+    count, and when the summary exceeds capacity subtract the minimum
+    counter from all entries and drop the zeros — the standard weighted
+    MG step, same error bound (≤ N_partition / capacity) as the
+    unit-update variant. The token total is summed from the same exact
+    token lists, so the sketch's survival guarantee and the recount's
+    threshold both speak about the SAME token stream."""
     counters: dict[str, int] = {}
+    n_total = 0
     for pdf in batches:
-        toks = pdf["text"].str.lower().str.strip().str.split().explode()
+        words = _pandas_words(pdf["text"])
+        n_total += int(words.str.len().sum())
+        toks = words.explode()
         for tok, cnt in toks.value_counts().items():
             counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > MG_CAPACITY:
                 dec = min(counters.values())
                 counters = {t: c - dec for t, c in counters.items() if c > dec}
-    yield pd.DataFrame({"tok": list(counters.keys())})
+    yield pd.DataFrame(
+        {
+            "tok": [*counters.keys(), None],
+            "n": [*(0 for _ in counters), n_total],
+        }
+    )
 
 
 @register(
@@ -79,22 +127,30 @@ def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     HAVING COUNT(*) * {MG_CAPACITY} > MAX(tot.n_total)
     """,
     doc="Two-pass Misra-Gries heavy hitters: bounded per-partition sketch "
-    "emits candidates (no shuffle), exact recount behind a broadcast "
-    "semi-join confirms them. Output = exactly the tokens with frequency "
-    f"> N/{MG_CAPACITY}, independent of partition layout.",
+    "emits candidates AND the exact partition token totals (no shuffle), "
+    "exact recount behind a broadcast semi-join confirms them. Output = "
+    f"exactly the tokens with frequency > N/{MG_CAPACITY}, independent of "
+    "partition layout. Two corpus scans total (sketch + recount) — N "
+    "rides the sketch pass as per-partition marker rows since round 14, "
+    "under the pandas/JVM tokenizer contract pinned in tests.",
     bench=True,
 )
 def q104_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_hive_sql_playground_spark.caching import track_persist
+
     docs = load(spark, sf_dir, "documents").select("text")
-    candidates = (
-        docs.mapInPandas(_mg_candidates, schema="tok string").distinct()
+    # One sketch pass yields candidates + exact per-partition token
+    # totals; persisted because TWO consumers (the candidate broadcast
+    # and the N aggregate) would otherwise re-run the corpus scan each —
+    # the persisted frame is ≤ (capacity + 1) rows per partition.
+    sketch = track_persist(
+        docs.mapInPandas(_mg_candidates_and_total, schema="tok string, n bigint")
+    )
+    candidates = sketch.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = sketch.filter(F.col("tok").isNull()).agg(
+        F.sum("n").cast("bigint").alias("n_total")
     )
     toks = docs.select(F.explode(_words(F.col("text"))).alias("tok"))
-    # N = sum of per-doc word counts: an array-size aggregate over the scan,
-    # cheaper than counting the exploded stream a second time.
-    total = docs.agg(
-        F.sum(F.size(_words(F.col("text")))).cast("bigint").alias("n_total")
-    )
     counts = (
         toks.join(F.broadcast(candidates), "tok")
         .groupBy("tok")

@@ -1071,3 +1071,51 @@ def test_idn_case_folding_agrees_cross_engine(spark):
     # The NFC/NFD uppercase twins stay BYTE-DISTINCT after lower() in both
     # engines (lower() never normalizes) — same recall posture as q80.
     assert got[7] != got[8]
+
+
+def test_pandas_tokenizer_matches_jvm_words(spark, adversarial_dir):
+    """Round-14 shared-tokenizer contract (VERDICT r13 item 5): q104's
+    sketch pass now carries the EXACT corpus token total N, so the pandas
+    tokenization inside ``_mg_candidates_and_total`` must equal the JVM
+    ``_words`` bit-for-bit — token lists, not just counts, and on exactly
+    the hostile boundary classes (leading tab after space-only trim,
+    NBSP/em/ideographic spaces, VT separators, NEL inside tokens, empty
+    text, NULL text). Compares per-document lists computed by BOTH
+    recipes over the adversarial corpus plus NULL/whitespace-only
+    probes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hdfs_hive_sql_playground_spark.queries.dedup import _words
+    from hdfs_hive_sql_playground_spark.queries.sketches import _pandas_words
+
+    texts = [t for _, t in ADVERSARIAL_DOCS] + [
+        None,
+        "",
+        " ",
+        "\t",
+        "\x0b\x0c\r\n",
+        " \tlead",
+        "trail\t ",
+        " ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    jvm = {
+        r["i"]: r["w"]
+        for r in df.select("i", _words(F.col("text")).alias("w")).collect()
+    }
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": pd.Series(texts, dtype=object)})
+    pw = _pandas_words(pdf["text"])  # drops NULLs, keeps index alignment
+    for i, t in enumerate(texts):
+        if t is None:
+            assert jvm[i] is None and i not in pw.index
+        else:
+            assert jvm[i] == list(pw.loc[i]), (i, t, jvm[i], list(pw.loc[i]))
+    # and the count identity the N fold relies on: len == size(_words)
+    sizes = {
+        r["i"]: r["n"]
+        for r in df.select("i", F.size(_words(F.col("text"))).alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is not None:
+            assert sizes[i] == len(pw.loc[i])
